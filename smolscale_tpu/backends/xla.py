@@ -1,0 +1,336 @@
+"""JAX/XLA backend: the TPU compute path, bit-exact to the reference.
+
+Pipeline (one fused jitted program per :class:`ScalePlan`):
+
+    u8 bytes -> unpack (channel permute + alpha/gamma conversion)
+             -> horizontal filter -> vertical filter -> pack -> u8 bytes
+
+Data layout is per-channel int32 planes shaped (..., 4, H, W): the lane
+(last) axis is the image width for the horizontal pass and XLA fuses the
+elementwise chains.  All arithmetic uses the proven 32-bit formulations in
+:mod:`smolscale_tpu.ops.fixedpoint`; all plan arrays (gather indices,
+weights, LUTs) are closed over as compile-time constants, the analogue of
+the reference's SmolScaleCtx precalc (smolscale.c:816-870).
+
+Leading batch dimensions are supported everywhere (ops use negative axes),
+so ``scale`` accepts (H, W, C) or (B, H, W, C).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .. import luts
+from ..formats import AlphaType, GammaType, StorageType
+from ..ops import fixedpoint as fp
+from ..plan import FilterType, ScalePlan
+
+_LUT = {
+    "from_srgb": jnp.asarray(luts.FROM_SRGB, dtype=jnp.int32),
+    "to_srgb": jnp.asarray(luts.TO_SRGB, dtype=jnp.int32),
+    "inv_p8": jnp.asarray(luts.INV_DIV_P8, dtype=jnp.int32),
+    "inv_p8l": jnp.asarray(luts.INV_DIV_P8L, dtype=jnp.int32),
+    "inv_p16": jnp.asarray(luts.INV_DIV_P16, dtype=jnp.int32),
+    "inv_p16l": jnp.asarray(luts.INV_DIV_P16L, dtype=jnp.int32),
+}
+
+
+def _take(lut, idx):
+    return jnp.take(lut, idx, axis=0)
+
+
+# -- fixed-point alpha/gamma primitives (jnp mirrors of numpy_ref) -----------
+
+def _premul_p8(v, a):
+    return (((v + 1) * (a + 1) - 1) >> 8) & 0xFF
+
+
+def _unpremul_p8(v, a):
+    return fp.mul_shift_small(v, _take(_LUT["inv_p8"], a), luts.INVERTED_DIV_SHIFT_P8) & 0xFF
+
+
+def _premul_p8l(l, a):
+    return (((l + 1) * ((a << 3) + 1) - 1) >> 11) & 0x7FF
+
+
+def _unpremul_p8l(v, a):
+    return fp.mul_shift_small(v, _take(_LUT["inv_p8l"], a), luts.INVERTED_DIV_SHIFT_P8L) & 0x7FF
+
+
+def _unpremul_p16(v, a):
+    return fp.mul_shift_u32(v, _take(_LUT["inv_p16"], a), luts.INVERTED_DIV_SHIFT_P16) & 0xFF
+
+
+def _unpremul_p16l(v, a):
+    return fp.mul_shift_p16l(v, _take(_LUT["inv_p16l"], a)) & 0x7FF
+
+
+# -- unpack / pack ------------------------------------------------------------
+
+def _unpack(plan: ScalePlan, img):
+    """(..., H, W, nb) u8 -> (..., 4, H, W) int32 (see numpy_ref.unpack)."""
+    meta = plan.meta_in
+    x = img.astype(jnp.int32)
+    chans = [None] * 4
+    for byte_pos, ch in enumerate(meta.layout):
+        chans[ch] = x[..., byte_pos]
+    if meta.has_alpha:
+        a = chans[3]
+    else:
+        a = jnp.full(x.shape[:-1], 255, dtype=jnp.int32)
+    color = chans[:3]
+    ia, g = plan.internal_alpha, plan.gamma
+    in_premul = meta.alpha == AlphaType.PREMUL8
+
+    if ia == AlphaType.PREMUL8 and g == GammaType.SRGB_COMPRESSED:
+        out_c = color if in_premul else [_premul_p8(c, a) for c in color]
+        out_a = a
+    elif ia == AlphaType.PREMUL8 and g == GammaType.SRGB_LINEAR:
+        if in_premul:
+            out_c = [
+                _premul_p8l(_take(_LUT["from_srgb"], _unpremul_p8(c, a)), a)
+                for c in color
+            ]
+        else:
+            out_c = [_premul_p8l(_take(_LUT["from_srgb"], c), a) for c in color]
+        out_a = a
+    elif ia == AlphaType.PREMUL16 and g == GammaType.SRGB_COMPRESSED:
+        out_c = [c * a for c in color]
+        out_a = (a << 8) | 0x80
+    else:
+        out_c = [_take(_LUT["from_srgb"], c) * a for c in color]
+        out_a = (a << 8) | 0x80
+    return jnp.stack(out_c + [out_a], axis=-3)
+
+
+def _pack(plan: ScalePlan, planes):
+    """(..., 4, h, w) int32 -> (..., h, w, nb) u8 (see numpy_ref.pack)."""
+    meta = plan.meta_out
+    ia, g = plan.internal_alpha, plan.gamma
+    out_premul = meta.alpha == AlphaType.PREMUL8
+    color = [planes[..., i, :, :] for i in range(3)]
+    alpha_plane = planes[..., 3, :, :]
+
+    if ia == AlphaType.PREMUL8:
+        a = alpha_plane & 0xFF
+        if g == GammaType.SRGB_COMPRESSED:
+            out_c = color if out_premul else [_unpremul_p8(c, a) for c in color]
+        else:
+            if out_premul:
+                if meta.n_bytes == 3:
+                    if plan.pack24_linear_direct:
+                        out_c = [_take(_LUT["to_srgb"], c & 0x7FF) for c in color]
+                    else:
+                        out_c = [
+                            _take(_LUT["to_srgb"], _unpremul_p8l(c, a)) for c in color
+                        ]
+                else:
+                    out_c = [
+                        _premul_p8(_take(_LUT["to_srgb"], _unpremul_p8l(c, a)), a)
+                        for c in color
+                    ]
+            else:
+                out_c = [_take(_LUT["to_srgb"], _unpremul_p8l(c, a)) for c in color]
+    else:
+        a = (alpha_plane >> 8) & 0xFF
+        if g == GammaType.SRGB_COMPRESSED:
+            out_c = [_unpremul_p16(c, a) for c in color]
+        else:
+            out_c = [_take(_LUT["to_srgb"], _unpremul_p16l(c, a)) for c in color]
+
+    chans = out_c + [a]
+    ordered = [chans[ch] & 0xFF for ch in meta.layout]
+    return jnp.stack(ordered, axis=-1).astype(jnp.uint8)
+
+
+# -- box walk index arrays (plan-time, numpy) ---------------------------------
+
+def _box_h_arrays(ax):
+    """Convert the C pointer walk (interp_horizontal_boxes, generic.c:1443-1478)
+    into static gather/segment arrays: per output j,
+      out_j = (in[left_idx]*left_w >> 8) + segsum(mid) + (in[right_idx]*F >> 8)
+    with F forced to 0 on the final output when the reference skips the read.
+    """
+    n_out = ax.dim_out
+    strides = ax.strides
+    fracs = ax.factors
+    left_idx = np.zeros(n_out, dtype=np.int32)
+    left_w = np.zeros(n_out, dtype=np.int32)
+    right_idx = np.zeros(n_out, dtype=np.int32)
+    mid_start = np.zeros(n_out, dtype=np.int32)
+    pos = 1
+    left_idx[0], left_w[0] = 0, 256
+    for j in range(n_out):
+        mid_start[j] = pos
+        pos += int(strides[j])
+        if j < n_out - 1:
+            right_idx[j] = pos
+            pos += 1
+            left_idx[j + 1] = right_idx[j]
+            left_w[j + 1] = 255 - int(fracs[j])
+        else:
+            # Final box: the fractional pixel is only read when F > 0
+            # (generic.c:1472-1475); clamp the index, F=0 zeroes the term.
+            right_idx[j] = min(pos, ax.dim_in - 1)
+    return dict(
+        left_idx=left_idx,
+        left_w=left_w,
+        right_idx=right_idx,
+        mid_start=mid_start,
+        mid_len=strides.astype(np.int32),
+        fracs=fracs.astype(np.int32),
+    )
+
+
+def _box_v_arrays(ax):
+    """Vertical box edge arrays (scale_outrow_box_*, generic.c:2112-2260)."""
+    n_out = ax.dim_out
+    ofs = ax.offsets
+    fracs = ax.factors
+    first_idx = ofs[:n_out].astype(np.int32)
+    last_idx = np.minimum(ofs[1 : n_out + 1], ax.dim_in - 1).astype(np.int32)
+    w1 = np.concatenate([[256], 255 - fracs[:-1]]).astype(np.int32)
+    w2 = fracs.astype(np.int32)
+    mid_start = (ofs[:n_out] + 1).astype(np.int32)
+    mid_len = np.maximum(ofs[1 : n_out + 1] - ofs[:n_out] - 1, 0).astype(np.int32)
+    return dict(
+        first_idx=first_idx, last_idx=last_idx, w1=w1, w2=w2,
+        mid_start=mid_start, mid_len=mid_len,
+    )
+
+
+# -- filters ------------------------------------------------------------------
+
+def _bilinear_axis(planes, ax, mask, axis):
+    off = jnp.asarray(ax.offsets, dtype=jnp.int32)
+    f = jnp.asarray(ax.factors, dtype=jnp.int32)
+    p = jnp.take(planes, off, axis=axis)
+    q = jnp.take(planes, off + 1, axis=axis)
+    fshape = [1] * planes.ndim
+    fshape[axis] = ax.dim_bilin
+    samples = fp.lerp256(p, q, f.reshape(fshape), mask)
+    n = ax.halvings
+    if n == 0:
+        return samples
+    shape = list(samples.shape)
+    shape[axis] = ax.dim_out
+    shape.insert(axis + 1 if axis >= 0 else planes.ndim + axis + 1, 1 << n)
+    s = samples.reshape(shape)
+    red_axis = axis + 1 if axis >= 0 else planes.ndim + axis + 1
+    return (jnp.sum(s, axis=red_axis) >> n) & mask
+
+
+def _box_h(planes, ax, mask, storage):
+    arrs = _box_h_arrays(ax)
+    left = fp.weight256(
+        jnp.take(planes, jnp.asarray(arrs["left_idx"]), axis=-1),
+        jnp.asarray(arrs["left_w"]).reshape((1,) * (planes.ndim - 1) + (-1,)),
+        mask,
+    )
+    right = fp.weight256(
+        jnp.take(planes, jnp.asarray(arrs["right_idx"]), axis=-1),
+        jnp.asarray(arrs["fracs"]).reshape((1,) * (planes.ndim - 1) + (-1,)),
+        mask,
+    )
+    mids = fp.segsum_cumsum(
+        planes, jnp.asarray(arrs["mid_start"]), jnp.asarray(arrs["mid_len"]), axis=-1
+    )
+    acc = left + mids + right
+    out_mask = 0xFF if storage == StorageType.S64 else 0xFFFF
+    return fp.mul_shift_round24(acc, jnp.int32(ax.span_mul)) & out_mask
+
+
+def _box_v(planes, ax, mask, storage):
+    arrs = _box_v_arrays(ax)
+    bshape = (1,) * (planes.ndim - 2) + (-1, 1)
+    first = fp.weight256(
+        jnp.take(planes, jnp.asarray(arrs["first_idx"]), axis=-2),
+        jnp.asarray(arrs["w1"]).reshape(bshape),
+        mask,
+    )
+    last_rows = jnp.take(planes, jnp.asarray(arrs["last_idx"]), axis=-2)
+    w2 = jnp.asarray(arrs["w2"]).reshape(bshape)
+    if storage == StorageType.S64:
+        # q = (r * w2) >> 8 even when w2 == 0 (generic.c:2042-2068).
+        last = fp.weight256(last_rows, w2, mask)
+    else:
+        # 128bpp weights the last row by w2-1 and skips it when w2 == 0
+        # (generic.c:2240-2253).
+        last = jnp.where(w2 > 0, fp.weight256(last_rows, jnp.maximum(w2 - 1, 0), mask), 0)
+    mids = fp.segsum_cumsum(
+        planes, jnp.asarray(arrs["mid_start"]), jnp.asarray(arrs["mid_len"]), axis=-2
+    )
+    acc = first + mids + last
+    out_mask = 0xFF if storage == StorageType.S64 else 0xFFFF
+    return fp.mul_shift_round24(acc, jnp.int32(ax.span_mul)) & out_mask
+
+
+def _hfilter(plan: ScalePlan, planes):
+    ax = plan.x
+    mask = plan.working_mask
+    if ax.filter == FilterType.COPY:
+        return planes
+    if ax.filter == FilterType.ONE:
+        reps = [1] * planes.ndim
+        reps[-1] = ax.dim_out
+        return jnp.tile(planes[..., :1], reps)
+    if ax.filter.is_bilinear:
+        return _bilinear_axis(planes, ax, mask, axis=-1)
+    return _box_h(planes, ax, mask, plan.storage)
+
+
+def _vfilter(plan: ScalePlan, planes):
+    ay = plan.y
+    mask = plan.working_mask
+    if ay.filter == FilterType.COPY:
+        return planes
+    if ay.filter == FilterType.ONE:
+        reps = [1] * planes.ndim
+        reps[-2] = ay.dim_out
+        return jnp.tile(planes[..., :1, :], reps)
+    if ay.filter.is_bilinear:
+        return _bilinear_axis(planes, ay, mask, axis=-2)
+    return _box_v(planes, ay, mask, plan.storage)
+
+
+# -- entry points -------------------------------------------------------------
+
+def scale_fn(plan: ScalePlan, img):
+    """Traceable scale: (..., H, W, nb_in) u8 -> (..., h, w, nb_out) u8."""
+    planes = _unpack(plan, img)
+    hrows = _hfilter(plan, planes)
+    vout = _vfilter(plan, hrows)
+    return _pack(plan, vout)
+
+
+@functools.cache
+def _jitted(plan: ScalePlan):
+    return jax.jit(functools.partial(scale_fn, plan))
+
+
+def scale(plan: ScalePlan, img) -> np.ndarray:
+    img = jnp.asarray(img)
+    expect = (plan.height_in, plan.width_in, plan.meta_in.n_bytes)
+    if tuple(img.shape[-3:]) != expect:
+        raise ValueError(f"input shape {img.shape} does not match plan {expect}")
+    return np.asarray(_jitted(plan)(img))
+
+
+@functools.cache
+def _jitted_rows(plan: ScalePlan, first: int, n: int):
+    def fn(img):
+        return scale_fn(plan, img)[..., first : first + n, :, :]
+
+    # Note: full-height compute then slice is wasteful for narrow row ranges;
+    # the Pallas/row-window path (backends.pallas) computes only the needed
+    # input window.  Kept simple here; bit-exactness is what this backend is for.
+    return jax.jit(fn)
+
+
+def scale_rows(plan: ScalePlan, img, first_out_row: int, n_out_rows: int) -> np.ndarray:
+    img = jnp.asarray(img)
+    return np.asarray(_jitted_rows(plan, int(first_out_row), int(n_out_rows))(img))

@@ -16,3 +16,9 @@ if "xla_force_host_platform_device_count" not in flags:
     ).strip()
 
 sys.path.insert(0, os.path.dirname(__file__))
+
+# The axon TPU plugin ignores JAX_PLATFORMS; force CPU via the config API
+# (must happen before any backend is initialized).
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")

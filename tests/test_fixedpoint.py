@@ -1,0 +1,89 @@
+"""Exactness of the 32-bit fixed-point formulations vs int64 ground truth.
+
+Each helper in smolscale_tpu.ops.fixedpoint documents operand bounds; these
+tests sweep those bounds (dense at the edges, random inside) and compare
+against the wide-integer reference computation.
+"""
+
+import numpy as np
+import jax.numpy as jnp
+
+from smolscale_tpu.ops import fixedpoint as fp
+
+RNG = np.random.default_rng(1234)
+
+
+def _j(x):
+    return jnp.asarray(x, dtype=jnp.int32)
+
+
+def test_lerp256_exact():
+    for mask, vmax in [(0xFF, 255), (0xFFFFFF, 0xFFFFFF)]:
+        p = RNG.integers(0, vmax + 1, 20000).astype(np.int64)
+        q = RNG.integers(0, vmax + 1, 20000).astype(np.int64)
+        f = RNG.integers(0, 257, 20000).astype(np.int64)
+        want = ((((p - q) * f) >> 8) + q) & mask
+        got = np.asarray(fp.lerp256(_j(p), _j(q), _j(f), mask))
+        assert np.array_equal(want, got)
+
+
+def test_weight256_exact():
+    for mask, vmax in [(0xFF, 255), (0xFFFFFF, 0xFFFFFF)]:
+        v = RNG.integers(0, vmax + 1, 20000).astype(np.int64)
+        w = RNG.integers(0, 257, 20000).astype(np.int64)
+        want = ((v * w) >> 8) & mask
+        got = np.asarray(fp.weight256(_j(v), _j(w), mask))
+        assert np.array_equal(want, got)
+
+
+def test_mul_shift_round24_exact():
+    a = np.concatenate(
+        [
+            RNG.integers(0, 1 << 30, 20000),
+            np.array([0, 1, (1 << 30) - 1, 65535, 0xFFFF]),
+        ]
+    ).astype(np.int64)
+    m = np.concatenate(
+        [
+            RNG.integers(0, 1 << 24, 20000),
+            np.array([0, 1, (1 << 24) - 1, (1 << 22) - 1, 123]),
+        ]
+    ).astype(np.int64)
+    n = min(len(a), len(m))
+    a, m = a[:n], m[:n]
+    want = (a * m + (1 << 23)) >> 24
+    got = np.asarray(fp.mul_shift_round24(_j(a), _j(m)))
+    assert np.array_equal(want, got)
+
+
+def test_mul_shift_u32_exact():
+    v = RNG.integers(0, 1 << 16, 20000).astype(np.int64)
+    m = RNG.integers(0, (1 << 16) + 1, 20000).astype(np.int64)
+    want = (v * m) >> 16
+    got = np.asarray(fp.mul_shift_u32(_j(v), _j(m), 16))
+    assert np.array_equal(want, got)
+
+
+def test_mul_shift_p16l_exact():
+    v = RNG.integers(0, 2047 * 255 + 1, 20000).astype(np.int64)
+    m = RNG.integers(0, (1 << 19) + 1, 20000).astype(np.int64)
+    want = (v * m) >> 19
+    got = np.asarray(fp.mul_shift_p16l(_j(v), _j(m)))
+    assert np.array_equal(want, got)
+
+
+def test_segsum_cumsum_exact():
+    w = 3000
+    v = RNG.integers(0, 1 << 24, (2, w)).astype(np.int64)
+    starts = np.sort(RNG.integers(0, w - 100, 40)).astype(np.int32)
+    lengths = RNG.integers(0, 100, 40).astype(np.int32)
+    want = np.stack(
+        [
+            [v[r, s : s + l].sum() for s, l in zip(starts, lengths)]
+            for r in range(2)
+        ]
+    )
+    got = np.asarray(
+        fp.segsum_cumsum(_j(v), jnp.asarray(starts), jnp.asarray(lengths), axis=-1)
+    ).astype(np.int64) & 0xFFFFFFFF
+    assert np.array_equal(want & 0xFFFFFFFF, got)
