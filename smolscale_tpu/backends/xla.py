@@ -29,18 +29,20 @@ from ..formats import AlphaType, GammaType, StorageType
 from ..ops import fixedpoint as fp
 from ..plan import FilterType, ScalePlan
 
+# numpy int32 at module load; converted lazily inside traces so importing
+# this module never initializes a JAX backend.
 _LUT = {
-    "from_srgb": jnp.asarray(luts.FROM_SRGB, dtype=jnp.int32),
-    "to_srgb": jnp.asarray(luts.TO_SRGB, dtype=jnp.int32),
-    "inv_p8": jnp.asarray(luts.INV_DIV_P8, dtype=jnp.int32),
-    "inv_p8l": jnp.asarray(luts.INV_DIV_P8L, dtype=jnp.int32),
-    "inv_p16": jnp.asarray(luts.INV_DIV_P16, dtype=jnp.int32),
-    "inv_p16l": jnp.asarray(luts.INV_DIV_P16L, dtype=jnp.int32),
+    "from_srgb": np.asarray(luts.FROM_SRGB, dtype=np.int32),
+    "to_srgb": np.asarray(luts.TO_SRGB, dtype=np.int32),
+    "inv_p8": np.asarray(luts.INV_DIV_P8, dtype=np.int32),
+    "inv_p8l": np.asarray(luts.INV_DIV_P8L, dtype=np.int32),
+    "inv_p16": np.asarray(luts.INV_DIV_P16, dtype=np.int32),
+    "inv_p16l": np.asarray(luts.INV_DIV_P16L, dtype=np.int32),
 }
 
 
 def _take(lut, idx):
-    return jnp.take(lut, idx, axis=0)
+    return jnp.take(jnp.asarray(lut), idx, axis=0)
 
 
 # -- fixed-point alpha/gamma primitives (jnp mirrors of numpy_ref) -----------
@@ -71,17 +73,35 @@ def _unpremul_p16l(v, a):
 
 # -- unpack / pack ------------------------------------------------------------
 
+def _extract_channels(plan: ScalePlan, img):
+    """Split (..., H, W, nb) u8 into 4 int32 channel planes (..., H, W).
+
+    4-byte formats avoid a strided minor-axis slice (slow layout change on
+    TPU) by bitcasting each pixel to one u32 and shift-masking: TPU/XLA
+    bitcast of a trailing (4,) u8 axis is little-endian, so byte k is bits
+    [8k, 8k+8) -- asserted in tests/test_xla_backend.py.
+    """
+    meta = plan.meta_in
+    chans = [None] * 4
+    if meta.n_bytes == 4:
+        px = jax.lax.bitcast_convert_type(img, jnp.uint32)
+        for byte_pos, ch in enumerate(meta.layout):
+            chans[ch] = ((px >> (8 * byte_pos)) & jnp.uint32(0xFF)).astype(jnp.int32)
+    else:
+        x = img.astype(jnp.int32)
+        for byte_pos, ch in enumerate(meta.layout):
+            chans[ch] = x[..., byte_pos]
+    return chans
+
+
 def _unpack(plan: ScalePlan, img):
     """(..., H, W, nb) u8 -> (..., 4, H, W) int32 (see numpy_ref.unpack)."""
     meta = plan.meta_in
-    x = img.astype(jnp.int32)
-    chans = [None] * 4
-    for byte_pos, ch in enumerate(meta.layout):
-        chans[ch] = x[..., byte_pos]
+    chans = _extract_channels(plan, img)
     if meta.has_alpha:
         a = chans[3]
     else:
-        a = jnp.full(x.shape[:-1], 255, dtype=jnp.int32)
+        a = jnp.full(img.shape[:-1], 255, dtype=jnp.int32)
     color = chans[:3]
     ia, g = plan.internal_alpha, plan.gamma
     in_premul = meta.alpha == AlphaType.PREMUL8
@@ -143,6 +163,13 @@ def _pack(plan: ScalePlan, planes):
             out_c = [_take(_LUT["to_srgb"], _unpremul_p16l(c, a)) for c in color]
 
     chans = out_c + [a]
+    if meta.n_bytes == 4:
+        # Assemble each pixel as one u32 (little-endian byte order) and
+        # bitcast back to 4 bytes -- avoids a minor-axis interleave.
+        px = jnp.zeros(chans[0].shape, dtype=jnp.uint32)
+        for byte_pos, ch in enumerate(meta.layout):
+            px = px | ((chans[ch] & 0xFF).astype(jnp.uint32) << (8 * byte_pos))
+        return jax.lax.bitcast_convert_type(px, jnp.uint8)
     ordered = [chans[ch] & 0xFF for ch in meta.layout]
     return jnp.stack(ordered, axis=-1).astype(jnp.uint8)
 
@@ -224,7 +251,67 @@ def _bilinear_axis(planes, ax, mask, axis):
     return (jnp.sum(s, axis=red_axis) >> n) & mask
 
 
+def _box_uniform_applicable(ax) -> bool:
+    """True for integer-ratio box plans: every span has the same whole-pixel
+    stride (except the final span, one short due to the dim_in-1 clamp at
+    precalc_boxes_array generic.c:105-110) and all edge fractions are 0."""
+    s = ax.strides
+    if ax.dim_out < 2 or (ax.factors != 0).any():
+        return False
+    if (s[:-1] != s[0]).any() or s[-1] not in (s[0], s[0] - 1):
+        return False
+    # exact tiling: dim_in == dim_out * (stride+1), true for integer ratios
+    return ax.dim_out * (int(s[0]) + 1) == ax.dim_in
+
+
+def _box_uniform(planes, ax, mask, storage, axis):
+    """Integer-ratio box filter as a pure reshape-reduce (no gathers).
+
+    Equivalent to the general walk when all fracs are 0: output j is
+      (v[left_j] * w)>>8 + sum(v[left_j+1 : left_j+R])        R = stride+1
+    with w = 256 for j=0 (weight_pixel identity) and 255 otherwise (the
+    carry (r*255 - r*0)>>8 of generic.c:1462 == weight256(r, 255)); the
+    right-edge q is 0.  The reference drops the final input element of the
+    axis when the last span is clamped short (generic.c:105-110); we
+    replicate by subtracting the over-included element from the last group.
+    """
+    # Grouping from index 0 makes every span self-contained: group j =
+    # v[j*r : (j+1)*r] where g[j,0] is span j's left/carry pixel (the
+    # previous span's fractional boundary) and g[j,1:r] its whole pixels.
+    # No padding, one layout-friendly minor-dim split.
+    assert axis in (-1, -2)
+    r = int(ax.strides[0]) + 1
+    n_out = ax.dim_out
+    last_short = int(ax.strides[-1]) == r - 2
+
+    if axis == -1:
+        g = planes.reshape(planes.shape[:-1] + (n_out, r))
+        mids = jnp.sum(g[..., 1:], axis=-1)
+        if last_short:
+            # reference drops the final input element (precalc clamp,
+            # generic.c:105-110)
+            mids = mids.at[..., -1].add(-g[..., -1, r - 1])
+        first = g[..., 0]
+        w = jnp.full((n_out,), 255, dtype=jnp.int32).at[0].set(256)
+        left = fp.weight256(first, w, mask)
+    else:
+        w_minor = planes.shape[-1]
+        g = planes.reshape(planes.shape[:-2] + (n_out, r, w_minor))
+        mids = jnp.sum(g[..., 1:, :], axis=-2)
+        if last_short:
+            mids = mids.at[..., -1, :].add(-g[..., -1, r - 1, :])
+        first = g[..., 0, :]
+        w = jnp.full((n_out, 1), 255, dtype=jnp.int32).at[0].set(256)
+        left = fp.weight256(first, w, mask)
+
+    acc = left + mids
+    out_mask = 0xFF if storage == StorageType.S64 else 0xFFFF
+    return fp.mul_shift_round24(acc, jnp.int32(ax.span_mul)) & out_mask
+
+
 def _box_h(planes, ax, mask, storage):
+    if _box_uniform_applicable(ax):
+        return _box_uniform(planes, ax, mask, storage, axis=-1)
     arrs = _box_h_arrays(ax)
     left = fp.weight256(
         jnp.take(planes, jnp.asarray(arrs["left_idx"]), axis=-1),
@@ -245,6 +332,8 @@ def _box_h(planes, ax, mask, storage):
 
 
 def _box_v(planes, ax, mask, storage):
+    if _box_uniform_applicable(ax):
+        return _box_uniform(planes, ax, mask, storage, axis=-2)
     arrs = _box_v_arrays(ax)
     bshape = (1,) * (planes.ndim - 2) + (-1, 1)
     first = fp.weight256(
