@@ -1,0 +1,82 @@
+#!/usr/bin/env python
+"""Headline benchmark: batched RGBA 4096^2 -> 256^2 box downscale, one chip.
+
+Prints ONE JSON line:
+  {"metric": ..., "value": N, "unit": "Mpix/s/chip", "vs_baseline": N}
+
+vs_baseline is measured value / 5000 (the BASELINE.json north-star of
+5 Gpix/s/chip).  The measured output is verified bit-exact against the
+numpy reference backend (itself oracle-exact) before timing; a mismatch
+reports value 0 rather than a fast-but-wrong number.
+
+Timing methodology: the axon remote platform's block_until_ready is not a
+reliable completion barrier, so iterations are serialized through a data
+dependency (each step folds a scalar of its output into the next step's
+input) and the chain is forced with a host fetch; per-iteration time is the
+slope between a short and a long chain, which cancels dispatch and fetch
+overheads.  (Reference methodology analogue: min-time pps, test.c:219-340.)
+"""
+
+import json
+import sys
+import time
+
+import numpy as np
+
+
+def main() -> int:
+    import jax
+    import jax.numpy as jnp
+
+    from smolscale_tpu.backends import numpy_ref, xla
+    from smolscale_tpu.plan import ScalePlan
+
+    B = 8
+    W = H = 4096
+    plan = ScalePlan(W, H, 256, 256, 0, 0, False)
+    rng = np.random.default_rng(0)
+    imgs = rng.integers(0, 256, (B, H, W, 4), dtype=np.uint8)
+
+    # correctness gate
+    got = xla.scale(plan, imgs[0])
+    want = numpy_ref.scale(plan, imgs[0])
+    exact = bool(np.array_equal(got, want))
+
+    x = jax.device_put(jnp.asarray(imgs))
+    _ = np.asarray(x[0, 0, 0])
+
+    @jax.jit
+    def step(v, seed):
+        return xla.scale_fn(plan, v ^ seed)[0, 0, 0, 0]
+
+    def run(k):
+        t0 = time.time()
+        cur = jnp.uint8(3)
+        for _ in range(k):
+            cur = step(x, cur)
+        np.asarray(cur)
+        return time.time() - t0
+
+    run(1)  # compile + warm
+    n_short, n_long = 5, 30
+    t_short = run(n_short)
+    t_long = run(n_long)
+    per = (t_long - t_short) / (n_long - n_short)
+    mpix_s = B * W * H / 1e6 / per
+
+    value = round(mpix_s if exact else 0.0, 1)
+    print(
+        json.dumps(
+            {
+                "metric": "Mpix/s/chip, batched RGBA 4096^2->256^2 box downscale, bit-exact vs C ref",
+                "value": value,
+                "unit": "Mpix/s",
+                "vs_baseline": round(value / 5000.0, 3),
+            }
+        )
+    )
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -386,6 +386,164 @@ def _vfilter(plan: ScalePlan, planes):
     return _box_v(planes, ay, mask, plan.storage)
 
 
+# -- windowed row ranges (smol_scale_batch analogue / row sharding) -----------
+#
+# The reference's parallel contract (smolscale.h:70-74; smol-mt harness
+# test.c:839-883): output-row ranges are independent work units; each worker
+# re-scales the input rows its range depends on rather than communicating.
+# Here a "shard" computes output rows [shard_id*n_rows, +n_rows) from a
+# statically-sized input-row window selected by dynamic slice; all per-shard
+# filter tables are stacked into (n_shards, ...) constants indexed by the
+# traced shard id, so one compiled program serves every shard.
+
+class RowShardTables:
+    """Static per-shard tables for windowed vertical filtering."""
+
+    def __init__(self, plan: ScalePlan, n_shards: int):
+        ay = plan.y
+        self.plan = plan
+        self.n_shards = n_shards
+        self.n_rows = -(-plan.height_out // n_shards)  # ceil
+        n = self.n_rows
+
+        def v_window(first, count):
+            """Input row range [start, stop) for output rows [first, first+count)."""
+            last = min(first + count, plan.height_out)
+            if ay.filter == FilterType.COPY:
+                return first, last
+            if ay.filter == FilterType.ONE:
+                return 0, 1
+            if ay.filter.is_bilinear:
+                k = ay.halvings
+                b0, b1 = first << k, last << k
+                return int(ay.offsets[b0]), int(ay.offsets[b1 - 1]) + 2
+            return int(ay.offsets[first]), min(int(ay.offsets[last]) + 1, ay.dim_in)
+
+        starts, stops = [], []
+        for s in range(n_shards):
+            first = min(s * n, plan.height_out - 1)
+            a, b = v_window(first, n)
+            starts.append(a)
+            stops.append(b)
+        self.window_h = max(b - a for a, b in zip(starts, stops))
+        self.in_start = np.asarray(starts, dtype=np.int32)
+        # padded input height so every dynamic slice is in bounds
+        self.pad_h = max(plan.height_in, max(starts) + self.window_h)
+
+        def clamp_row(j):
+            return min(j, plan.height_out - 1)
+
+        if ay.filter.is_bilinear:
+            k = ay.halvings
+            off = np.zeros((n_shards, n << k), dtype=np.int32)
+            fac = np.zeros((n_shards, n << k), dtype=np.int32)
+            for s in range(n_shards):
+                for j in range(n << k):
+                    b = min((s * n << k) + j, (plan.height_out << k) - 1)
+                    off[s, j] = int(ay.offsets[b]) - starts[s]
+                    fac[s, j] = int(ay.factors[b])
+            self.off, self.fac = off, fac
+        elif ay.filter == FilterType.BOX:
+            fi = np.zeros((n_shards, n), dtype=np.int32)
+            li = np.zeros((n_shards, n), dtype=np.int32)
+            w1 = np.zeros((n_shards, n), dtype=np.int32)
+            w2 = np.zeros((n_shards, n), dtype=np.int32)
+            ms = np.zeros((n_shards, n), dtype=np.int32)
+            ml = np.zeros((n_shards, n), dtype=np.int32)
+            for s in range(n_shards):
+                for j in range(n):
+                    i = clamp_row(s * n + j)
+                    y0, y1 = int(ay.offsets[i]), int(ay.offsets[i + 1])
+                    fi[s, j] = y0 - starts[s]
+                    li[s, j] = min(y1, ay.dim_in - 1) - starts[s]
+                    w1[s, j] = 256 if i == 0 else 255 - int(ay.factors[i - 1])
+                    w2[s, j] = int(ay.factors[i])
+                    ms[s, j] = y0 + 1 - starts[s]
+                    ml[s, j] = max(y1 - y0 - 1, 0)
+            self.first_idx, self.last_idx = fi, li
+            self.w1, self.w2, self.mid_start, self.mid_len = w1, w2, ms, ml
+        elif ay.filter == FilterType.COPY:
+            rows = np.zeros((n_shards, n), dtype=np.int32)
+            for s in range(n_shards):
+                for j in range(n):
+                    rows[s, j] = clamp_row(s * n + j) - starts[s]
+            self.rows = rows
+
+
+def _vfilter_windowed(plan: ScalePlan, tables: RowShardTables, planes, shard_id):
+    """Vertical filter over a window, using per-shard traced tables."""
+    ay = plan.y
+    mask = plan.working_mask
+    if ay.filter == FilterType.ONE:
+        reps = [1] * planes.ndim
+        reps[-2] = tables.n_rows
+        return jnp.tile(planes[..., :1, :], reps)
+    if ay.filter == FilterType.COPY:
+        rows = jnp.take(jnp.asarray(tables.rows), shard_id, axis=0)
+        return jnp.take(planes, rows, axis=-2)
+    if ay.filter.is_bilinear:
+        off = jnp.take(jnp.asarray(tables.off), shard_id, axis=0)
+        fac = jnp.take(jnp.asarray(tables.fac), shard_id, axis=0)
+        p = jnp.take(planes, off, axis=-2)
+        q = jnp.take(planes, off + 1, axis=-2)
+        samples = fp.lerp256(p, q, fac[:, None], mask)
+        k = ay.halvings
+        if k == 0:
+            return samples
+        shape = list(samples.shape)
+        shape[-2:] = [tables.n_rows, 1 << k, samples.shape[-1]]
+        return (jnp.sum(samples.reshape(shape), axis=-2) >> k) & mask
+    # BOX
+    t = tables
+    sid = shard_id
+    first = fp.weight256(
+        jnp.take(planes, jnp.take(jnp.asarray(t.first_idx), sid, axis=0), axis=-2),
+        jnp.take(jnp.asarray(t.w1), sid, axis=0)[:, None],
+        mask,
+    )
+    last_rows = jnp.take(planes, jnp.take(jnp.asarray(t.last_idx), sid, axis=0), axis=-2)
+    w2 = jnp.take(jnp.asarray(t.w2), sid, axis=0)[:, None]
+    if plan.storage == StorageType.S64:
+        last = fp.weight256(last_rows, w2, mask)
+    else:
+        last = jnp.where(w2 > 0, fp.weight256(last_rows, jnp.maximum(w2 - 1, 0), mask), 0)
+    mids = fp.segsum_cumsum(
+        planes,
+        jnp.take(jnp.asarray(t.mid_start), sid, axis=0),
+        jnp.take(jnp.asarray(t.mid_len), sid, axis=0),
+        axis=-2,
+    )
+    acc = first + mids + last
+    out_mask = 0xFF if plan.storage == StorageType.S64 else 0xFFFF
+    return fp.mul_shift_round24(acc, jnp.int32(plan.y.span_mul)) & out_mask
+
+
+def row_shard_fn(plan: ScalePlan, tables: RowShardTables, img_padded, shard_id):
+    """Compute output rows [shard_id*n_rows, +n_rows) from a padded image.
+
+    ``img_padded`` must have height tables.pad_h (pad with anything; padded
+    rows only feed discarded or zero-weighted outputs).  Traceable in
+    shard_id -- one program serves all shards.
+    """
+    start = jnp.take(jnp.asarray(tables.in_start), shard_id)
+    window = jax.lax.dynamic_slice_in_dim(
+        img_padded, start, tables.window_h, axis=img_padded.ndim - 3
+    )
+    planes = _unpack(plan, window)
+    hrows = _hfilter(plan, planes)
+    vout = _vfilter_windowed(plan, tables, hrows, shard_id)
+    return _pack(plan, vout)
+
+
+def pad_rows(plan: ScalePlan, tables: RowShardTables, img):
+    extra = tables.pad_h - plan.height_in
+    if extra == 0:
+        return img
+    pad = [(0, 0)] * img.ndim
+    pad[img.ndim - 3] = (0, extra)
+    return jnp.pad(img, pad)
+
+
 # -- entry points -------------------------------------------------------------
 
 def scale_fn(plan: ScalePlan, img):
