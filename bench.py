@@ -24,6 +24,12 @@ import time
 import numpy as np
 
 
+def _timed(f, x) -> float:
+    t0 = time.time()
+    np.asarray(f(x))
+    return time.time() - t0
+
+
 def main() -> int:
     import jax
     import jax.numpy as jnp
@@ -45,22 +51,22 @@ def main() -> int:
     x = jax.device_put(jnp.asarray(imgs))
     _ = np.asarray(x[0, 0, 0])
 
-    @jax.jit
-    def step(v, seed):
-        return xla.scale_fn(plan, v ^ seed)[0, 0, 0, 0]
+    def make(k):
+        @jax.jit
+        def f(v):
+            def body(i, carry):
+                return xla.scale_fn(plan, v ^ carry)[0, 0, 0, 0]
 
-    def run(k):
-        t0 = time.time()
-        cur = jnp.uint8(3)
-        for _ in range(k):
-            cur = step(x, cur)
-        np.asarray(cur)
-        return time.time() - t0
+            return jax.lax.fori_loop(0, k, body, jnp.uint8(0))
 
-    run(1)  # compile + warm
-    n_short, n_long = 5, 30
-    t_short = run(n_short)
-    t_long = run(n_long)
+        return f
+
+    n_short, n_long = 2, 22
+    f_short, f_long = make(n_short), make(n_long)
+    np.asarray(f_short(x))  # compile + warm
+    np.asarray(f_long(x))
+    t_short = min(_timed(f_short, x) for _ in range(3))
+    t_long = min(_timed(f_long, x) for _ in range(3))
     per = (t_long - t_short) / (n_long - n_short)
     mpix_s = B * W * H / 1e6 / per
 

@@ -230,13 +230,90 @@ def _box_v_arrays(ax):
     )
 
 
+# -- MXU-backed exact gathers / segment sums ----------------------------------
+#
+# TPU dislikes real gathers; any 0/1 matrix applied to integer planes is an
+# *exact* computation on the MXU: values <= 255 are exact in bfloat16 and
+# span sums <= 2**24 are exact in f32.  Wider (128bpp) values are split into
+# 8-bit limbs, three exact matmuls, recombined in int32 (per-limb sums stay
+# <= 255 * 8191 < 2**21; the 8191:1 sRGB cutoff bounds span lengths).
+# This replaces the reference's AVX2 hand-gathers (avx2.c:1424-1448) with
+# the unit the hardware actually likes.
+
+_FORCE_MXU = None  # None = auto (TPU only); tests set True/False
+
+
+def _use_mxu() -> bool:
+    if _FORCE_MXU is not None:
+        return _FORCE_MXU
+    try:
+        return jax.default_backend() == "tpu"
+    except RuntimeError:  # pragma: no cover
+        return False
+
+
+def _apply_01_matrix(planes, mat_bf16, axis, wide):
+    """Exact planes @ M along ``axis`` for a 0/1 matrix M (numpy bf16)."""
+    m = jnp.asarray(mat_bf16)
+
+    def mm(x_i32):
+        xb = x_i32.astype(jnp.bfloat16)
+        if axis == -1:
+            y = jax.lax.dot_general(
+                xb, m, (((xb.ndim - 1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+        else:  # axis == -2: contract the row axis, keep minor axis minor
+            y = jnp.einsum(
+                "...hw,hk->...kw", xb, m, preferred_element_type=jnp.float32
+            )
+        return y.astype(jnp.int32)
+
+    if not wide:
+        return mm(planes)
+    lo = mm(planes & 0xFF)
+    mid = mm((planes >> 8) & 0xFF)
+    hi = mm(planes >> 16)
+    return (
+        lo.astype(jnp.uint32)
+        + (mid.astype(jnp.uint32) << 8)
+        + (hi.astype(jnp.uint32) << 16)
+    ).astype(jnp.int32)
+
+
+def _onehot_cols(idx, depth):
+    m = np.zeros((depth, len(idx)), dtype=np.float32)
+    m[np.asarray(idx), np.arange(len(idx))] = 1.0
+    return m.astype(jnp.bfloat16)
+
+
+def _segment_cols(starts, lengths, depth):
+    m = np.zeros((depth, len(starts)), dtype=np.float32)
+    for j, (s, l) in enumerate(zip(np.asarray(starts), np.asarray(lengths))):
+        m[s : s + l, j] = 1.0
+    return m.astype(jnp.bfloat16)
+
+
 # -- filters ------------------------------------------------------------------
 
 def _bilinear_axis(planes, ax, mask, axis):
     off = jnp.asarray(ax.offsets, dtype=jnp.int32)
     f = jnp.asarray(ax.factors, dtype=jnp.int32)
-    p = jnp.take(planes, off, axis=axis)
-    q = jnp.take(planes, off + 1, axis=axis)
+    if _use_mxu():
+        wide = mask != 0xFF
+        both = np.concatenate(
+            [_onehot_cols(ax.offsets, ax.dim_in), _onehot_cols(ax.offsets + 1, ax.dim_in)],
+            axis=1,
+        )
+        pq = _apply_01_matrix(planes, both, axis, wide)
+        n_b = ax.dim_bilin
+        if axis == -1:
+            p, q = pq[..., :n_b], pq[..., n_b:]
+        else:
+            p, q = pq[..., :n_b, :], pq[..., n_b:, :]
+    else:
+        p = jnp.take(planes, off, axis=axis)
+        q = jnp.take(planes, off + 1, axis=axis)
     fshape = [1] * planes.ndim
     fshape[axis] = ax.dim_bilin
     samples = fp.lerp256(p, q, f.reshape(fshape), mask)
@@ -313,20 +390,30 @@ def _box_h(planes, ax, mask, storage):
     if _box_uniform_applicable(ax):
         return _box_uniform(planes, ax, mask, storage, axis=-1)
     arrs = _box_h_arrays(ax)
-    left = fp.weight256(
-        jnp.take(planes, jnp.asarray(arrs["left_idx"]), axis=-1),
-        jnp.asarray(arrs["left_w"]).reshape((1,) * (planes.ndim - 1) + (-1,)),
-        mask,
-    )
-    right = fp.weight256(
-        jnp.take(planes, jnp.asarray(arrs["right_idx"]), axis=-1),
-        jnp.asarray(arrs["fracs"]).reshape((1,) * (planes.ndim - 1) + (-1,)),
-        mask,
-    )
-    mids = fp.segsum_cumsum(
-        planes, jnp.asarray(arrs["mid_start"]), jnp.asarray(arrs["mid_len"]), axis=-1
-    )
-    acc = left + mids + right
+    n_out = ax.dim_out
+    lw = jnp.asarray(arrs["left_w"]).reshape((1,) * (planes.ndim - 1) + (-1,))
+    rf = jnp.asarray(arrs["fracs"]).reshape((1,) * (planes.ndim - 1) + (-1,))
+    if _use_mxu():
+        combined = np.concatenate(
+            [
+                _segment_cols(arrs["mid_start"], arrs["mid_len"], ax.dim_in),
+                _onehot_cols(arrs["left_idx"], ax.dim_in),
+                _onehot_cols(arrs["right_idx"], ax.dim_in),
+            ],
+            axis=1,
+        )
+        y = _apply_01_matrix(planes, combined, -1, mask != 0xFF)
+        mids = y[..., :n_out]
+        left_v = y[..., n_out : 2 * n_out]
+        right_v = y[..., 2 * n_out :]
+    else:
+        left_v = jnp.take(planes, jnp.asarray(arrs["left_idx"]), axis=-1)
+        right_v = jnp.take(planes, jnp.asarray(arrs["right_idx"]), axis=-1)
+        mids = fp.segsum_cumsum(
+            planes, jnp.asarray(arrs["mid_start"]), jnp.asarray(arrs["mid_len"]),
+            axis=-1,
+        )
+    acc = fp.weight256(left_v, lw, mask) + mids + fp.weight256(right_v, rf, mask)
     out_mask = 0xFF if storage == StorageType.S64 else 0xFFFF
     return fp.mul_shift_round24(acc, jnp.int32(ax.span_mul)) & out_mask
 
@@ -335,13 +422,29 @@ def _box_v(planes, ax, mask, storage):
     if _box_uniform_applicable(ax):
         return _box_uniform(planes, ax, mask, storage, axis=-2)
     arrs = _box_v_arrays(ax)
+    n_out = ax.dim_out
     bshape = (1,) * (planes.ndim - 2) + (-1, 1)
-    first = fp.weight256(
-        jnp.take(planes, jnp.asarray(arrs["first_idx"]), axis=-2),
-        jnp.asarray(arrs["w1"]).reshape(bshape),
-        mask,
-    )
-    last_rows = jnp.take(planes, jnp.asarray(arrs["last_idx"]), axis=-2)
+    if _use_mxu():
+        combined = np.concatenate(
+            [
+                _segment_cols(arrs["mid_start"], arrs["mid_len"], ax.dim_in),
+                _onehot_cols(arrs["first_idx"], ax.dim_in),
+                _onehot_cols(arrs["last_idx"], ax.dim_in),
+            ],
+            axis=1,
+        )
+        y = _apply_01_matrix(planes, combined, -2, mask != 0xFF)
+        mids = y[..., :n_out, :]
+        first_rows = y[..., n_out : 2 * n_out, :]
+        last_rows = y[..., 2 * n_out :, :]
+    else:
+        first_rows = jnp.take(planes, jnp.asarray(arrs["first_idx"]), axis=-2)
+        last_rows = jnp.take(planes, jnp.asarray(arrs["last_idx"]), axis=-2)
+        mids = fp.segsum_cumsum(
+            planes, jnp.asarray(arrs["mid_start"]), jnp.asarray(arrs["mid_len"]),
+            axis=-2,
+        )
+    first = fp.weight256(first_rows, jnp.asarray(arrs["w1"]).reshape(bshape), mask)
     w2 = jnp.asarray(arrs["w2"]).reshape(bshape)
     if storage == StorageType.S64:
         # q = (r * w2) >> 8 even when w2 == 0 (generic.c:2042-2068).
@@ -350,9 +453,6 @@ def _box_v(planes, ax, mask, storage):
         # 128bpp weights the last row by w2-1 and skips it when w2 == 0
         # (generic.c:2240-2253).
         last = jnp.where(w2 > 0, fp.weight256(last_rows, jnp.maximum(w2 - 1, 0), mask), 0)
-    mids = fp.segsum_cumsum(
-        planes, jnp.asarray(arrs["mid_start"]), jnp.asarray(arrs["mid_len"]), axis=-2
-    )
     acc = first + mids + last
     out_mask = 0xFF if storage == StorageType.S64 else 0xFFFF
     return fp.mul_shift_round24(acc, jnp.int32(ax.span_mul)) & out_mask
@@ -546,8 +646,24 @@ def pad_rows(plan: ScalePlan, tables: RowShardTables, img):
 
 # -- entry points -------------------------------------------------------------
 
+_FORCE_PALLAS = None  # None = auto (TPU + applicable), False = never
+
+
 def scale_fn(plan: ScalePlan, img):
-    """Traceable scale: (..., H, W, nb_in) u8 -> (..., h, w, nb_out) u8."""
+    """Traceable scale: (..., H, W, nb_in) u8 -> (..., h, w, nb_out) u8.
+
+    Auto-dispatches to the fused Pallas kernel on TPU when the plan
+    qualifies (ops.pallas_box.applicable); otherwise the XLA op graph.
+    This is the analogue of the reference's runtime backend dispatch
+    (get_implementations, smolscale.c:724-814).
+    """
+    from ..ops import pallas_box
+
+    use_pallas = _FORCE_PALLAS
+    if use_pallas is None:
+        use_pallas = _use_mxu() and img.ndim in (3, 4)
+    if use_pallas and pallas_box.applicable(plan):
+        return pallas_box.scale_fn(plan, img)
     planes = _unpack(plan, img)
     hrows = _hfilter(plan, planes)
     vout = _vfilter(plan, hrows)

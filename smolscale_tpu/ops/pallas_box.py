@@ -1,0 +1,191 @@
+"""Fused Pallas TPU kernel for integer-ratio box downscaling (the headline
+thumbnail path: e.g. RGBA 4096^2 -> 256^2).
+
+One kernel fuses the whole per-tile pipeline in VMEM -- unpack (u32
+shift/mask), horizontal box, vertical box, pack -- so HBM traffic is just
+the u8 input once plus the tiny output, where the XLA path materializes
+~16 bytes of int32 intermediates per input pixel.
+
+Key reformulations (all bit-exact to the generic C backend):
+
+* Horizontal whole-span sums ride the MXU: per channel,
+  ``Y = x_bf16 @ [S | G]`` where S is the 0/1 span-sum matrix (col j sums
+  input columns [j*R, (j+1)*R), minus the final element the reference's
+  precalc clamp drops, generic.c:105-110) and G the one-hot boundary
+  gather.  Inputs <= 255 are exact in bf16; span sums <= 255*R < 2**24 are
+  exact in f32.
+* The reference weights each span's first pixel by 255/256 with truncation
+  (the carry (r*255 - r*0)>>8 of generic.c:1462).  For 8-bit x,
+  (x*255)>>8 == x - [x > 0], so the span accumulator is simply
+  full_sum - [boundary > 0] (except span 0, weighted 256/256 = identity).
+* The vertical pass applies the same identity on already-normalized 8-bit
+  rows with a sublane reshape-reduce; the final input row of the image is
+  dropped like the reference does.
+* Box normalization (acc*span_mul + 2**23) >> 24 uses the proven int32
+  split (ops.fixedpoint.mul_shift_round24).
+
+Applicability: both axes integer-ratio box (uniform strides, zero fracs),
+64bpp storage, 4-byte pixel formats, PREMUL8-in (premultiplied input) --
+i.e. premultiplied 32bpp to premultiplied 32bpp.  Everything else falls
+back to the XLA path.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ..formats import AlphaType, StorageType
+from ..ops import fixedpoint as fp
+from ..plan import FilterType, ScalePlan
+
+
+def applicable(plan: ScalePlan) -> bool:
+    from ..backends.xla import _box_uniform_applicable  # avoid cycle
+
+    return (
+        plan.storage == StorageType.S64
+        and plan.meta_in.n_bytes == 4
+        and plan.meta_out.n_bytes == 4
+        and plan.meta_in.alpha == AlphaType.PREMUL8
+        and plan.meta_out.alpha == AlphaType.PREMUL8
+        and plan.x.filter == FilterType.BOX
+        and plan.y.filter == FilterType.BOX
+        and _box_uniform_applicable(plan.x)
+        and _box_uniform_applicable(plan.y)
+        # VMEM budget: input tile + matmul const
+        and plan.width_in % 128 == 0
+        and plan.width_in * 4 * 2 + plan.width_in * (plan.width_out + 256) * 2
+        < 10 * 2**20
+    )
+
+
+def _span_matrices(ax):
+    """[S | G]: span-sum and boundary-gather matrix, (W, 2*w_out) bf16."""
+    w_in, w_out = ax.dim_in, ax.dim_out
+    r = w_in // w_out
+    m = np.zeros((w_in, 2 * w_out), dtype=np.float32)
+    for j in range(w_out):
+        lo, hi = j * r, (j + 1) * r
+        if j == w_out - 1:
+            hi -= 1  # the reference drops the final input element
+        m[lo:hi, j] = 1.0
+        m[j * r, w_out + j] = 1.0  # boundary gather
+    # keep as numpy: jnp constants created inside one trace must not be
+    # cached and reused in another (tracer leak)
+    return m.astype(jnp.bfloat16)
+
+
+def _make_kernel(plan: ScalePlan, rows_t: int):
+    """Kernel over one (batch, row-group) tile.
+
+    Block shapes: x_ref (1, rows_t*Ry, W) u32; m_ref (W, 2*w_out) bf16;
+    o_ref (1, rows_t, w_out) u32.
+    """
+    w_in, w_out = plan.x.dim_in, plan.x.dim_out
+    h_out = plan.y.dim_out
+    rx = w_in // w_out
+    ry = plan.y.dim_in // plan.y.dim_out
+    in_layout = plan.meta_in.layout
+    out_layout = plan.meta_out.layout
+    span_mul_x = int(plan.x.span_mul)
+    span_mul_y = int(plan.y.span_mul)
+
+    def kernel(x_ref, m_ref, o_ref):
+        g = pl.program_id(1)
+        px = x_ref[0]  # (rows_t*ry, w_in) u32
+        m = m_ref[...]
+        # output-row index within the whole image, for edge-weight selection
+        row_ids = g * rows_t + jax.lax.broadcasted_iota(
+            jnp.int32, (rows_t, w_out), 0
+        )
+        col_ids = jax.lax.broadcasted_iota(jnp.int32, (rows_t * ry, w_out), 1)
+
+        out_px = jnp.zeros((rows_t, w_out), dtype=jnp.uint32)
+        for byte_pos in range(4):
+            ch_vals = ((px >> (8 * byte_pos)) & jnp.uint32(0xFF)).astype(jnp.int32)
+            xb = ch_vals.astype(jnp.bfloat16)
+            y = jnp.dot(xb, m, preferred_element_type=jnp.float32)
+            fs = y[:, :w_out].astype(jnp.int32)
+            boundary = y[:, w_out:].astype(jnp.int32)
+            # left-edge weight: identity for span 0, x - [x>0] otherwise
+            acc = fs - jnp.where(
+                (col_ids > 0) & (boundary > 0), jnp.int32(1), jnp.int32(0)
+            )
+            hrow = fp.mul_shift_round24(acc, jnp.int32(span_mul_x)) & 0xFF
+            # vertical: groups of ry rows
+            gv = hrow.reshape(rows_t, ry, w_out)
+            fsv = jnp.sum(gv, axis=1)
+            first = gv[:, 0, :]
+            accv = fsv - jnp.where(
+                (row_ids > 0) & (first > 0), jnp.int32(1), jnp.int32(0)
+            )
+            # drop the final input row of the image (reference precalc clamp)
+            accv = accv - jnp.where(row_ids == h_out - 1, gv[:, ry - 1, :], 0)
+            out_ch = fp.mul_shift_round24(accv, jnp.int32(span_mul_y)) & 0xFF
+            # place channel into its output byte
+            out_byte = out_layout.index(in_layout[byte_pos])
+            out_px = out_px | (out_ch.astype(jnp.uint32) << (8 * out_byte))
+        o_ref[0] = out_px
+
+    return kernel
+
+
+@functools.cache
+def _built(plan: ScalePlan, batch: int):
+    h_out = plan.y.dim_out
+    ry = plan.y.dim_in // plan.y.dim_out
+    # rows per grid step: largest divisor of h_out with <= ~2MB input tile
+    budget_rows = max(1, (2 * 2**20) // (plan.width_in * 4 * ry))
+    rows_t = 1
+    for t in range(min(budget_rows, h_out), 0, -1):
+        if h_out % t == 0:
+            rows_t = t
+            break
+    m = _span_matrices(plan.x)
+    kernel = _make_kernel(plan, rows_t)
+    grid = (batch, h_out // rows_t)
+
+    call = pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct((batch, h_out, plan.width_out), jnp.uint32),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec(
+                (1, rows_t * ry, plan.width_in),
+                lambda b, g: (b, g, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(
+                (plan.width_in, 2 * plan.width_out),
+                lambda b, g: (0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+        ],
+        out_specs=pl.BlockSpec(
+            (1, rows_t, plan.width_out), lambda b, g: (b, g, 0),
+            memory_space=pltpu.VMEM,
+        ),
+    )
+
+    def fn(imgs_u8):
+        # (B, H, W, 4) u8 -> (B, H, W) u32 -> kernel -> (B, h, w, 4) u8
+        px = jax.lax.bitcast_convert_type(imgs_u8, jnp.uint32)
+        out = call(px, jnp.asarray(m))
+        return jax.lax.bitcast_convert_type(out, jnp.uint8)
+
+    return fn
+
+
+def scale_fn(plan: ScalePlan, imgs):
+    """(B, H, W, 4) u8 -> (B, h, w, 4) u8.  Caller checks applicable()."""
+    squeeze = imgs.ndim == 3
+    if squeeze:
+        imgs = imgs[None]
+    out = _built(plan, imgs.shape[0])(imgs)
+    return out[0] if squeeze else out

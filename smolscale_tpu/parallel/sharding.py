@@ -50,17 +50,17 @@ def make_batched_scale(plan: ScalePlan, mesh: Mesh, axis: str = "dp"):
     """jit-compiled batched scale with the image batch sharded over ``axis``.
 
     Input (B, H, W, nb_in) u8, B divisible by the axis size; output
-    (B, h, w, nb_out) sharded the same way.  Pure data parallelism: XLA
-    partitions every op trivially; zero collectives on the hot path.
+    (B, h, w, nb_out) sharded the same way.  Pure data parallelism with
+    zero collectives; shard_map (rather than GSPMD annotations) so the
+    per-device body can be the fused Pallas kernel, which XLA's auto
+    partitioner cannot split.
     """
-    in_sharding = NamedSharding(mesh, P(axis))
-    out_sharding = NamedSharding(mesh, P(axis))
+    from jax.experimental.shard_map import shard_map
 
-    @functools.partial(jax.jit, in_shardings=in_sharding, out_shardings=out_sharding)
-    def fn(imgs):
-        return xla.scale_fn(plan, imgs)
-
-    return fn
+    local = functools.partial(xla.scale_fn, plan)
+    fn = shard_map(local, mesh=mesh, in_specs=P(axis), out_specs=P(axis),
+                   check_rep=False)
+    return jax.jit(fn)
 
 
 def make_row_sharded_scale(plan: ScalePlan, mesh: Mesh, axis: str = "rows"):

@@ -1,0 +1,86 @@
+"""Thumbnail-farm API: batched multi-resolution pyramids (BASELINE config 5).
+
+The reference's unit of work is one image per context; high-volume users
+drive it from a thread pool.  The TPU-native equivalent batches thousands of
+same-shape images into one program launch and optionally shards the batch
+axis across a device mesh (pure data parallelism, no collectives).
+
+Mixed-format fleets are handled by grouping: each (shape, format) group
+compiles once (plans are hashable); jit caches do the rest.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Sequence
+
+import jax
+import numpy as np
+
+from .formats import PixelType
+from .plan import ScalePlan
+
+
+@functools.cache
+def _pyramid_jit(plans: tuple, axis: str | None, mesh_key=None, mesh=None):
+    from .backends import xla
+
+    def fn(imgs):
+        return tuple(xla.scale_fn(p, imgs) for p in plans)
+
+    if mesh is not None and axis is not None:
+        from jax.experimental.shard_map import shard_map
+        from jax.sharding import PartitionSpec as P
+
+        fn = shard_map(
+            fn, mesh=mesh, in_specs=P(axis),
+            out_specs=tuple(P(axis) for _ in plans), check_rep=False,
+        )
+    return jax.jit(fn)
+
+
+def make_pyramid_fn(
+    width_in: int,
+    height_in: int,
+    pixel_type_in: PixelType,
+    sizes: Sequence[int] = (64, 128, 256),
+    pixel_type_out: PixelType | None = None,
+    with_srgb: bool = False,
+    mesh=None,
+    axis: str = "dp",
+):
+    """Build a jitted fn: (B, H, W, nb) u8 -> tuple of (B, s, s, nb_out) u8.
+
+    Each pyramid level is scaled directly from the source (matching what a
+    reference user gets from repeated smol_scale_simple calls -- cascading
+    levels would change the numerics).  With ``mesh``, the batch is sharded
+    over ``axis``.
+    """
+    if pixel_type_out is None:
+        pixel_type_out = pixel_type_in
+    plans = tuple(
+        ScalePlan(width_in, height_in, s, s, pixel_type_in, pixel_type_out, with_srgb)
+        for s in sizes
+    )
+    mesh_key = None if mesh is None else (tuple(mesh.shape.items()), tuple(np.ravel(mesh.devices).tolist().__repr__()))
+    return _pyramid_jit(plans, axis if mesh is not None else None, mesh_key, mesh)
+
+
+def scale_pyramid_mixed(images, pixel_types, sizes=(64, 128, 256), **kw):
+    """Convenience for mixed-format, mixed-shape fleets: groups images by
+    (shape, pixel_type), runs one batched program per group, and returns
+    per-image tuples in input order."""
+    groups: dict = {}
+    for i, (img, pt) in enumerate(zip(images, pixel_types)):
+        key = (img.shape, int(pt))
+        groups.setdefault(key, []).append(i)
+    results = [None] * len(images)
+    for (shape, pt), idxs in groups.items():
+        h, w = shape[:2]
+        fn = make_pyramid_fn(w, h, PixelType(pt), sizes=sizes, **kw)
+        batch = np.stack([images[i] for i in idxs])
+        outs = fn(batch)
+        outs = [np.asarray(o) for o in outs]
+        for k, i in enumerate(idxs):
+            results[i] = tuple(o[k] for o in outs)
+    return results

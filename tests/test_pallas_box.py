@@ -1,0 +1,56 @@
+"""Pallas fused box kernel: bit-exactness in interpreter mode (CPU).
+
+Real-TPU exactness and throughput are exercised by bench.py; these tests
+pin the kernel's numerics against the reference backend.
+"""
+
+from unittest import mock
+
+import numpy as np
+import pytest
+from jax.experimental import pallas as pl
+
+from smolscale_tpu.backends import numpy_ref
+from smolscale_tpu.ops import pallas_box
+from smolscale_tpu.plan import ScalePlan
+
+RNG = np.random.default_rng(31337)
+
+
+def _interp_call(*a, **k):
+    return _ORIG(*a, **k, interpret=True)
+
+
+_ORIG = pl.pallas_call
+
+
+@pytest.mark.parametrize(
+    "wi,hi,wo,ho,ti,to",
+    [
+        (256, 128, 16, 8, 0, 0),    # 16:1 both axes
+        (384, 256, 3, 2, 0, 1),     # deep ratio, format reorder
+        (512, 512, 4, 4, 2, 3),     # ARGB->ABGR
+        (1280, 640, 128, 64, 1, 1), # 10:1
+    ],
+)
+def test_pallas_box_exact(wi, hi, wo, ho, ti, to):
+    plan = ScalePlan(wi, hi, wo, ho, ti, to, False)
+    assert pallas_box.applicable(plan)
+    pallas_box._built.cache_clear()
+    img = RNG.integers(0, 256, (2, hi, wi, 4), dtype=np.uint8)
+    with mock.patch.object(pl, "pallas_call", _interp_call):
+        got = np.asarray(pallas_box.scale_fn(plan, img))
+    want = np.stack([numpy_ref.scale(plan, img[i]) for i in range(2)])
+    assert np.array_equal(want, got)
+    pallas_box._built.cache_clear()
+
+
+def test_applicability_gate():
+    # unassociated alpha input -> not applicable (needs premul math in unpack)
+    assert not pallas_box.applicable(ScalePlan(256, 128, 16, 8, 4, 0, False))
+    # srgb -> 128bpp -> not applicable
+    assert not pallas_box.applicable(ScalePlan(256, 128, 16, 8, 0, 0, True))
+    # non-integer ratio -> not applicable
+    assert not pallas_box.applicable(ScalePlan(250, 128, 16, 8, 0, 0, False))
+    # bilinear -> not applicable
+    assert not pallas_box.applicable(ScalePlan(256, 128, 64, 32, 0, 0, False))
