@@ -1,0 +1,564 @@
+// Native CPU engine for smolscale-tpu: planner + row engine + threaded
+// batch executor.
+//
+// This is the framework's host-side production path (preprocessing, CPU
+// fallback, oracle-grade reference), exposing the same one-shot / row-batch
+// semantics as the TPU backends and producing byte-identical output.  It is
+// a clean-room implementation of the per-channel semantic model specified
+// in smolscale_tpu/backends/numpy_ref.py (itself validated bit-exact
+// against the upstream C library's generic backend); the architecture is
+// per-channel int32 planes with int64 accumulators -- not the upstream's
+// packed-u64 SWAR rows.
+//
+// Behavior provenance is cited against the upstream where the numeric
+// contract originates (smolscale.c / smolscale-generic.c line refs).
+//
+// Build: g++ -O3 -fPIC -shared smolscale_cpu.cpp -o libsmolscale_cpu.so
+// (tables.inc is generated from the Python LUT module by gen_tables.py).
+
+#include <cstdint>
+#include <cstring>
+#include <cstdlib>
+#include <algorithm>
+#include <thread>
+#include <vector>
+
+#include "tables.inc"
+
+namespace {
+
+enum Filter { F_COPY, F_ONE, F_BILIN, F_BOX };
+enum Storage { S64, S128 };
+enum Alpha { A_UNASSOC, A_PREMUL8, A_PREMUL16 };
+enum Gamma { G_COMPRESSED, G_LINEAR };
+
+// Byte-order channel layouts per public pixel type (0..9); channel ids:
+// 0,1,2 = colors canonical, 3 = alpha.  Mirrors smolscale_tpu.formats.
+static const int kLayout[10][4] = {
+    {0, 1, 2, 3},  // RGBA premul
+    {2, 1, 0, 3},  // BGRA premul
+    {3, 0, 1, 2},  // ARGB premul
+    {3, 2, 1, 0},  // ABGR premul
+    {0, 1, 2, 3},  // RGBA unassoc
+    {2, 1, 0, 3},  // BGRA unassoc
+    {3, 0, 1, 2},  // ARGB unassoc
+    {3, 2, 1, 0},  // ABGR unassoc
+    {0, 1, 2, -1}, // RGB8
+    {2, 1, 0, -1}, // BGR8
+};
+static inline int n_bytes_of(int t) { return t >= 8 ? 3 : 4; }
+static inline Alpha alpha_of(int t) {
+  return (t >= 4 && t < 8) ? A_UNASSOC : A_PREMUL8;
+}
+
+// ---- fixed-point primitives (contract: smolscale-generic.c:185-318) -------
+static inline int64_t premul_p8(int64_t v, int64_t a) {
+  return (((v + 1) * (a + 1) - 1) >> 8) & 0xff;
+}
+static inline int64_t unpremul_p8(int64_t v, int64_t a) {
+  return ((v * kInvDivP8[a]) >> 13) & 0xff;
+}
+static inline int64_t premul_p8l(int64_t l, int64_t a) {
+  return (((l + 1) * ((a << 3) + 1) - 1) >> 11) & 0x7ff;
+}
+static inline int64_t unpremul_p8l(int64_t v, int64_t a) {
+  return ((v * kInvDivP8L[a]) >> 10) & 0x7ff;
+}
+static inline int64_t unpremul_p16(int64_t v, int64_t a) {
+  return ((v * kInvDivP16[a]) >> 16) & 0xff;
+}
+static inline int64_t unpremul_p16l(int64_t v, int64_t a) {
+  return ((v * kInvDivP16L[a]) >> 19) & 0x7ff;
+}
+static inline int64_t lerp256(int64_t p, int64_t q, int64_t f, int64_t mask) {
+  return ((((p - q) * f) >> 8) + q) & mask;  // generic.c:1317
+}
+static inline int64_t weight256(int64_t v, int64_t w, int64_t mask) {
+  return ((v * w) >> 8) & mask;  // generic.c:1177-1192
+}
+static inline int64_t scale_span(int64_t acc, int64_t mul, Storage st) {
+  // generic.c:1231-1261
+  int64_t v = (acc * mul + (1ll << 23)) >> 24;
+  return v & (st == S64 ? 0xff : 0xffff);
+}
+
+// ---- plan ------------------------------------------------------------------
+struct AxisPlan {
+  int dim_in = 0, dim_out = 0;
+  Filter filter = F_COPY;
+  int halvings = 0, dim_bilin = 0;
+  std::vector<int32_t> off;    // bilinear: per-sample abs offset; box: span starts (dim_out+1)
+  std::vector<int32_t> fac;    // bilinear factor / box right fraction
+  std::vector<int32_t> stride; // box: whole pixels per span (relative walk)
+  uint32_t span_mul = 0;
+};
+
+struct Plan {
+  int w_in, h_in, w_out, h_out;
+  int type_in, type_out;
+  bool with_srgb;
+  AxisPlan x, y;
+  Storage storage;
+  Alpha ialpha;
+  Gamma gamma;
+  bool pack24_direct = false;
+  int nb_in, nb_out;
+  const int *lin, *lout;
+  int64_t mask() const { return storage == S64 ? 0xff : 0xffffff; }
+};
+
+// pick_filter_params contract (smolscale.c:427-478)
+static void pick_filter(int64_t dim_in, int64_t dim_out, bool srgb, AxisPlan *ap,
+                        Storage *st) {
+  *st = srgb ? S128 : S64;
+  ap->dim_in = (int)dim_in;
+  ap->dim_out = (int)dim_out;
+  ap->dim_bilin = (int)dim_out;
+  if (dim_in > dim_out * 255) {
+    ap->filter = F_BOX;
+    *st = S128;
+  } else if (dim_in > dim_out * 8) {
+    ap->filter = F_BOX;
+  } else if (dim_in == 1) {
+    ap->filter = F_ONE;
+  } else if (dim_in == dim_out) {
+    ap->filter = F_COPY;
+  } else {
+    int n = 0;
+    int64_t d = dim_out;
+    for (;;) {
+      d *= 2;
+      if (d >= dim_in) break;
+      n++;
+    }
+    ap->filter = F_BILIN;
+    ap->halvings = n;
+    ap->dim_bilin = (int)(dim_out << n);
+  }
+}
+
+// precalc contracts (smolscale-generic.c:14-135)
+static void precalc_bilinear(AxisPlan *ap) {
+  const uint64_t BIG = 1ull << 32;
+  int64_t dim_in = ap->dim_in, dim_out = ap->dim_bilin;
+  uint64_t step, frac;
+  if (dim_in > dim_out) {
+    step = (uint64_t)dim_in * BIG / (uint64_t)dim_out;
+    frac = (step - BIG) / 2;
+  } else {
+    step = (uint64_t)(dim_in - 1) * BIG / (uint64_t)(dim_out > 1 ? dim_out - 1 : 1);
+    frac = 0;
+  }
+  ap->off.resize(dim_out);
+  ap->fac.resize(dim_out);
+  int64_t j = 0;
+  while (j < dim_out) {
+    uint64_t ofs = frac / BIG;
+    if ((int64_t)ofs >= dim_in - 1) break;
+    ap->off[j] = (int32_t)ofs;
+    ap->fac[j] = (int32_t)(256 - ((frac / (BIG / 256)) % 256));
+    frac += step;
+    j++;
+  }
+  for (; j < dim_out; j++) {
+    ap->off[j] = (int32_t)(dim_in - 2);
+    ap->fac[j] = 0;
+  }
+}
+
+static void precalc_boxes(AxisPlan *ap) {
+  int64_t dim_in = ap->dim_in, dim_out = ap->dim_out;
+  uint64_t step = (uint64_t)dim_in * 65536ull / (uint64_t)dim_out;
+  uint64_t stride0 = step / 65536ull;
+  uint64_t f0 = (step / 256ull) % 256ull;
+  uint64_t a = (1ull << 24) * 255ull;
+  uint64_t b = stride0 * 255ull + (f0 * 255ull) / 256ull;
+  ap->span_mul = (uint32_t)((a + b / 2) / b);
+
+  ap->off.assign(dim_out + 1, 0);
+  ap->fac.assign(dim_out, 0);
+  ap->stride.assign(dim_out, 0);
+  uint64_t frac = 0;
+  int64_t ofs = 0, j = 0;
+  while (j < dim_out) {
+    frac += step;
+    int64_t next_ofs = (int64_t)(frac / 65536ull);
+    if (ofs >= dim_in - 1) {
+      ofs = dim_in - 1;
+      break;
+    }
+    if (next_ofs > dim_in - 1) {
+      next_ofs = dim_in - 1;
+      if (next_ofs <= ofs) break;
+    }
+    ap->off[j] = (int32_t)ofs;
+    ap->stride[j] = (int32_t)(next_ofs - ofs - 1);
+    ap->fac[j] = (int32_t)((frac / 256ull) % 256ull);
+    ofs = next_ofs;
+    j++;
+  }
+  for (; j < dim_out; j++) {
+    ap->off[j] = (int32_t)ofs;
+    ap->fac[j] = 0;
+    ap->stride[j] = 0;
+  }
+  ap->off[dim_out] = (int32_t)ofs;
+}
+
+static bool mid_colors_reversed(int type_in) {
+  const int *l = kLayout[type_in];
+  int colors[3];
+  int k = 0;
+  if (n_bytes_of(type_in) == 4) {
+    for (int i = 3; i >= 0; i--)
+      if (l[i] != 3) colors[k++] = l[i];
+  } else {
+    for (int i = 0; i < 3; i++) colors[k++] = l[i];
+  }
+  return colors[0] > colors[2];
+}
+
+}  // namespace
+
+extern "C" {
+
+struct sst_plan : public Plan {};
+
+sst_plan *sst_plan_new(int w_in, int h_in, int w_out, int h_out, int type_in,
+                       int type_out, int with_srgb) {
+  if (w_in < 1 || h_in < 1 || w_out < 1 || h_out < 1 || w_in > 65535 ||
+      h_in > 65535 || w_out > 65535 || h_out > 65535 || type_in < 0 ||
+      type_in > 9 || type_out < 0 || type_out > 9)
+    return nullptr;
+  sst_plan *p = new sst_plan();
+  p->w_in = w_in; p->h_in = h_in; p->w_out = w_out; p->h_out = h_out;
+  p->type_in = type_in; p->type_out = type_out; p->with_srgb = with_srgb != 0;
+  p->nb_in = n_bytes_of(type_in);
+  p->nb_out = n_bytes_of(type_out);
+  p->lin = kLayout[type_in];
+  p->lout = kLayout[type_out];
+
+  Storage sx, sy;
+  pick_filter(w_in, w_out, p->with_srgb, &p->x, &sx);
+  pick_filter(h_in, h_out, p->with_srgb, &p->y, &sy);
+  p->storage = (sx == S128 || sy == S128) ? S128 : S64;
+
+  p->ialpha = A_PREMUL8;
+  if (alpha_of(type_in) == A_UNASSOC && alpha_of(type_out) == A_UNASSOC) {
+    p->ialpha = A_PREMUL16;  // smolscale.c:751-758
+    p->storage = S128;
+  }
+  p->gamma = p->with_srgb ? G_LINEAR : G_COMPRESSED;
+  if ((int64_t)w_in > (int64_t)w_out * 8191 ||
+      (int64_t)h_in > (int64_t)h_out * 8191)
+    p->gamma = G_COMPRESSED;  // smolscale.c:760-770
+
+  if (p->x.filter == F_BILIN) precalc_bilinear(&p->x);
+  if (p->x.filter == F_BOX) precalc_boxes(&p->x);
+  if (p->y.filter == F_BILIN) precalc_bilinear(&p->y);
+  if (p->y.filter == F_BOX) precalc_boxes(&p->y);
+
+  if (p->nb_out == 3 && p->gamma == G_LINEAR && p->ialpha == A_PREMUL8) {
+    bool out_rev = p->lout[0] > p->lout[2];
+    p->pack24_direct = mid_colors_reversed(type_in) == out_rev;
+  }
+  return p;
+}
+
+void sst_plan_free(sst_plan *p) { delete p; }
+
+}  // extern "C"
+
+namespace {
+
+// Per-worker scratch: unpacked input row + h-scaled rows + accumulators.
+struct Worker {
+  const Plan *p;
+  std::vector<int64_t> unp;      // 4 * w_in
+  std::vector<int64_t> hrow[2];  // 4 * w_out, bilinear cache / box edges
+  int hrow_idx[2] = {-1, -1};
+  std::vector<int64_t> tmp;      // 4 * w_out
+  std::vector<int64_t> acc;      // 4 * w_out
+
+  explicit Worker(const Plan *plan) : p(plan) {
+    unp.resize(4 * (size_t)p->w_in);
+    hrow[0].resize(4 * (size_t)p->w_out);
+    hrow[1].resize(4 * (size_t)p->w_out);
+    tmp.resize(4 * (size_t)p->w_out);
+    acc.resize(4 * (size_t)p->w_out);
+  }
+};
+
+static void unpack_row(const Plan *p, const uint8_t *src, int64_t *dst) {
+  const int w = p->w_in;
+  int64_t *ch[4] = {dst, dst + w, dst + 2 * w, dst + 3 * w};
+  const int nb = p->nb_in;
+  for (int i = 0; i < w; i++) {
+    int64_t c[4] = {0, 0, 0, 255};
+    for (int b = 0; b < nb; b++) {
+      int lane = p->lin[b];
+      if (lane >= 0) c[lane] = src[i * nb + b];
+    }
+    int64_t a = c[3];
+    switch (p->ialpha) {
+      case A_PREMUL8:
+        if (p->gamma == G_COMPRESSED) {
+          if (alpha_of(p->type_in) == A_UNASSOC)
+            for (int k = 0; k < 3; k++) c[k] = premul_p8(c[k], a);
+        } else {
+          if (alpha_of(p->type_in) == A_UNASSOC)
+            for (int k = 0; k < 3; k++) c[k] = premul_p8l(kFromSrgb[c[k]], a);
+          else
+            for (int k = 0; k < 3; k++)
+              c[k] = premul_p8l(kFromSrgb[unpremul_p8(c[k], a)], a);
+        }
+        break;
+      case A_PREMUL16:
+        if (p->gamma == G_COMPRESSED)
+          for (int k = 0; k < 3; k++) c[k] = c[k] * a;
+        else
+          for (int k = 0; k < 3; k++) c[k] = (int64_t)kFromSrgb[c[k]] * a;
+        c[3] = (a << 8) | 0x80;
+        break;
+      default:
+        break;
+    }
+    ch[0][i] = c[0]; ch[1][i] = c[1]; ch[2][i] = c[2]; ch[3][i] = c[3];
+  }
+}
+
+static void hfilter_row(const Plan *p, const int64_t *unp, int64_t *dst) {
+  const int w_in = p->w_in, w_out = p->w_out;
+  const int64_t mask = p->mask();
+  const AxisPlan &ax = p->x;
+  for (int c = 0; c < 4; c++) {
+    const int64_t *in = unp + (size_t)c * w_in;
+    int64_t *out = dst + (size_t)c * w_out;
+    switch (ax.filter) {
+      case F_COPY:
+        std::memcpy(out, in, sizeof(int64_t) * w_in);
+        break;
+      case F_ONE:
+        for (int j = 0; j < w_out; j++) out[j] = in[0];
+        break;
+      case F_BILIN: {
+        const int n = ax.halvings;
+        int k = 0;
+        for (int j = 0; j < w_out; j++) {
+          int64_t accum = 0;
+          for (int s = 0; s < (1 << n); s++, k++) {
+            int o = ax.off[k];
+            accum += lerp256(in[o], in[o + 1], ax.fac[k], mask);
+          }
+          out[j] = (accum >> n) & mask;
+        }
+        break;
+      }
+      case F_BOX: {
+        // Sequential span walk (interp_horizontal_boxes, generic.c:1427-1556)
+        int pos = 1;
+        int64_t left = weight256(in[0], 256, mask);
+        for (int j = 0; j < w_out - 1; j++) {
+          int64_t accum = left;
+          for (int s = 0; s < ax.stride[j]; s++) accum += in[pos++];
+          int64_t r = in[pos++];
+          int64_t f = ax.fac[j];
+          accum += (r * f >> 8) & mask;
+          left = ((r * 255 - r * f) >> 8) & mask;
+          out[j] = scale_span(accum, ax.span_mul, p->storage);
+        }
+        int64_t accum = left;
+        for (int s = 0; s < ax.stride[w_out - 1]; s++) accum += in[pos++];
+        int64_t f = ax.fac[w_out - 1];
+        if (f > 0) accum += (in[pos] * f >> 8) & mask;
+        out[w_out - 1] = scale_span(accum, ax.span_mul, p->storage);
+        break;
+      }
+    }
+  }
+}
+
+// h-scaled row provider with a tiny 2-slot cache (bilinear reuses the
+// shared row between consecutive sample pairs; the analogue of the
+// reference's SmolVerticalCtx row reuse, generic.c:1648-1682).
+static const int64_t *get_hrow(Worker *w, const uint8_t *pixels,
+                               int64_t rowstride, int row) {
+  for (int s = 0; s < 2; s++)
+    if (w->hrow_idx[s] == row) return w->hrow[s].data();
+  int slot = (w->hrow_idx[0] <= w->hrow_idx[1]) ? 0 : 1;
+  unpack_row(w->p, pixels + rowstride * row, w->unp.data());
+  hfilter_row(w->p, w->unp.data(), w->hrow[slot].data());
+  w->hrow_idx[slot] = row;
+  return w->hrow[slot].data();
+}
+
+static void pack_row(const Plan *p, const int64_t *planes, uint8_t *dst) {
+  const int w = p->w_out;
+  const int64_t *ch[4] = {planes, planes + w, planes + 2 * w, planes + 3 * w};
+  const int nb = p->nb_out;
+  const bool out_premul = alpha_of(p->type_out) == A_PREMUL8;
+  for (int i = 0; i < w; i++) {
+    int64_t c[4], a;
+    if (p->ialpha == A_PREMUL8) {
+      a = ch[3][i] & 0xff;
+      if (p->gamma == G_COMPRESSED) {
+        for (int k = 0; k < 3; k++)
+          c[k] = out_premul ? ch[k][i] : unpremul_p8(ch[k][i], a);
+      } else if (out_premul) {
+        if (nb == 3 && p->pack24_direct) {
+          // reference asymmetry: to_srgb of premul-linear (generic.c:922-935)
+          for (int k = 0; k < 3; k++) c[k] = kToSrgb[ch[k][i] & 0x7ff];
+        } else if (nb == 3) {
+          for (int k = 0; k < 3; k++) c[k] = kToSrgb[unpremul_p8l(ch[k][i], a)];
+        } else {
+          for (int k = 0; k < 3; k++)
+            c[k] = premul_p8(kToSrgb[unpremul_p8l(ch[k][i], a)], a);
+        }
+      } else {
+        for (int k = 0; k < 3; k++) c[k] = kToSrgb[unpremul_p8l(ch[k][i], a)];
+      }
+    } else {  // PREMUL16, output always unassociated
+      a = (ch[3][i] >> 8) & 0xff;
+      if (p->gamma == G_COMPRESSED)
+        for (int k = 0; k < 3; k++) c[k] = unpremul_p16(ch[k][i], a);
+      else
+        for (int k = 0; k < 3; k++) c[k] = kToSrgb[unpremul_p16l(ch[k][i], a)];
+    }
+    c[3] = a;
+    for (int b = 0; b < nb; b++) dst[i * nb + b] = (uint8_t)(c[p->lout[b]] & 0xff);
+  }
+}
+
+static void scale_outrow(Worker *w, const uint8_t *pixels_in,
+                         int64_t rowstride_in, int i, uint8_t *row_out) {
+  const Plan *p = w->p;
+  const AxisPlan &ay = p->y;
+  const int64_t mask = p->mask();
+  const int n4 = 4 * p->w_out;
+  int64_t *tmp = w->tmp.data();
+  switch (ay.filter) {
+    case F_COPY: {
+      const int64_t *r = get_hrow(w, pixels_in, rowstride_in, i);
+      pack_row(p, r, row_out);
+      return;
+    }
+    case F_ONE: {
+      const int64_t *r = get_hrow(w, pixels_in, rowstride_in, 0);
+      pack_row(p, r, row_out);
+      return;
+    }
+    case F_BILIN: {
+      const int n = ay.halvings;
+      int64_t *accum = w->acc.data();
+      std::memset(accum, 0, sizeof(int64_t) * n4);
+      for (int s = 0; s < (1 << n); s++) {
+        int k = (i << n) + s;
+        int o = ay.off[k];
+        int64_t f = ay.fac[k];
+        const int64_t *top = get_hrow(w, pixels_in, rowstride_in, o);
+        const int64_t *bot = get_hrow(w, pixels_in, rowstride_in, o + 1);
+        for (int x = 0; x < n4; x++) accum[x] += lerp256(top[x], bot[x], f, mask);
+      }
+      for (int x = 0; x < n4; x++) tmp[x] = (accum[x] >> n) & mask;
+      pack_row(p, tmp, row_out);
+      return;
+    }
+    case F_BOX: {
+      int y0 = ay.off[i], y1 = ay.off[i + 1];
+      int64_t w1 = (i == 0) ? 256 : 255 - ay.fac[i - 1];
+      int64_t w2 = ay.fac[i];
+      int64_t *accum = w->acc.data();
+      {
+        const int64_t *first = get_hrow(w, pixels_in, rowstride_in, y0);
+        for (int x = 0; x < n4; x++) accum[x] = weight256(first[x], w1, mask);
+      }
+      if (p->storage == S64) {
+        // q = (r*w2)>>8 even when w2==0 (generic.c:2042-2068)
+        if (w2 || y1 < p->h_in) {
+          const int64_t *last = get_hrow(w, pixels_in, rowstride_in, y1);
+          for (int x = 0; x < n4; x++) accum[x] += weight256(last[x], w2, mask);
+        }
+        for (int yy = y0 + 1; yy < y1; yy++) {
+          const int64_t *mid = get_hrow(w, pixels_in, rowstride_in, yy);
+          for (int x = 0; x < n4; x++) accum[x] += mid[x];
+        }
+      } else {
+        for (int yy = y0 + 1; yy < y1; yy++) {
+          const int64_t *mid = get_hrow(w, pixels_in, rowstride_in, yy);
+          for (int x = 0; x < n4; x++) accum[x] += mid[x];
+        }
+        if (w2 > 0) {
+          // last row weighted w2-1 (generic.c:2240-2253)
+          const int64_t *last = get_hrow(w, pixels_in, rowstride_in, y1);
+          for (int x = 0; x < n4; x++) accum[x] += weight256(last[x], w2 - 1, mask);
+        }
+      }
+      for (int x = 0; x < n4; x++)
+        tmp[x] = scale_span(accum[x], ay.span_mul, p->storage);
+      pack_row(p, tmp, row_out);
+      return;
+    }
+  }
+}
+
+}  // namespace
+
+extern "C" {
+
+// Row-batch API: compute output rows [first, first+n) into dst (contract of
+// smol_scale_batch_full, smolscale.c:998-1008: safe to call concurrently
+// from multiple threads on the same const plan with disjoint ranges).
+void sst_scale_rows(const sst_plan *p, const uint8_t *pixels_in,
+                    int64_t rowstride_in, uint8_t *rows_out,
+                    int64_t rowstride_out, int first, int n) {
+  Worker w(p);
+  for (int i = first; i < first + n; i++) {
+    scale_outrow(&w, pixels_in, rowstride_in, i,
+                 rows_out + rowstride_out * (i - first));
+  }
+}
+
+// One-shot (smol_scale_simple contract, smolscale.c:957-985).
+void sst_scale(const sst_plan *p, const uint8_t *pixels_in,
+               int64_t rowstride_in, uint8_t *pixels_out,
+               int64_t rowstride_out) {
+  sst_scale_rows(p, pixels_in, rowstride_in, pixels_out, rowstride_out, 0,
+                 p->h_out);
+}
+
+// Threaded batch executor: contiguous output-row chunks per thread (the
+// smol-mt harness design, test.c:839-883, as a library feature).
+void sst_scale_threaded(const sst_plan *p, const uint8_t *pixels_in,
+                        int64_t rowstride_in, uint8_t *pixels_out,
+                        int64_t rowstride_out, int n_threads) {
+  if (n_threads < 1) n_threads = (int)std::thread::hardware_concurrency();
+  n_threads = std::max(1, std::min(n_threads, p->h_out));
+  int chunk = (p->h_out + n_threads - 1) / n_threads;
+  std::vector<std::thread> ts;
+  for (int t = 0; t < n_threads; t++) {
+    int first = t * chunk;
+    int n = std::min(chunk, p->h_out - first);
+    if (n <= 0) break;
+    ts.emplace_back([=] {
+      sst_scale_rows(p, pixels_in, rowstride_in,
+                     pixels_out + rowstride_out * first, rowstride_out, first,
+                     n);
+    });
+  }
+  for (auto &t : ts) t.join();
+}
+
+int sst_plan_info(const sst_plan *p, int *filter_h, int *filter_v,
+                  int *storage, int *ialpha, int *gamma) {
+  if (!p) return -1;
+  *filter_h = p->x.filter == F_BILIN ? 2 + p->x.halvings
+                                     : (p->x.filter == F_BOX ? 9 : p->x.filter);
+  *filter_v = p->y.filter == F_BILIN ? 2 + p->y.halvings
+                                     : (p->y.filter == F_BOX ? 9 : p->y.filter);
+  *storage = p->storage == S64 ? 2 : 3;
+  *ialpha = p->ialpha;
+  *gamma = p->gamma;
+  return 0;
+}
+
+}  // extern "C"

@@ -55,6 +55,8 @@ def _get_backend(name: str):
             from .backends import numpy_ref as mod
         elif name == "jax":
             from .backends import xla as mod
+        elif name == "native":
+            from .backends import native as mod
         else:
             raise ValueError(f"unknown backend {name!r}")
         _BACKENDS[name] = mod

@@ -1,0 +1,148 @@
+"""Native C++ CPU backend (host-side production path).
+
+Wraps native/smolscale_cpu.cpp via ctypes: the planner + row engine +
+threaded batch executor, byte-identical to the TPU backends.  Built on
+demand with g++ (tables.inc is generated from smolscale_tpu.luts so all
+backends share one numeric source of truth).
+"""
+
+from __future__ import annotations
+
+import ctypes
+import subprocess
+import sys
+import threading
+from pathlib import Path
+
+import numpy as np
+
+from ..plan import ScalePlan
+
+_NATIVE_DIR = Path(__file__).resolve().parent.parent.parent / "native"
+_BUILD_DIR = Path(__file__).resolve().parent.parent.parent / "build"
+_LIB_PATH = _BUILD_DIR / "libsmolscale_cpu.so"
+_lock = threading.Lock()
+_lib = None
+
+
+def build() -> Path:
+    src = _NATIVE_DIR / "smolscale_cpu.cpp"
+    inc = _NATIVE_DIR / "tables.inc"
+    gen = _NATIVE_DIR / "gen_tables.py"
+    _BUILD_DIR.mkdir(exist_ok=True)
+    if not inc.exists() or inc.stat().st_mtime < gen.stat().st_mtime:
+        subprocess.run([sys.executable, str(gen)], check=True, capture_output=True)
+    if (
+        not _LIB_PATH.exists()
+        or _LIB_PATH.stat().st_mtime < src.stat().st_mtime
+        or _LIB_PATH.stat().st_mtime < inc.stat().st_mtime
+    ):
+        subprocess.run(
+            ["g++", "-O3", "-fPIC", "-shared", "-std=c++17", str(src),
+             "-o", str(_LIB_PATH), "-lpthread"],
+            check=True,
+        )
+    return _LIB_PATH
+
+
+def _get_lib() -> ctypes.CDLL:
+    global _lib
+    with _lock:
+        if _lib is None:
+            lib = ctypes.CDLL(str(build()))
+            lib.sst_plan_new.restype = ctypes.c_void_p
+            lib.sst_plan_new.argtypes = [ctypes.c_int] * 7
+            lib.sst_plan_free.argtypes = [ctypes.c_void_p]
+            for name in ("sst_scale", "sst_scale_rows", "sst_scale_threaded"):
+                getattr(lib, name).restype = None
+            lib.sst_scale.argtypes = [
+                ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int64,
+                ctypes.c_void_p, ctypes.c_int64,
+            ]
+            lib.sst_scale_rows.argtypes = [
+                ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int64,
+                ctypes.c_void_p, ctypes.c_int64, ctypes.c_int, ctypes.c_int,
+            ]
+            lib.sst_scale_threaded.argtypes = [
+                ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int64,
+                ctypes.c_void_p, ctypes.c_int64, ctypes.c_int,
+            ]
+            _lib = lib
+    return _lib
+
+
+class _NativePlan:
+    """Owns the native plan object; cached per ScalePlan key."""
+
+    def __init__(self, plan: ScalePlan):
+        lib = _get_lib()
+        self._lib = lib
+        self.ptr = lib.sst_plan_new(
+            plan.width_in, plan.height_in, plan.width_out, plan.height_out,
+            int(plan.pixel_type_in), int(plan.pixel_type_out),
+            1 if plan.with_srgb else 0,
+        )
+        if not self.ptr:
+            raise ValueError("invalid plan parameters")
+
+    def __del__(self):  # pragma: no cover
+        if getattr(self, "ptr", None):
+            self._lib.sst_plan_free(self.ptr)
+            self.ptr = None
+
+
+_plan_cache: dict = {}
+
+
+def _native_plan(plan: ScalePlan) -> _NativePlan:
+    np_ = _plan_cache.get(plan.key)
+    if np_ is None:
+        np_ = _plan_cache[plan.key] = _NativePlan(plan)
+    return np_
+
+
+def _prep(plan: ScalePlan, img: np.ndarray):
+    expect = (plan.height_in, plan.width_in, plan.meta_in.n_bytes)
+    if img.shape != expect:
+        raise ValueError(f"input shape {img.shape} != {expect}")
+    flat = np.ascontiguousarray(img, dtype=np.uint8)
+    return flat, plan.width_in * plan.meta_in.n_bytes
+
+
+def scale(plan: ScalePlan, img: np.ndarray, n_threads: int = 1) -> np.ndarray:
+    lib = _get_lib()
+    nplan = _native_plan(plan)
+    flat, stride_in = _prep(plan, img)
+    out = np.empty(
+        (plan.height_out, plan.width_out, plan.meta_out.n_bytes), dtype=np.uint8
+    )
+    stride_out = plan.width_out * plan.meta_out.n_bytes
+    if n_threads == 1:
+        lib.sst_scale(
+            nplan.ptr, flat.ctypes.data_as(ctypes.c_void_p), stride_in,
+            out.ctypes.data_as(ctypes.c_void_p), stride_out,
+        )
+    else:
+        lib.sst_scale_threaded(
+            nplan.ptr, flat.ctypes.data_as(ctypes.c_void_p), stride_in,
+            out.ctypes.data_as(ctypes.c_void_p), stride_out, n_threads,
+        )
+    return out
+
+
+def scale_rows(
+    plan: ScalePlan, img: np.ndarray, first_out_row: int, n_out_rows: int
+) -> np.ndarray:
+    lib = _get_lib()
+    nplan = _native_plan(plan)
+    flat, stride_in = _prep(plan, img)
+    out = np.empty(
+        (n_out_rows, plan.width_out, plan.meta_out.n_bytes), dtype=np.uint8
+    )
+    stride_out = plan.width_out * plan.meta_out.n_bytes
+    lib.sst_scale_rows(
+        nplan.ptr, flat.ctypes.data_as(ctypes.c_void_p), stride_in,
+        out.ctypes.data_as(ctypes.c_void_p), stride_out,
+        int(first_out_row), int(n_out_rows),
+    )
+    return out
