@@ -1,0 +1,210 @@
+#!/usr/bin/env python
+"""Benchmark suite: the five BASELINE.md configs on one TPU chip.
+
+The reference's methodology analogue (bench.sh:41-52 + test.c:219-340):
+fixed recipes, min-time-per-config, pixels/s metric.  Timing uses
+in-device fori_loop chains (see bench.py) because the axon platform's
+block_until_ready is not a reliable barrier.
+
+Usage: python benchmarks/suite.py [--json out.json]
+"""
+
+import argparse
+import json
+import sys
+import time
+from pathlib import Path
+
+import numpy as np
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+
+def _chain_timer(step_fn, x, n_short=2, n_long=12, reps=3):
+    """Per-iteration seconds via fori_loop slope (cancels dispatch+fetch)."""
+    import jax
+    import jax.numpy as jnp
+
+    def make(k):
+        @jax.jit
+        def f(v):
+            def body(i, carry):
+                return step_fn(v, carry)
+
+            return jax.lax.fori_loop(0, k, body, jnp.uint8(0))
+
+        return f
+
+    f_s, f_l = make(n_short), make(n_long)
+    np.asarray(f_s(x))
+    np.asarray(f_l(x))
+
+    def t(f):
+        t0 = time.time()
+        np.asarray(f(x))
+        return time.time() - t0
+
+    ts = min(t(f_s) for _ in range(reps))
+    tl = min(t(f_l) for _ in range(reps))
+    return (tl - ts) / (n_long - n_short)
+
+
+def bench_config(name, plan, batch, check=True, n_long=12):
+    import jax
+    import jax.numpy as jnp
+
+    from smolscale_tpu.backends import numpy_ref, xla
+
+    rng = np.random.default_rng(0)
+    nb = plan.meta_in.n_bytes
+    imgs = rng.integers(
+        0, 256, (batch, plan.height_in, plan.width_in, nb), dtype=np.uint8
+    )
+    x = jax.device_put(jnp.asarray(imgs))
+    _ = np.asarray(x[0, 0, 0])
+
+    exact = True
+    if check:
+        got = np.asarray(jax.jit(lambda v: xla.scale_fn(plan, v))(x[:1]))[0]
+        exact = bool(np.array_equal(got, numpy_ref.scale(plan, imgs[0])))
+
+    def step(v, carry):
+        return xla.scale_fn(plan, v ^ carry)[0, 0, 0, 0]
+
+    per = _chain_timer(step, x, n_long=n_long)
+    in_px = batch * plan.width_in * plan.height_in
+    out_px = batch * plan.width_out * plan.height_out
+    rec = {
+        "config": name,
+        "batch": batch,
+        "ms_per_batch": round(per * 1000, 3),
+        "in_mpix_s": round(in_px / 1e6 / per, 1),
+        "pps_mpix_s": round((in_px + out_px) / 1e6 / per, 1),  # reference metric
+        "img_s": round(batch / per, 1),
+        "bit_exact": exact,
+    }
+    print(json.dumps(rec), flush=True)
+    return rec
+
+
+def bench_pyramid():
+    import jax
+    import jax.numpy as jnp
+
+    from smolscale_tpu.pyramid import make_pyramid_fn
+
+    B = 256
+    rng = np.random.default_rng(0)
+    imgs = rng.integers(0, 256, (B, 512, 512, 4), dtype=np.uint8)
+    x = jax.device_put(jnp.asarray(imgs))
+    _ = np.asarray(x[0, 0, 0])
+    fn = make_pyramid_fn(512, 512, 0, sizes=(64, 128, 256))
+
+    def step(v, carry):
+        outs = fn(v ^ carry)
+        return outs[0][0, 0, 0, 0]
+
+    per = _chain_timer(step, x, n_long=8)
+    rec = {
+        "config": "5: thumbnail farm 512^2 -> (64,128,256) pyramid",
+        "batch": B,
+        "ms_per_batch": round(per * 1000, 3),
+        "in_mpix_s": round(B * 512 * 512 / 1e6 / per, 1),
+        "img_s": round(B / per, 1),
+        "pyramids_s": round(B / per, 1),
+    }
+    print(json.dumps(rec), flush=True)
+    return rec
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--json", default=None)
+    args = ap.parse_args()
+
+    from smolscale_tpu.plan import ScalePlan
+
+    results = []
+    # Config 1: one-shot 2048^2 -> 256^2 box (smol_scale_simple analogue);
+    # also batched to show farm throughput.
+    results.append(bench_config(
+        "1: RGBA premul 2048^2->256^2 box, one-shot",
+        ScalePlan(2048, 2048, 256, 256, 0, 0, False), batch=1))
+    results.append(bench_config(
+        "1b: RGBA premul 2048^2->256^2 box, batch 32",
+        ScalePlan(2048, 2048, 256, 256, 0, 0, False), batch=32))
+    # Headline: 4096^2 -> 256^2
+    results.append(bench_config(
+        "0: RGBA premul 4096^2->256^2 box, batch 8 (headline)",
+        ScalePlan(4096, 4096, 256, 256, 0, 0, False), batch=8))
+    # Config 2: BGRA unassociated -> RGBA premul, 512^2 -> 1024^2 bilinear
+    results.append(bench_config(
+        "2: BGRA unassoc->RGBA premul 512^2->1024^2 bilinear, batch 8",
+        ScalePlan(512, 512, 1024, 1024, 5, 0, False), batch=8))
+    # Config 3: RGB24 4096^2 -> non-integer ratios (bilinear ladder)
+    results.append(bench_config(
+        "3a: RGB24 4096^2->1371^2 (2h ladder), batch 4",
+        ScalePlan(4096, 4096, 1371, 1371, 8, 8, False), batch=4, n_long=8))
+    results.append(bench_config(
+        "3b: RGB24 4096^2->3000^2 (0h), batch 2",
+        ScalePlan(4096, 4096, 3000, 3000, 8, 8, False), batch=2, n_long=8))
+    results.append(bench_config(
+        "3c: RGBA 4096^2->700^2 (non-integer box 5.85:1... bilinear 2h), batch 4",
+        ScalePlan(4096, 4096, 700, 700, 0, 0, False), batch=4, n_long=8))
+    results.append(bench_config(
+        "3d: RGBA 4096^2->300^2 (non-integer box 13.6:1), batch 8",
+        ScalePlan(4096, 4096, 300, 300, 0, 0, False), batch=8))
+    # Config 4: row-batch streaming, 16384^2 in row chunks
+    results.append(bench_row_stream())
+    # Config 5: pyramid farm
+    results.append(bench_pyramid())
+    # sRGB path
+    results.append(bench_config(
+        "6: RGBA unassoc 2048^2->256^2 box with sRGB linear light, batch 8",
+        ScalePlan(2048, 2048, 256, 256, 4, 4, True), batch=8, n_long=8))
+
+    if args.json:
+        with open(args.json, "w") as f:
+            json.dump(results, f, indent=1)
+
+
+def bench_row_stream():
+    import jax
+    import jax.numpy as jnp
+
+    from smolscale_tpu.backends import xla
+    from smolscale_tpu.plan import ScalePlan
+
+    # 16384^2 RGBA input (1 GiB) scaled to 1024^2 in 16 row chunks of 64
+    # output rows each -- the smol_scale_batch_full streaming pattern.
+    plan = ScalePlan(16384, 16384, 1024, 1024, 0, 0, False)
+    n_chunks = 16
+    tables = xla.RowShardTables(plan, n_chunks)
+    rng = np.random.default_rng(0)
+    img = rng.integers(0, 256, (16384, 16384, 4), dtype=np.uint8)
+    x = jax.device_put(jnp.asarray(img))
+    _ = np.asarray(x[0, 0])
+
+    @jax.jit
+    def chunk(v, cid):
+        padded = xla.pad_rows(plan, tables, v)
+        return xla.row_shard_fn(plan, tables, padded, cid)
+
+    np.asarray(chunk(x, 0))  # compile
+    t0 = time.time()
+    outs = [chunk(x, i) for i in range(n_chunks)]
+    np.asarray(outs[-1][0, 0, 0])
+    for o in outs:
+        np.asarray(o[0, 0, 0])
+    dt = time.time() - t0
+    rec = {
+        "config": "4: 16384^2->1024^2 streamed in 16 row chunks",
+        "ms_total": round(dt * 1000, 1),
+        "in_mpix_s": round(16384 * 16384 / 1e6 / dt, 1),
+    }
+    print(json.dumps(rec), flush=True)
+    return rec
+
+
+if __name__ == "__main__":
+    main()
