@@ -497,13 +497,29 @@ def _vfilter(plan: ScalePlan, planes):
 # traced shard id, so one compiled program serves every shard.
 
 class RowShardTables:
-    """Static per-shard tables for windowed vertical filtering."""
+    """Static per-shard tables for windowed vertical filtering.
 
-    def __init__(self, plan: ScalePlan, n_shards: int):
+    By default shard s covers output rows [s*ceil(h_out/n_shards), ...);
+    pass ``row_ranges`` (list of (first, count) with equal counts) for
+    explicit ranges, e.g. a single arbitrary range for scale_rows.
+    """
+
+    def __init__(self, plan: ScalePlan, n_shards: int, row_ranges=None):
         ay = plan.y
         self.plan = plan
         self.n_shards = n_shards
-        self.n_rows = -(-plan.height_out // n_shards)  # ceil
+        if row_ranges is None:
+            self.n_rows = -(-plan.height_out // n_shards)  # ceil
+            row_ranges = [
+                (min(s * self.n_rows, plan.height_out - 1), self.n_rows)
+                for s in range(n_shards)
+            ]
+        else:
+            assert len(row_ranges) == n_shards
+            counts = {c for _, c in row_ranges}
+            assert len(counts) == 1, "all ranges must have equal counts"
+            self.n_rows = row_ranges[0][1]
+        self.row_ranges = row_ranges
         n = self.n_rows
 
         def v_window(first, count):
@@ -521,7 +537,7 @@ class RowShardTables:
 
         starts, stops = [], []
         for s in range(n_shards):
-            first = min(s * n, plan.height_out - 1)
+            first = row_ranges[s][0]
             a, b = v_window(first, n)
             starts.append(a)
             stops.append(b)
@@ -539,7 +555,7 @@ class RowShardTables:
             fac = np.zeros((n_shards, n << k), dtype=np.int32)
             for s in range(n_shards):
                 for j in range(n << k):
-                    b = min((s * n << k) + j, (plan.height_out << k) - 1)
+                    b = min((row_ranges[s][0] << k) + j, (plan.height_out << k) - 1)
                     off[s, j] = int(ay.offsets[b]) - starts[s]
                     fac[s, j] = int(ay.factors[b])
             self.off, self.fac = off, fac
@@ -552,7 +568,7 @@ class RowShardTables:
             ml = np.zeros((n_shards, n), dtype=np.int32)
             for s in range(n_shards):
                 for j in range(n):
-                    i = clamp_row(s * n + j)
+                    i = clamp_row(row_ranges[s][0] + j)
                     y0, y1 = int(ay.offsets[i]), int(ay.offsets[i + 1])
                     fi[s, j] = y0 - starts[s]
                     li[s, j] = min(y1, ay.dim_in - 1) - starts[s]
@@ -566,7 +582,7 @@ class RowShardTables:
             rows = np.zeros((n_shards, n), dtype=np.int32)
             for s in range(n_shards):
                 for j in range(n):
-                    rows[s, j] = clamp_row(s * n + j) - starts[s]
+                    rows[s, j] = clamp_row(row_ranges[s][0] + j) - starts[s]
             self.rows = rows
 
 
@@ -685,12 +701,15 @@ def scale(plan: ScalePlan, img) -> np.ndarray:
 
 @functools.cache
 def _jitted_rows(plan: ScalePlan, first: int, n: int):
-    def fn(img):
-        return scale_fn(plan, img)[..., first : first + n, :, :]
+    # Windowed execution: only the input rows this range depends on are
+    # unpacked and filtered (the smol_scale_batch recompute-at-edges
+    # trade-off, smolscale.c:512-530).
+    tables = RowShardTables(plan, 1, row_ranges=[(first, n)])
 
-    # Note: full-height compute then slice is wasteful for narrow row ranges;
-    # the Pallas/row-window path (backends.pallas) computes only the needed
-    # input window.  Kept simple here; bit-exactness is what this backend is for.
+    def fn(img):
+        padded = pad_rows(plan, tables, img)
+        return row_shard_fn(plan, tables, padded, jnp.int32(0))
+
     return jax.jit(fn)
 
 

@@ -50,9 +50,11 @@ def applicable(plan: ScalePlan) -> bool:
 
     return (
         plan.storage == StorageType.S64
+        and plan.internal_alpha == AlphaType.PREMUL8
         and plan.meta_in.n_bytes == 4
         and plan.meta_out.n_bytes == 4
-        and plan.meta_in.alpha == AlphaType.PREMUL8
+        # unassociated input is premultiplied in-kernel; unassociated
+        # *output* would need the inv-div LUT gather at pack -- XLA path.
         and plan.meta_out.alpha == AlphaType.PREMUL8
         and plan.x.filter == FilterType.BOX
         and plan.y.filter == FilterType.BOX
@@ -96,6 +98,9 @@ def _make_kernel(plan: ScalePlan, rows_t: int):
     span_mul_x = int(plan.x.span_mul)
     span_mul_y = int(plan.y.span_mul)
 
+    unassoc_in = plan.meta_in.alpha == AlphaType.UNASSOCIATED
+    alpha_byte = in_layout.index(3)
+
     def kernel(x_ref, m_ref, o_ref):
         g = pl.program_id(1)
         px = x_ref[0]  # (rows_t*ry, w_in) u32
@@ -106,9 +111,13 @@ def _make_kernel(plan: ScalePlan, rows_t: int):
         )
         col_ids = jax.lax.broadcasted_iota(jnp.int32, (rows_t * ry, w_out), 1)
 
+        a_vals = ((px >> (8 * alpha_byte)) & jnp.uint32(0xFF)).astype(jnp.int32)
         out_px = jnp.zeros((rows_t, w_out), dtype=jnp.uint32)
         for byte_pos in range(4):
             ch_vals = ((px >> (8 * byte_pos)) & jnp.uint32(0xFF)).astype(jnp.int32)
+            if unassoc_in and byte_pos != alpha_byte:
+                # premultiply in-kernel (premul_u_to_p8, generic.c:238-244)
+                ch_vals = (((ch_vals + 1) * (a_vals + 1) - 1) >> 8) & 0xFF
             xb = ch_vals.astype(jnp.bfloat16)
             y = jnp.dot(xb, m, preferred_element_type=jnp.float32)
             fs = y[:, :w_out].astype(jnp.int32)

@@ -54,3 +54,20 @@ def test_applicability_gate():
     assert not pallas_box.applicable(ScalePlan(250, 128, 16, 8, 0, 0, False))
     # bilinear -> not applicable
     assert not pallas_box.applicable(ScalePlan(256, 128, 64, 32, 0, 0, False))
+
+
+@pytest.mark.parametrize("ti,to", [(4, 0), (5, 1), (6, 2)])
+def test_pallas_box_unassoc_in(ti, to):
+    plan = ScalePlan(256, 128, 16, 8, ti, to, False)
+    assert pallas_box.applicable(plan)
+    pallas_box._built.cache_clear()
+    img = RNG.integers(0, 256, (2, 128, 256, 4), dtype=np.uint8)
+    with mock.patch.object(pl, "pallas_call", _interp_call):
+        got = np.asarray(pallas_box.scale_fn(plan, img))
+    want = np.stack([numpy_ref.scale(plan, img[i]) for i in range(2)])
+    assert np.array_equal(want, got)
+    pallas_box._built.cache_clear()
+
+
+def test_unassoc_out_not_applicable():
+    assert not pallas_box.applicable(ScalePlan(256, 128, 16, 8, 0, 4, False))
