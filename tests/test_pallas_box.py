@@ -46,8 +46,8 @@ def test_pallas_box_exact(wi, hi, wo, ho, ti, to):
 
 
 def test_applicability_gate():
-    # unassociated alpha input -> not applicable (needs premul math in unpack)
-    assert not pallas_box.applicable(ScalePlan(256, 128, 16, 8, 4, 0, False))
+    # unassociated alpha *output* -> not applicable (inv-div LUT at pack)
+    assert not pallas_box.applicable(ScalePlan(256, 128, 16, 8, 4, 4, False))
     # srgb -> 128bpp -> not applicable
     assert not pallas_box.applicable(ScalePlan(256, 128, 16, 8, 0, 0, True))
     # non-integer ratio -> not applicable
