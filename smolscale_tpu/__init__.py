@@ -63,9 +63,18 @@ def _get_backend(name: str):
     return _BACKENDS[name]
 
 
-def scale(plan: ScalePlan, img, backend: str = "auto"):
-    """Scale one image according to ``plan``; returns uint8 array."""
-    return _get_backend(backend).scale(plan, img)
+def scale(plan: ScalePlan, img, backend: str = "auto", post_fn=None):
+    """Scale one image according to ``plan``; returns uint8 array.
+
+    ``post_fn`` is the analogue of the reference's per-output-row user
+    callback (SmolPostRowFunc, smolscale.h:37-39, installed via
+    smol_scale_new_full): a function applied to the output pixels before
+    they are returned (it receives the whole uint8 output array; rows are
+    its first axis).  For post-processing fused into the compiled program,
+    call backends.xla.scale_fn inside your own jit instead.
+    """
+    out = _get_backend(backend).scale(plan, img)
+    return post_fn(out) if post_fn is not None else out
 
 
 def scale_rows(plan: ScalePlan, img, first_out_row: int, n_out_rows: int,

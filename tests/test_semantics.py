@@ -98,3 +98,11 @@ def test_backend_agreement(backend):
     plan = ScalePlan(53, 37, 21, 17, 4, 1, True)
     base = _scale("numpy", plan, img)
     assert np.array_equal(base, _scale(backend, plan, img))
+
+
+def test_post_fn_callback():
+    """smol_scale_new_full's post_row_func analogue (smolscale.h:37-39)."""
+    img = np.full((8, 8, 4), 100, np.uint8)
+    plan = ScalePlan(8, 8, 4, 4, 0, 0, False)
+    out = st.scale(plan, img, backend="numpy", post_fn=lambda rows: 255 - rows)
+    assert (out == 155).all()
