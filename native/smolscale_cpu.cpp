@@ -70,14 +70,18 @@ static inline int64_t unpremul_p16(int64_t v, int64_t a) {
 static inline int64_t unpremul_p16l(int64_t v, int64_t a) {
   return ((v * kInvDivP16L[a]) >> 19) & 0x7ff;
 }
-static inline int64_t lerp256(int64_t p, int64_t q, int64_t f, int64_t mask) {
-  return ((((p - q) * f) >> 8) + q) & mask;  // generic.c:1317
+template <typename T>
+static inline T lerp256(T p, T q, T f, T mask) {
+  // generic.c:1317; int32 is safe for 64bpp values (|p-q|*f < 2**24)
+  return ((((p - q) * f) >> 8) + q) & mask;
 }
-static inline int64_t weight256(int64_t v, int64_t w, int64_t mask) {
+template <typename T>
+static inline T weight256(T v, T w, T mask) {
   return ((v * w) >> 8) & mask;  // generic.c:1177-1192
 }
 static inline int64_t scale_span(int64_t acc, int64_t mul, Storage st) {
-  // generic.c:1231-1261
+  // generic.c:1231-1261; the product needs up to 2**41 bits, so this takes
+  // int64 even when the row pipeline runs in int32.
   int64_t v = (acc * mul + (1ll << 23)) >> 24;
   return v & (st == S64 ? 0xff : 0xffff);
 }
@@ -272,13 +276,17 @@ void sst_plan_free(sst_plan *p) { delete p; }
 namespace {
 
 // Per-worker scratch: unpacked input row + h-scaled rows + accumulators.
+// T = int32_t for 64bpp storage (every intermediate fits: lerp |p-q|*F <
+// 2**16, box accumulators <= 65535; only the span normalization needs a
+// 64-bit product, done locally in scale_span) and int64_t for 128bpp.
+template <typename T>
 struct Worker {
   const Plan *p;
-  std::vector<int64_t> unp;      // 4 * w_in
-  std::vector<int64_t> hrow[2];  // 4 * w_out, bilinear cache / box edges
+  std::vector<T> unp;      // 4 * w_in
+  std::vector<T> hrow[2];  // 4 * w_out, bilinear cache / box edges
   int hrow_idx[2] = {-1, -1};
-  std::vector<int64_t> tmp;      // 4 * w_out
-  std::vector<int64_t> acc;      // 4 * w_out
+  std::vector<T> tmp;      // 4 * w_out
+  std::vector<T> acc;      // 4 * w_out
 
   explicit Worker(const Plan *plan) : p(plan) {
     unp.resize(4 * (size_t)p->w_in);
@@ -289,10 +297,36 @@ struct Worker {
   }
 };
 
-static void unpack_row(const Plan *p, const uint8_t *src, int64_t *dst) {
+// Row layout: pixel-major, 4 contiguous lanes per position (the CPU-native
+// analogue of the upstream's packed u64; fixed 4-wide inner ops vectorize).
+template <typename T>
+static void unpack_row(const Plan *p, const uint8_t *src, T *dst) {
   const int w = p->w_in;
-  int64_t *ch[4] = {dst, dst + w, dst + 2 * w, dst + 3 * w};
   const int nb = p->nb_in;
+
+  if (p->ialpha == A_PREMUL8 && p->gamma == G_COMPRESSED && nb == 4) {
+    const int l0 = p->lin[0], l1 = p->lin[1], l2 = p->lin[2], l3 = p->lin[3];
+    if (alpha_of(p->type_in) == A_PREMUL8) {
+      for (int i = 0; i < w; i++) {
+        dst[4 * i + l0] = src[4 * i + 0];
+        dst[4 * i + l1] = src[4 * i + 1];
+        dst[4 * i + l2] = src[4 * i + 2];
+        dst[4 * i + l3] = src[4 * i + 3];
+      }
+    } else {
+      const int apos = 0 * (l0 == 3) + 1 * (l1 == 3) + 2 * (l2 == 3) +
+                       3 * (l3 == 3);
+      for (int i = 0; i < w; i++) {
+        const int32_t a = src[4 * i + apos];
+        dst[4 * i + l0] = (((int32_t)src[4 * i + 0] + 1) * (a + 1) - 1) >> 8;
+        dst[4 * i + l1] = (((int32_t)src[4 * i + 1] + 1) * (a + 1) - 1) >> 8;
+        dst[4 * i + l2] = (((int32_t)src[4 * i + 2] + 1) * (a + 1) - 1) >> 8;
+        dst[4 * i + l3] = (((int32_t)src[4 * i + 3] + 1) * (a + 1) - 1) >> 8;
+        dst[4 * i + 3] = a;  // alpha lane holds a, not premul(a, a)
+      }
+    }
+    return;
+  }
   for (int i = 0; i < w; i++) {
     int64_t c[4] = {0, 0, 0, 255};
     for (int b = 0; b < nb; b++) {
@@ -323,57 +357,78 @@ static void unpack_row(const Plan *p, const uint8_t *src, int64_t *dst) {
       default:
         break;
     }
-    ch[0][i] = c[0]; ch[1][i] = c[1]; ch[2][i] = c[2]; ch[3][i] = c[3];
+    dst[4 * i + 0] = c[0]; dst[4 * i + 1] = c[1];
+    dst[4 * i + 2] = c[2]; dst[4 * i + 3] = c[3];
   }
 }
 
-static void hfilter_row(const Plan *p, const int64_t *unp, int64_t *dst) {
+template <typename T>
+static void hfilter_row(const Plan *p, const T *unp, T *dst) {
   const int w_in = p->w_in, w_out = p->w_out;
-  const int64_t mask = p->mask();
+  const T mask = (T)p->mask();
   const AxisPlan &ax = p->x;
-  for (int c = 0; c < 4; c++) {
-    const int64_t *in = unp + (size_t)c * w_in;
-    int64_t *out = dst + (size_t)c * w_out;
-    switch (ax.filter) {
-      case F_COPY:
-        std::memcpy(out, in, sizeof(int64_t) * w_in);
-        break;
-      case F_ONE:
-        for (int j = 0; j < w_out; j++) out[j] = in[0];
-        break;
-      case F_BILIN: {
-        const int n = ax.halvings;
+  switch (ax.filter) {
+    case F_COPY:
+      std::memcpy(dst, unp, sizeof(T) * 4 * w_in);
+      break;
+    case F_ONE:
+      for (int j = 0; j < w_out; j++)
+        for (int c = 0; c < 4; c++) dst[4 * j + c] = unp[c];
+      break;
+    case F_BILIN: {
+      const int n = ax.halvings;
+      if (n == 0) {
+        for (int j = 0; j < w_out; j++) {
+          const int o = ax.off[j];
+          const T f = (T)ax.fac[j];
+          const T *pp = unp + 4 * o;
+          for (int c = 0; c < 4; c++)
+            dst[4 * j + c] = lerp256<T>(pp[c], pp[4 + c], f, mask);
+        }
+      } else {
         int k = 0;
         for (int j = 0; j < w_out; j++) {
-          int64_t accum = 0;
+          T accum[4] = {0, 0, 0, 0};
           for (int s = 0; s < (1 << n); s++, k++) {
-            int o = ax.off[k];
-            accum += lerp256(in[o], in[o + 1], ax.fac[k], mask);
+            const T *pp = unp + 4 * ax.off[k];
+            const T f = (T)ax.fac[k];
+            for (int c = 0; c < 4; c++)
+              accum[c] += lerp256<T>(pp[c], pp[4 + c], f, mask);
           }
-          out[j] = (accum >> n) & mask;
+          // accum <= 255*64 (64bpp) / 0xffffff*64 needs care: 128bpp runs
+          // with T = int64 so the sum never overflows
+          for (int c = 0; c < 4; c++) dst[4 * j + c] = (accum[c] >> n) & mask;
         }
-        break;
       }
-      case F_BOX: {
-        // Sequential span walk (interp_horizontal_boxes, generic.c:1427-1556)
-        int pos = 1;
-        int64_t left = weight256(in[0], 256, mask);
-        for (int j = 0; j < w_out - 1; j++) {
-          int64_t accum = left;
-          for (int s = 0; s < ax.stride[j]; s++) accum += in[pos++];
-          int64_t r = in[pos++];
-          int64_t f = ax.fac[j];
-          accum += (r * f >> 8) & mask;
-          left = ((r * 255 - r * f) >> 8) & mask;
-          out[j] = scale_span(accum, ax.span_mul, p->storage);
+      break;
+    }
+    case F_BOX: {
+      // Sequential span walk (interp_horizontal_boxes, generic.c:1427-1556)
+      int pos = 1;
+      int64_t left[4], accum[4];
+      for (int c = 0; c < 4; c++)
+        left[c] = weight256<int64_t>(unp[c], 256, (int64_t)mask);
+      for (int j = 0; j < w_out; j++) {
+        const bool last = j == w_out - 1;
+        for (int c = 0; c < 4; c++) accum[c] = left[c];
+        for (int s = 0; s < ax.stride[j]; s++, pos++)
+          for (int c = 0; c < 4; c++) accum[c] += unp[4 * pos + c];
+        const int64_t f = ax.fac[j];
+        if (!last) {
+          const T *r = unp + 4 * pos;
+          pos++;
+          for (int c = 0; c < 4; c++) {
+            accum[c] += ((int64_t)r[c] * f >> 8) & mask;
+            left[c] = (((int64_t)r[c] * 255 - (int64_t)r[c] * f) >> 8) & mask;
+          }
+        } else if (f > 0) {
+          for (int c = 0; c < 4; c++)
+            accum[c] += ((int64_t)unp[4 * pos + c] * f >> 8) & mask;
         }
-        int64_t accum = left;
-        for (int s = 0; s < ax.stride[w_out - 1]; s++) accum += in[pos++];
-        int64_t f = ax.fac[w_out - 1];
-        if (f > 0) accum += (in[pos] * f >> 8) & mask;
-        out[w_out - 1] = scale_span(accum, ax.span_mul, p->storage);
-        break;
+        for (int c = 0; c < 4; c++)
+          dst[4 * j + c] = (T)scale_span(accum[c], ax.span_mul, p->storage);
       }
+      break;
     }
   }
 }
@@ -381,8 +436,9 @@ static void hfilter_row(const Plan *p, const int64_t *unp, int64_t *dst) {
 // h-scaled row provider with a tiny 2-slot cache (bilinear reuses the
 // shared row between consecutive sample pairs; the analogue of the
 // reference's SmolVerticalCtx row reuse, generic.c:1648-1682).
-static const int64_t *get_hrow(Worker *w, const uint8_t *pixels,
-                               int64_t rowstride, int row) {
+template <typename T>
+static const T *get_hrow(Worker<T> *w, const uint8_t *pixels,
+                         int64_t rowstride, int row) {
   for (int s = 0; s < 2; s++)
     if (w->hrow_idx[s] == row) return w->hrow[s].data();
   int slot = (w->hrow_idx[0] <= w->hrow_idx[1]) ? 0 : 1;
@@ -392,72 +448,88 @@ static const int64_t *get_hrow(Worker *w, const uint8_t *pixels,
   return w->hrow[slot].data();
 }
 
-static void pack_row(const Plan *p, const int64_t *planes, uint8_t *dst) {
+template <typename T>
+static void pack_row(const Plan *p, const T *planes, uint8_t *dst) {
   const int w = p->w_out;
-  const int64_t *ch[4] = {planes, planes + w, planes + 2 * w, planes + 3 * w};
   const int nb = p->nb_out;
   const bool out_premul = alpha_of(p->type_out) == A_PREMUL8;
+
+  if (p->ialpha == A_PREMUL8 && p->gamma == G_COMPRESSED && out_premul &&
+      nb == 4) {
+    const int l0 = p->lout[0], l1 = p->lout[1], l2 = p->lout[2],
+              l3 = p->lout[3];
+    for (int i = 0; i < w; i++) {
+      dst[4 * i + 0] = (uint8_t)(planes[4 * i + l0] & 0xff);
+      dst[4 * i + 1] = (uint8_t)(planes[4 * i + l1] & 0xff);
+      dst[4 * i + 2] = (uint8_t)(planes[4 * i + l2] & 0xff);
+      dst[4 * i + 3] = (uint8_t)(planes[4 * i + l3] & 0xff);
+    }
+    return;
+  }
   for (int i = 0; i < w; i++) {
+    const T *px = planes + 4 * i;
     int64_t c[4], a;
     if (p->ialpha == A_PREMUL8) {
-      a = ch[3][i] & 0xff;
+      a = px[3] & 0xff;
       if (p->gamma == G_COMPRESSED) {
         for (int k = 0; k < 3; k++)
-          c[k] = out_premul ? ch[k][i] : unpremul_p8(ch[k][i], a);
+          c[k] = out_premul ? px[k] : unpremul_p8(px[k], a);
       } else if (out_premul) {
         if (nb == 3 && p->pack24_direct) {
           // reference asymmetry: to_srgb of premul-linear (generic.c:922-935)
-          for (int k = 0; k < 3; k++) c[k] = kToSrgb[ch[k][i] & 0x7ff];
+          for (int k = 0; k < 3; k++) c[k] = kToSrgb[px[k] & 0x7ff];
         } else if (nb == 3) {
-          for (int k = 0; k < 3; k++) c[k] = kToSrgb[unpremul_p8l(ch[k][i], a)];
+          for (int k = 0; k < 3; k++) c[k] = kToSrgb[unpremul_p8l(px[k], a)];
         } else {
           for (int k = 0; k < 3; k++)
-            c[k] = premul_p8(kToSrgb[unpremul_p8l(ch[k][i], a)], a);
+            c[k] = premul_p8(kToSrgb[unpremul_p8l(px[k], a)], a);
         }
       } else {
-        for (int k = 0; k < 3; k++) c[k] = kToSrgb[unpremul_p8l(ch[k][i], a)];
+        for (int k = 0; k < 3; k++) c[k] = kToSrgb[unpremul_p8l(px[k], a)];
       }
     } else {  // PREMUL16, output always unassociated
-      a = (ch[3][i] >> 8) & 0xff;
+      a = (px[3] >> 8) & 0xff;
       if (p->gamma == G_COMPRESSED)
-        for (int k = 0; k < 3; k++) c[k] = unpremul_p16(ch[k][i], a);
+        for (int k = 0; k < 3; k++) c[k] = unpremul_p16(px[k], a);
       else
-        for (int k = 0; k < 3; k++) c[k] = kToSrgb[unpremul_p16l(ch[k][i], a)];
+        for (int k = 0; k < 3; k++) c[k] = kToSrgb[unpremul_p16l(px[k], a)];
     }
     c[3] = a;
     for (int b = 0; b < nb; b++) dst[i * nb + b] = (uint8_t)(c[p->lout[b]] & 0xff);
   }
 }
 
-static void scale_outrow(Worker *w, const uint8_t *pixels_in,
+template <typename T>
+static void scale_outrow(Worker<T> *w, const uint8_t *pixels_in,
                          int64_t rowstride_in, int i, uint8_t *row_out) {
   const Plan *p = w->p;
   const AxisPlan &ay = p->y;
   const int64_t mask = p->mask();
   const int n4 = 4 * p->w_out;
-  int64_t *tmp = w->tmp.data();
+  T *tmp = w->tmp.data();
   switch (ay.filter) {
     case F_COPY: {
-      const int64_t *r = get_hrow(w, pixels_in, rowstride_in, i);
+      const T *r = get_hrow(w, pixels_in, rowstride_in, i);
       pack_row(p, r, row_out);
       return;
     }
     case F_ONE: {
-      const int64_t *r = get_hrow(w, pixels_in, rowstride_in, 0);
+      const T *r = get_hrow(w, pixels_in, rowstride_in, 0);
       pack_row(p, r, row_out);
       return;
     }
     case F_BILIN: {
       const int n = ay.halvings;
-      int64_t *accum = w->acc.data();
-      std::memset(accum, 0, sizeof(int64_t) * n4);
+      T *accum = w->acc.data();
+      std::memset(accum, 0, sizeof(T) * n4);
       for (int s = 0; s < (1 << n); s++) {
         int k = (i << n) + s;
         int o = ay.off[k];
         int64_t f = ay.fac[k];
-        const int64_t *top = get_hrow(w, pixels_in, rowstride_in, o);
-        const int64_t *bot = get_hrow(w, pixels_in, rowstride_in, o + 1);
-        for (int x = 0; x < n4; x++) accum[x] += lerp256(top[x], bot[x], f, mask);
+        const T *top = get_hrow(w, pixels_in, rowstride_in, o);
+        const T *bot = get_hrow(w, pixels_in, rowstride_in, o + 1);
+        for (int x = 0; x < n4; x++)
+          accum[x] += lerp256<T>(top[x], bot[x], (T)f, (T)mask);
       }
       for (int x = 0; x < n4; x++) tmp[x] = (accum[x] >> n) & mask;
       pack_row(p, tmp, row_out);
@@ -467,30 +539,33 @@ static void scale_outrow(Worker *w, const uint8_t *pixels_in,
       int y0 = ay.off[i], y1 = ay.off[i + 1];
       int64_t w1 = (i == 0) ? 256 : 255 - ay.fac[i - 1];
       int64_t w2 = ay.fac[i];
-      int64_t *accum = w->acc.data();
+      T *accum = w->acc.data();
       {
-        const int64_t *first = get_hrow(w, pixels_in, rowstride_in, y0);
-        for (int x = 0; x < n4; x++) accum[x] = weight256(first[x], w1, mask);
+        const T *first = get_hrow(w, pixels_in, rowstride_in, y0);
+        for (int x = 0; x < n4; x++)
+          accum[x] = weight256<int64_t>(first[x], w1, mask);
       }
       if (p->storage == S64) {
         // q = (r*w2)>>8 even when w2==0 (generic.c:2042-2068)
         if (w2 || y1 < p->h_in) {
-          const int64_t *last = get_hrow(w, pixels_in, rowstride_in, y1);
-          for (int x = 0; x < n4; x++) accum[x] += weight256(last[x], w2, mask);
+          const T *last = get_hrow(w, pixels_in, rowstride_in, y1);
+          for (int x = 0; x < n4; x++)
+            accum[x] += weight256<int64_t>(last[x], w2, mask);
         }
         for (int yy = y0 + 1; yy < y1; yy++) {
-          const int64_t *mid = get_hrow(w, pixels_in, rowstride_in, yy);
+          const T *mid = get_hrow(w, pixels_in, rowstride_in, yy);
           for (int x = 0; x < n4; x++) accum[x] += mid[x];
         }
       } else {
         for (int yy = y0 + 1; yy < y1; yy++) {
-          const int64_t *mid = get_hrow(w, pixels_in, rowstride_in, yy);
+          const T *mid = get_hrow(w, pixels_in, rowstride_in, yy);
           for (int x = 0; x < n4; x++) accum[x] += mid[x];
         }
         if (w2 > 0) {
           // last row weighted w2-1 (generic.c:2240-2253)
-          const int64_t *last = get_hrow(w, pixels_in, rowstride_in, y1);
-          for (int x = 0; x < n4; x++) accum[x] += weight256(last[x], w2 - 1, mask);
+          const T *last = get_hrow(w, pixels_in, rowstride_in, y1);
+          for (int x = 0; x < n4; x++)
+            accum[x] += weight256<int64_t>(last[x], w2 - 1, mask);
         }
       }
       for (int x = 0; x < n4; x++)
@@ -511,10 +586,16 @@ extern "C" {
 void sst_scale_rows(const sst_plan *p, const uint8_t *pixels_in,
                     int64_t rowstride_in, uint8_t *rows_out,
                     int64_t rowstride_out, int first, int n) {
-  Worker w(p);
-  for (int i = first; i < first + n; i++) {
-    scale_outrow(&w, pixels_in, rowstride_in, i,
-                 rows_out + rowstride_out * (i - first));
+  if (p->storage == S64) {
+    Worker<int32_t> w(p);
+    for (int i = first; i < first + n; i++)
+      scale_outrow(&w, pixels_in, rowstride_in, i,
+                   rows_out + rowstride_out * (i - first));
+  } else {
+    Worker<int64_t> w(p);
+    for (int i = first; i < first + n; i++)
+      scale_outrow(&w, pixels_in, rowstride_in, i,
+                   rows_out + rowstride_out * (i - first));
   }
 }
 
