@@ -175,13 +175,15 @@ def bench_row_stream():
     from smolscale_tpu.backends import xla
     from smolscale_tpu.plan import ScalePlan
 
-    # 16384^2 RGBA input (1 GiB) scaled to 1024^2 in 16 row chunks of 64
-    # output rows each -- the smol_scale_batch_full streaming pattern.
-    plan = ScalePlan(16384, 16384, 1024, 1024, 0, 0, False)
+    # Large RGBA input scaled in 16 row chunks -- the smol_scale_batch_full
+    # streaming pattern.  (8192^2 = 256 MiB: single transfers much beyond
+    # this wedge the axon tunnel; the 16384^2 BASELINE shape runs the same
+    # code path.)
+    plan = ScalePlan(8192, 8192, 1024, 1024, 0, 0, False)
     n_chunks = 16
     tables = xla.RowShardTables(plan, n_chunks)
     rng = np.random.default_rng(0)
-    img = rng.integers(0, 256, (16384, 16384, 4), dtype=np.uint8)
+    img = rng.integers(0, 256, (8192, 8192, 4), dtype=np.uint8)
     x = jax.device_put(jnp.asarray(img))
     _ = np.asarray(x[0, 0])
 
@@ -198,9 +200,9 @@ def bench_row_stream():
         np.asarray(o[0, 0, 0])
     dt = time.time() - t0
     rec = {
-        "config": "4: 16384^2->1024^2 streamed in 16 row chunks",
+        "config": "4: 8192^2->1024^2 streamed in 16 row chunks",
         "ms_total": round(dt * 1000, 1),
-        "in_mpix_s": round(16384 * 16384 / 1e6 / dt, 1),
+        "in_mpix_s": round(8192 * 8192 / 1e6 / dt, 1),
     }
     print(json.dumps(rec), flush=True)
     return rec

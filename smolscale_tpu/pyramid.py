@@ -22,7 +22,7 @@ from .plan import ScalePlan
 
 
 @functools.cache
-def _pyramid_jit(plans: tuple, axis: str | None, mesh_key=None, mesh=None):
+def _pyramid_jit(plans: tuple, axis: str | None, mesh=None):
     from .backends import xla
 
     def fn(imgs):
@@ -62,8 +62,7 @@ def make_pyramid_fn(
         ScalePlan(width_in, height_in, s, s, pixel_type_in, pixel_type_out, with_srgb)
         for s in sizes
     )
-    mesh_key = None if mesh is None else (tuple(mesh.shape.items()), tuple(np.ravel(mesh.devices).tolist().__repr__()))
-    return _pyramid_jit(plans, axis if mesh is not None else None, mesh_key, mesh)
+    return _pyramid_jit(plans, axis if mesh is not None else None, mesh)
 
 
 def scale_pyramid_mixed(images, pixel_types, sizes=(64, 128, 256), **kw):
