@@ -149,11 +149,18 @@ def _unpack(plan: ScalePlan, img):
     else:
         out_c = [_take(_LUT["from_srgb"], c) * a for c in color]
         out_a = (a << 8) | 0x80
-    return jnp.stack(out_c + [out_a], axis=-3)
+    planes = jnp.stack(out_c + [out_a], axis=-3)
+    # 64bpp lane values are <= 255: store inter-stage planes as uint8 so the
+    # (HBM-bound) filter pipeline moves 4x less data; arithmetic casts back
+    # to 32-bit inside each op.
+    if plan.storage == StorageType.S64:
+        planes = planes.astype(jnp.uint8)
+    return planes
 
 
 def _pack(plan: ScalePlan, planes):
-    """(..., 4, h, w) int32 -> (..., h, w, nb) u8 (see numpy_ref.pack)."""
+    """(..., 4, h, w) int planes -> (..., h, w, nb) u8 (see numpy_ref.pack)."""
+    planes = planes.astype(jnp.int32)
     meta = plan.meta_out
     ia, g = plan.internal_alpha, plan.gamma
     out_premul = meta.alpha == AlphaType.PREMUL8
@@ -319,118 +326,6 @@ def _segment_cols(starts, lengths, depth):
     return m.astype(jnp.bfloat16)
 
 
-def _round_up(x, m):
-    return -(-x // m) * m
-
-
-class _BandedPlan:
-    """Block-banded 0/1 matrix application.
-
-    Scaling filters are *local*: every output column's nonzero input rows
-    form one contiguous run near position j*ratio.  A full (depth x n_out)
-    one-hot/segment matrix costs depth MACs per output on the MXU; blocking
-    outputs into groups of JB and materializing only each block's input
-    window cuts that to ~ratio*JB + run_len.  groups is a list of
-    (run_start[n_out], run_len[n_out]) -- each contributes one output plane.
-    """
-
-    JB = 128
-
-    def __init__(self, groups, depth, n_out):
-        self.n_groups = len(groups)
-        self.n_out = n_out
-        jb = self.JB
-        nb = -(-n_out // jb)
-        starts = []
-        # per block: window covering every group's runs
-        lo = np.full(nb, depth, dtype=np.int64)
-        hi = np.zeros(nb, dtype=np.int64)
-        for rs, rl in groups:
-            rs = np.asarray(rs, dtype=np.int64)
-            rl = np.broadcast_to(np.asarray(rl, dtype=np.int64), rs.shape)
-            for b in range(nb):
-                sl = slice(b * jb, min((b + 1) * jb, n_out))
-                lo[b] = min(lo[b], rs[sl].min())
-                hi[b] = max(hi[b], (rs[sl] + rl[sl]).max())
-        win = _round_up(max(1, int((hi - lo).max())), 128)
-        win = min(win, _round_up(depth, 128))
-        self.win = win
-        self.full_cost = depth
-        self.banded_cost = win
-        # clamp window starts to keep static slices in bounds
-        self.starts = np.minimum(lo, max(depth - win, 0)).astype(np.int32)
-        m = np.zeros((nb, win, self.n_groups * jb), dtype=np.float32)
-        for g, (rs, rl) in enumerate(groups):
-            rs = np.asarray(rs, dtype=np.int64)
-            rl = np.broadcast_to(np.asarray(rl, dtype=np.int64), rs.shape)
-            for j in range(n_out):
-                b, jj = divmod(j, jb)
-                a = rs[j] - self.starts[b]
-                m[b, a : a + rl[j], g * jb + jj] = 1.0
-        self.mat = m.astype(jnp.bfloat16)
-
-    def apply(self, planes, axis, wide):
-        """Returns list of n_groups arrays shaped like planes with ``axis``
-        replaced by n_out."""
-        jb = self.JB
-        nb = self.mat.shape[0]
-        mat = jnp.asarray(self.mat)
-
-        G = self.n_groups
-
-        def mm(x_i32):
-            """-> (..., G, n_out[, W]) int32 with a group axis at -2/-3."""
-            xb = x_i32.astype(jnp.bfloat16)
-            if axis == -1:
-                wins = jnp.stack(
-                    [xb[..., s : s + self.win] for s in self.starts], axis=-2
-                )  # (..., nb, win)
-                y = jnp.einsum(
-                    "...bw,bwc->...bc", wins, mat,
-                    preferred_element_type=jnp.float32,
-                )  # (..., nb, G*jb)
-                y = y.reshape(y.shape[:-2] + (nb, G, jb))
-                y = jnp.swapaxes(y, -3, -2)  # (..., G, nb, jb)
-                y = y.reshape(y.shape[:-2] + (nb * jb,))
-                return y[..., : self.n_out].astype(jnp.int32)
-            # axis == -2: windows along rows, minor axis rides along
-            wins = jnp.stack(
-                [xb[..., s : s + self.win, :] for s in self.starts], axis=-3
-            )  # (..., nb, win, W)
-            y = jnp.einsum(
-                "...bwx,bwc->...bcx", wins, mat,
-                preferred_element_type=jnp.float32,
-            )  # (..., nb, G*jb, W)
-            w_minor = y.shape[-1]
-            y = y.reshape(y.shape[:-2] + (G, jb, w_minor))  # (..., nb, G, jb, W)
-            y = jnp.swapaxes(y, -4, -3)  # (..., G, nb, jb, W)
-            y = y.reshape(y.shape[:-3] + (nb * jb, w_minor))
-            return y[..., : self.n_out, :].astype(jnp.int32)
-
-        if wide:
-            lo8 = mm(planes & 0xFF)
-            mid8 = mm((planes >> 8) & 0xFF)
-            hi8 = mm(planes >> 16)
-            y = (
-                lo8.astype(jnp.uint32)
-                + (mid8.astype(jnp.uint32) << 8)
-                + (hi8.astype(jnp.uint32) << 16)
-            ).astype(jnp.int32)
-        else:
-            y = mm(planes)
-        if axis == -1:
-            return [y[..., g, :] for g in range(G)]
-        return [y[..., g, :, :] for g in range(G)]
-
-
-def _banded_or_full(groups, depth, n_out):
-    """Build a _BandedPlan if banding beats the dense matrix, else None."""
-    bp = _BandedPlan(groups, depth, n_out)
-    if bp.banded_cost * 1.25 < bp.full_cost:
-        return bp
-    return None
-
-
 # -- filters ------------------------------------------------------------------
 
 def _bilinear_axis(planes, ax, mask, axis):
@@ -438,25 +333,19 @@ def _bilinear_axis(planes, ax, mask, axis):
     f = jnp.asarray(ax.factors, dtype=jnp.int32)
     if _use_mxu():
         wide = mask != 0xFF
-        bp = _banded_or_full(
-            [(ax.offsets, 1), (ax.offsets + 1, 1)], ax.dim_in, ax.dim_bilin
+        both = np.concatenate(
+            [
+                _onehot_cols(ax.offsets, ax.dim_in),
+                _onehot_cols(ax.offsets + 1, ax.dim_in),
+            ],
+            axis=1,
         )
-        if bp is not None:
-            p, q = bp.apply(planes, axis, wide)
+        pq = _apply_01_matrix(planes, both, axis, wide)
+        n_b = ax.dim_bilin
+        if axis == -1:
+            p, q = pq[..., :n_b], pq[..., n_b:]
         else:
-            both = np.concatenate(
-                [
-                    _onehot_cols(ax.offsets, ax.dim_in),
-                    _onehot_cols(ax.offsets + 1, ax.dim_in),
-                ],
-                axis=1,
-            )
-            pq = _apply_01_matrix(planes, both, axis, wide)
-            n_b = ax.dim_bilin
-            if axis == -1:
-                p, q = pq[..., :n_b], pq[..., n_b:]
-            else:
-                p, q = pq[..., :n_b, :], pq[..., n_b:, :]
+            p, q = pq[..., :n_b, :], pq[..., n_b:, :]
     else:
         p = jnp.take(planes, off, axis=axis)
         q = jnp.take(planes, off + 1, axis=axis)
@@ -509,20 +398,20 @@ def _box_uniform(planes, ax, mask, storage, axis):
 
     if axis == -1:
         g = planes.reshape(planes.shape[:-1] + (n_out, r))
-        mids = jnp.sum(g[..., 1:], axis=-1)
+        mids = jnp.sum(g[..., 1:].astype(jnp.int32), axis=-1)
         if last_short:
             # reference drops the final input element (precalc clamp,
             # generic.c:105-110)
-            mids = mids.at[..., -1].add(-g[..., -1, r - 1])
+            mids = mids.at[..., -1].add(-g[..., -1, r - 1].astype(jnp.int32))
         first = g[..., 0]
         w = jnp.full((n_out,), 255, dtype=jnp.int32).at[0].set(256)
         left = fp.weight256(first, w, mask)
     else:
         w_minor = planes.shape[-1]
         g = planes.reshape(planes.shape[:-2] + (n_out, r, w_minor))
-        mids = jnp.sum(g[..., 1:, :], axis=-2)
+        mids = jnp.sum(g[..., 1:, :].astype(jnp.int32), axis=-2)
         if last_short:
-            mids = mids.at[..., -1, :].add(-g[..., -1, r - 1, :])
+            mids = mids.at[..., -1, :].add(-g[..., -1, r - 1, :].astype(jnp.int32))
         first = g[..., 0, :]
         w = jnp.full((n_out, 1), 255, dtype=jnp.int32).at[0].set(256)
         left = fp.weight256(first, w, mask)
@@ -540,27 +429,18 @@ def _box_h(planes, ax, mask, storage):
     lw = jnp.asarray(arrs["left_w"]).reshape((1,) * (planes.ndim - 1) + (-1,))
     rf = jnp.asarray(arrs["fracs"]).reshape((1,) * (planes.ndim - 1) + (-1,))
     if _use_mxu():
-        groups = [
-            (arrs["mid_start"], arrs["mid_len"]),
-            (arrs["left_idx"], 1),
-            (arrs["right_idx"], 1),
-        ]
-        bp = _banded_or_full(groups, ax.dim_in, n_out)
-        if bp is not None:
-            mids, left_v, right_v = bp.apply(planes, -1, mask != 0xFF)
-        else:
-            combined = np.concatenate(
-                [
-                    _segment_cols(arrs["mid_start"], arrs["mid_len"], ax.dim_in),
-                    _onehot_cols(arrs["left_idx"], ax.dim_in),
-                    _onehot_cols(arrs["right_idx"], ax.dim_in),
-                ],
-                axis=1,
-            )
-            y = _apply_01_matrix(planes, combined, -1, mask != 0xFF)
-            mids = y[..., :n_out]
-            left_v = y[..., n_out : 2 * n_out]
-            right_v = y[..., 2 * n_out :]
+        combined = np.concatenate(
+            [
+                _segment_cols(arrs["mid_start"], arrs["mid_len"], ax.dim_in),
+                _onehot_cols(arrs["left_idx"], ax.dim_in),
+                _onehot_cols(arrs["right_idx"], ax.dim_in),
+            ],
+            axis=1,
+        )
+        y = _apply_01_matrix(planes, combined, -1, mask != 0xFF)
+        mids = y[..., :n_out]
+        left_v = y[..., n_out : 2 * n_out]
+        right_v = y[..., 2 * n_out :]
     else:
         left_v = jnp.take(planes, jnp.asarray(arrs["left_idx"]), axis=-1)
         right_v = jnp.take(planes, jnp.asarray(arrs["right_idx"]), axis=-1)
@@ -580,27 +460,18 @@ def _box_v(planes, ax, mask, storage):
     n_out = ax.dim_out
     bshape = (1,) * (planes.ndim - 2) + (-1, 1)
     if _use_mxu():
-        groups = [
-            (arrs["mid_start"], arrs["mid_len"]),
-            (arrs["first_idx"], 1),
-            (arrs["last_idx"], 1),
-        ]
-        bp = _banded_or_full(groups, ax.dim_in, n_out)
-        if bp is not None:
-            mids, first_rows, last_rows = bp.apply(planes, -2, mask != 0xFF)
-        else:
-            combined = np.concatenate(
-                [
-                    _segment_cols(arrs["mid_start"], arrs["mid_len"], ax.dim_in),
-                    _onehot_cols(arrs["first_idx"], ax.dim_in),
-                    _onehot_cols(arrs["last_idx"], ax.dim_in),
-                ],
-                axis=1,
-            )
-            y = _apply_01_matrix(planes, combined, -2, mask != 0xFF)
-            mids = y[..., :n_out, :]
-            first_rows = y[..., n_out : 2 * n_out, :]
-            last_rows = y[..., 2 * n_out :, :]
+        combined = np.concatenate(
+            [
+                _segment_cols(arrs["mid_start"], arrs["mid_len"], ax.dim_in),
+                _onehot_cols(arrs["first_idx"], ax.dim_in),
+                _onehot_cols(arrs["last_idx"], ax.dim_in),
+            ],
+            axis=1,
+        )
+        y = _apply_01_matrix(planes, combined, -2, mask != 0xFF)
+        mids = y[..., :n_out, :]
+        first_rows = y[..., n_out : 2 * n_out, :]
+        last_rows = y[..., 2 * n_out :, :]
     else:
         first_rows = jnp.take(planes, jnp.asarray(arrs["first_idx"]), axis=-2)
         last_rows = jnp.take(planes, jnp.asarray(arrs["last_idx"]), axis=-2)
@@ -622,6 +493,13 @@ def _box_v(planes, ax, mask, storage):
     return fp.mul_shift_round24(acc, jnp.int32(ax.span_mul)) & out_mask
 
 
+def _store_dtype(plan: ScalePlan, x):
+    """Inter-stage storage: uint8 for 64bpp lanes (values <= 255)."""
+    if plan.storage == StorageType.S64 and x.dtype != jnp.uint8:
+        return x.astype(jnp.uint8)
+    return x
+
+
 def _hfilter(plan: ScalePlan, planes):
     ax = plan.x
     mask = plan.working_mask
@@ -632,8 +510,8 @@ def _hfilter(plan: ScalePlan, planes):
         reps[-1] = ax.dim_out
         return jnp.tile(planes[..., :1], reps)
     if ax.filter.is_bilinear:
-        return _bilinear_axis(planes, ax, mask, axis=-1)
-    return _box_h(planes, ax, mask, plan.storage)
+        return _store_dtype(plan, _bilinear_axis(planes, ax, mask, axis=-1))
+    return _store_dtype(plan, _box_h(planes, ax, mask, plan.storage))
 
 
 def _vfilter(plan: ScalePlan, planes):
@@ -646,8 +524,8 @@ def _vfilter(plan: ScalePlan, planes):
         reps[-2] = ay.dim_out
         return jnp.tile(planes[..., :1, :], reps)
     if ay.filter.is_bilinear:
-        return _bilinear_axis(planes, ay, mask, axis=-2)
-    return _box_v(planes, ay, mask, plan.storage)
+        return _store_dtype(plan, _bilinear_axis(planes, ay, mask, axis=-2))
+    return _store_dtype(plan, _box_v(planes, ay, mask, plan.storage))
 
 
 # -- windowed row ranges (smol_scale_batch analogue / row sharding) -----------

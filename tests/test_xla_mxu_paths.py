@@ -42,21 +42,3 @@ def test_mxu_paths_exact(wi, hi, wo, ho, ti, to, srgb):
     want = numpy_ref.scale(plan, img)
     got = xla.scale(plan, img)
     assert np.array_equal(want, got), (plan.x.filter.name, plan.y.filter.name)
-
-
-@pytest.mark.parametrize(
-    "wi,hi,wo,ho,ti,to,srgb",
-    [
-        (2048, 64, 683, 17, 0, 0, False),   # banded bilinear H (2h ladder)
-        (64, 2048, 17, 683, 0, 0, False),   # banded bilinear V
-        (4096, 8, 300, 8, 0, 0, False),     # banded box H
-        (8, 4096, 8, 300, 0, 0, False),     # banded box V
-        (1024, 32, 768, 9, 4, 4, True),     # banded, 128bpp limb split
-    ],
-)
-def test_banded_paths_exact(wi, hi, wo, ho, ti, to, srgb):
-    img = RNG.integers(0, 256, (hi, wi, 4), np.uint8)
-    plan = ScalePlan(wi, hi, wo, ho, ti, to, srgb)
-    want = numpy_ref.scale(plan, img)
-    got = xla.scale(plan, img)
-    assert np.array_equal(want, got)
