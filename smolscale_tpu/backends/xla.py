@@ -721,13 +721,15 @@ def scale_fn(plan: ScalePlan, img):
     This is the analogue of the reference's runtime backend dispatch
     (get_implementations, smolscale.c:724-814).
     """
-    from ..ops import pallas_box
+    from ..ops import pallas_bilinear, pallas_box
 
     use_pallas = _FORCE_PALLAS
     if use_pallas is None:
         use_pallas = _use_mxu() and img.ndim in (3, 4)
     if use_pallas and pallas_box.applicable(plan):
         return pallas_box.scale_fn(plan, img)
+    if use_pallas and pallas_bilinear.applicable(plan):
+        return pallas_bilinear.scale_fn(plan, img)
     planes = _unpack(plan, img)
     hrows = _hfilter(plan, planes)
     vout = _vfilter(plan, hrows)

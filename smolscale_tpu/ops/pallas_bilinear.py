@@ -1,0 +1,325 @@
+"""Fused Pallas TPU kernel for bilinear(+halvings) scaling, 64bpp storage.
+
+The XLA op-graph path materializes unpacked planes and gathered p/q sample
+arrays in HBM (~16 bytes per input pixel per stage), which bounds the
+bilinear configs at HBM bandwidth.  This kernel runs the whole
+unpack -> H-lerp-ladder -> V-lerp-ladder -> pack pipeline on one VMEM tile,
+so HBM sees the u8 input once plus the small output.
+
+Per grid step (batch b, output-row group gr, output-col tile gc):
+
+* a 2D input window is DMA'd from HBM: rows [rstart[gr], +WINR) x cols
+  [cstart[gc], +WINC), both starts scalar-prefetched (windows are irregular
+  because bilinear offsets are fixed-point positions, precalc_bilinear
+  generic.c:14-66);
+* horizontal p/q sample gathers ride the MXU as a one-hot matmul against a
+  per-tile (WINC, 2*JC) matrix; sample columns are ordered k*JCout + j so
+  the halving-ladder sum (interp_horizontal_bilinear_Nh, generic.c:1290-1361)
+  is a sublane reduction over a leading axis, never a minor-dim reshape;
+* vertical gathers are a second one-hot matmul (2*T*2^kv, WINR) applied to
+  the h-scaled tile, same ordering trick for the vertical ladder
+  (scale_outrow_bilinear_Nh, generic.c:1841-1916);
+* the integer lerp ((p-q)*F>>8)+q runs on the VPU via the proven uint32
+  form (ops.fixedpoint.lerp256); packing assembles u32 pixels.
+
+Applicability: both axes BILINEAR_0H..6H, 64bpp storage, 4-byte formats,
+PREMUL8 internal (unassociated input premultiplied in-kernel), premul
+output.  Everything else falls back to the XLA path.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ..formats import AlphaType, StorageType
+from ..plan import FilterType, ScalePlan
+
+
+def _round_up(x, m):
+    return -(-x // m) * m
+
+
+def applicable(plan: ScalePlan) -> bool:
+    if not (
+        plan.storage == StorageType.S64
+        and plan.internal_alpha == AlphaType.PREMUL8
+        and plan.meta_in.n_bytes == 4
+        and plan.meta_out.n_bytes == 4
+        and plan.meta_out.alpha == AlphaType.PREMUL8
+        and plan.x.filter.is_bilinear
+        and plan.y.filter.is_bilinear
+    ):
+        return False
+    geo = _geometry(plan)
+    return geo is not None
+
+
+@functools.cache
+def _geometry(plan: ScalePlan):
+    """Static tile geometry + tables, or None if budgets don't work out."""
+    kh, kv = plan.x.halvings, plan.y.halvings
+    w_out, h_out = plan.width_out, plan.height_out
+    w_in, h_in = plan.width_in, plan.height_in
+
+    jc_out = min(256, _round_up(w_out, 8))
+    jc = jc_out << kh  # bilinear samples per col tile
+    t = max(1, min(16, 512 >> kv))  # output rows per step
+    n_ct = -(-w_out // jc_out)
+    n_rg = -(-h_out // t)
+
+    xoff, xfac = plan.x.offsets, plan.x.factors
+    yoff, yfac = plan.y.offsets, plan.y.factors
+
+    def clamp_col(j):
+        return min(j, (w_out << kh) - 1)
+
+    def clamp_row(i):
+        return min(i, (h_out << kv) - 1)
+
+    def windows(lo_hi, dim, align):
+        """Aligned window starts + size covering every group's [lo, hi).
+
+        Starts are rounded down to ``align`` (Mosaic DMA slice constraint);
+        clamping a start down can grow the required window, so iterate to a
+        fixpoint.  Returns (starts, win) or None when the axis can't be
+        covered without out-of-bounds reads.
+        """
+        starts = np.array([(lo // align) * align for lo, _ in lo_hi],
+                          dtype=np.int32)
+        for _ in range(4):
+            win = max(hi - st for (lo, hi), st in zip(lo_hi, starts))
+            win = _round_up(win, align)
+            if win >= dim:
+                # whole-axis window: full-extent slice, trivially aligned
+                starts[:] = 0
+                return starts, dim
+            new_starts = np.minimum(starts, ((dim - win) // align) * align)
+            if (new_starts == starts).all():
+                return starts, win
+            starts = new_starts
+        return None
+
+    col_lo_hi = []
+    for g in range(n_ct):
+        samples = [clamp_col(g * jc + k) for k in range(jc)]
+        lo = min(int(xoff[s]) for s in samples)
+        hi = max(int(xoff[s]) for s in samples) + 2
+        col_lo_hi.append((lo, hi))
+    # pad dims so aligned windows always fit (fn pads the input once)
+    w_pad = _round_up(w_in, 128)
+    h_pad = _round_up(h_in, 8)
+    cw = windows(col_lo_hi, w_pad, 128)
+    if cw is None:
+        return None
+    cstart, win_c = cw
+
+    row_lo_hi = []
+    for g in range(n_rg):
+        samples = [clamp_row(g * t * (1 << kv) + k) for k in range(t << kv)]
+        lo = min(int(yoff[s]) for s in samples)
+        hi = max(int(yoff[s]) for s in samples) + 2
+        row_lo_hi.append((lo, hi))
+    rw = windows(row_lo_hi, h_pad, 8)
+    if rw is None:
+        return None
+    rstart, win_r = rw
+
+    # VMEM budget: input window u32 + h matrix bf16 + v matrix bf16 + tiles
+    budget = (
+        win_r * win_c * 4
+        + win_c * 2 * jc * 2
+        + 2 * (t << kv) * win_r * 2
+        + win_r * jc * 4 * 2
+    )
+    if budget > 12 * 2**20:
+        return None
+
+    # H one-hot matrix per col tile: (n_ct, win_c, 2*jc); sample column
+    # order k*jc_out + j so the ladder sums over the leading sample axis.
+    mh = np.zeros((n_ct, win_c, 2 * jc), dtype=np.float32)
+    hfac = np.zeros((n_ct, 1, jc), dtype=np.int32)
+    for g in range(n_ct):
+        for j in range(jc_out):
+            for k in range(1 << kh):
+                s = clamp_col((g * jc_out + j) * (1 << kh) + k)
+                col = k * jc_out + j
+                o = int(xoff[s]) - int(cstart[g])
+                mh[g, o, col] = 1.0
+                mh[g, o + 1, jc + col] = 1.0
+                hfac[g, 0, col] = int(xfac[s])
+    mh = mh.astype(jnp.bfloat16)
+
+    # V one-hot matrix per row group: (n_rg, 2*t*2^kv, win_r), row order
+    # k*t + i.
+    tv = t << kv
+    mv = np.zeros((n_rg, 2 * tv, win_r), dtype=np.float32)
+    vfac = np.zeros((n_rg, tv, 1), dtype=np.int32)
+    for g in range(n_rg):
+        for i in range(t):
+            for k in range(1 << kv):
+                s = clamp_row((g * t + i) * (1 << kv) + k)
+                row = k * t + i
+                o = int(yoff[s]) - int(rstart[g])
+                mv[g, row, o] = 1.0
+                mv[g, tv + row, o + 1] = 1.0
+                vfac[g, row, 0] = int(yfac[s])
+    mv = mv.astype(jnp.bfloat16)
+
+    return dict(
+        kh=kh, kv=kv, jc_out=jc_out, jc=jc, t=t, n_ct=n_ct, n_rg=n_rg,
+        win_c=win_c, win_r=win_r, rstart=rstart, cstart=cstart,
+        mh=mh, hfac=hfac.astype(np.int32), mv=mv, vfac=vfac.astype(np.int32),
+        w_out_pad=n_ct * jc_out, h_out_pad=n_rg * t,
+        w_pad=w_pad, h_pad=h_pad,
+    )
+
+
+def _make_kernel(plan: ScalePlan, geo):
+    in_layout = plan.meta_in.layout
+    out_layout = plan.meta_out.layout
+    unassoc_in = plan.meta_in.alpha == AlphaType.UNASSOCIATED
+    alpha_byte = in_layout.index(3)
+    kh, kv = geo["kh"], geo["kv"]
+    t, tv = geo["t"], geo["t"] << kv
+    jc, jc_out = geo["jc"], geo["jc_out"]
+    win_r, win_c = geo["win_r"], geo["win_c"]
+
+    def kernel(rs_ref, cs_ref, x_any, mh_ref, hfac_ref, mv_ref, vfac_ref,
+               o_ref, xwin, sem):
+        b = pl.program_id(0)
+        gr = pl.program_id(1)
+        gc = pl.program_id(2)
+        rs = pl.multiple_of(rs_ref[gr], 8)
+        cs = pl.multiple_of(cs_ref[gc], 128)
+        dma = pltpu.make_async_copy(
+            x_any.at[b, pl.ds(rs, win_r), pl.ds(cs, win_c)],
+            xwin, sem,
+        )
+        dma.start()
+        dma.wait()
+        px = xwin[...]
+        mh = mh_ref[0]
+        mv = mv_ref[0]
+        hfac = hfac_ref[0].astype(jnp.uint32)  # (1, jc)
+        vfac = vfac_ref[0].astype(jnp.uint32)  # (tv, 1)
+
+        a_vals = ((px >> (8 * alpha_byte)) & jnp.uint32(0xFF)).astype(jnp.int32)
+        out_px = jnp.zeros((t, jc_out), dtype=jnp.uint32)
+        for byte_pos in range(4):
+            ch = ((px >> (8 * byte_pos)) & jnp.uint32(0xFF)).astype(jnp.int32)
+            if unassoc_in and byte_pos != alpha_byte:
+                ch = (((ch + 1) * (a_vals + 1) - 1) >> 8) & 0xFF
+            # H: one-hot gather on MXU, then integer lerp + ladder
+            y = jnp.dot(ch.astype(jnp.bfloat16), mh,
+                        preferred_element_type=jnp.float32)
+            p = y[:, :jc].astype(jnp.int32).astype(jnp.uint32)
+            q = y[:, jc:].astype(jnp.int32).astype(jnp.uint32)
+            s = (p * hfac + q * (jnp.uint32(256) - hfac)) >> 8
+            s = (s & jnp.uint32(0xFF)).astype(jnp.int32)  # (win_r, jc)
+            if kh:
+                s3 = s.reshape(win_r, 1 << kh, jc_out)
+                s = (jnp.sum(s3, axis=1) >> kh) & 0xFF  # (win_r, jc_out)
+            # V: one-hot gather + lerp + ladder
+            yv = jnp.dot(
+                mv, s.astype(jnp.bfloat16), preferred_element_type=jnp.float32
+            )  # (2*tv, jc_out)
+            pv = yv[:tv].astype(jnp.int32).astype(jnp.uint32)
+            qv = yv[tv:].astype(jnp.int32).astype(jnp.uint32)
+            sv = (pv * vfac + qv * (jnp.uint32(256) - vfac)) >> 8
+            sv = (sv & jnp.uint32(0xFF)).astype(jnp.int32)  # (tv, jc_out)
+            if kv:
+                sv3 = sv.reshape(1 << kv, t, jc_out)
+                sv = (jnp.sum(sv3, axis=0) >> kv) & 0xFF
+            out_byte = out_layout.index(in_layout[byte_pos])
+            out_px = out_px | (sv.astype(jnp.uint32) << (8 * out_byte))
+        o_ref[0] = out_px
+
+    return kernel
+
+
+@functools.cache
+def _built(plan: ScalePlan, batch: int):
+    geo = _geometry(plan)
+    kernel = _make_kernel(plan, geo)
+    t, jc_out = geo["t"], geo["jc_out"]
+    grid = (batch, geo["n_rg"], geo["n_ct"])
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,  # rstart, cstart
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.HBM),  # full input, DMA'd manually
+            pl.BlockSpec(
+                (1, geo["win_c"], 2 * geo["jc"]),
+                lambda b, gr, gc, *_: (gc, 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(
+                (1, 1, geo["jc"]),
+                lambda b, gr, gc, *_: (gc, 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(
+                (1, 2 * (t << geo["kv"]), geo["win_r"]),
+                lambda b, gr, gc, *_: (gr, 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(
+                (1, t << geo["kv"], 1),
+                lambda b, gr, gc, *_: (gr, 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+        ],
+        out_specs=pl.BlockSpec(
+            (1, t, jc_out), lambda b, gr, gc, *_: (b, gr, gc),
+            memory_space=pltpu.VMEM,
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((geo["win_r"], geo["win_c"]), jnp.uint32),
+            pltpu.SemaphoreType.DMA,
+        ],
+    )
+
+    call = pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct(
+            (batch, geo["h_out_pad"], geo["w_out_pad"]), jnp.uint32
+        ),
+        grid_spec=grid_spec,
+    )
+
+    h_out, w_out = plan.height_out, plan.width_out
+
+    h_in, w_in = plan.height_in, plan.width_in
+
+    def fn(imgs_u8):
+        px = jax.lax.bitcast_convert_type(imgs_u8, jnp.uint32)
+        if geo["h_pad"] != h_in or geo["w_pad"] != w_in:
+            px = jnp.pad(
+                px,
+                [(0, 0), (0, geo["h_pad"] - h_in), (0, geo["w_pad"] - w_in)],
+            )
+        out = call(
+            jnp.asarray(geo["rstart"]), jnp.asarray(geo["cstart"]), px,
+            jnp.asarray(geo["mh"]), jnp.asarray(geo["hfac"]),
+            jnp.asarray(geo["mv"]), jnp.asarray(geo["vfac"]),
+        )
+        out = out[:, :h_out, :w_out]
+        return jax.lax.bitcast_convert_type(out, jnp.uint8)
+
+    return fn
+
+
+def scale_fn(plan: ScalePlan, imgs):
+    """(B, H, W, 4) u8 -> (B, h, w, 4) u8.  Caller checks applicable()."""
+    squeeze = imgs.ndim == 3
+    if squeeze:
+        imgs = imgs[None]
+    out = _built(plan, imgs.shape[0])(imgs)
+    return out[0] if squeeze else out

@@ -1,0 +1,49 @@
+"""Pallas fused bilinear kernel: bit-exactness in interpreter mode (CPU)."""
+
+from unittest import mock
+
+import numpy as np
+import pytest
+from jax.experimental import pallas as pl
+
+from smolscale_tpu.backends import numpy_ref
+from smolscale_tpu.ops import pallas_bilinear
+from smolscale_tpu.plan import ScalePlan
+
+RNG = np.random.default_rng(77)
+_ORIG = pl.pallas_call
+
+
+def _interp_call(*a, **k):
+    return _ORIG(*a, **k, interpret=True)
+
+
+@pytest.mark.parametrize(
+    "wi,hi,wo,ho,ti,to",
+    [
+        (512, 512, 1024, 1024, 5, 0),  # 0h upscale, unassociated input
+        (300, 200, 290, 190, 0, 0),    # 0h mild downscale, odd sizes
+        (512, 256, 96, 56, 0, 1),      # 2h ladder + reorder
+        (700, 500, 123, 77, 2, 3),     # 2h, tails on both axes
+        (64, 64, 16, 16, 0, 0),        # 1h
+    ],
+)
+def test_pallas_bilinear_exact(wi, hi, wo, ho, ti, to):
+    plan = ScalePlan(wi, hi, wo, ho, ti, to, False)
+    assert pallas_bilinear.applicable(plan)
+    pallas_bilinear._built.cache_clear()
+    img = RNG.integers(0, 256, (2, hi, wi, 4), dtype=np.uint8)
+    with mock.patch.object(pl, "pallas_call", _interp_call):
+        got = np.asarray(pallas_bilinear.scale_fn(plan, img))
+    want = np.stack([numpy_ref.scale(plan, img[i]) for i in range(2)])
+    assert np.array_equal(want, got)
+    pallas_bilinear._built.cache_clear()
+
+
+def test_applicability_gate():
+    # box plans belong to the box kernel
+    assert not pallas_bilinear.applicable(ScalePlan(4096, 64, 256, 8, 0, 0, False))
+    # srgb -> 128bpp storage
+    assert not pallas_bilinear.applicable(ScalePlan(512, 512, 256, 256, 0, 0, True))
+    # unassociated output needs the inv-div pack
+    assert not pallas_bilinear.applicable(ScalePlan(512, 512, 256, 256, 0, 4, False))
