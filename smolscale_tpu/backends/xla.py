@@ -725,7 +725,11 @@ def scale_fn(plan: ScalePlan, img):
 
     use_pallas = _FORCE_PALLAS
     if use_pallas is None:
-        use_pallas = _use_mxu() and img.ndim in (3, 4)
+        try:
+            on_tpu = jax.default_backend() == "tpu"
+        except RuntimeError:  # pragma: no cover
+            on_tpu = False
+        use_pallas = on_tpu and img.ndim in (3, 4)
     if use_pallas and pallas_box.applicable(plan):
         return pallas_box.scale_fn(plan, img)
     if use_pallas and pallas_bilinear.applicable(plan):
