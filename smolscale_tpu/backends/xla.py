@@ -712,6 +712,40 @@ def pad_rows(plan: ScalePlan, tables: RowShardTables, img):
 
 _FORCE_PALLAS = None  # None = auto (TPU + applicable), False = never
 
+# 24bpp types mapped to byte-compatible 32bpp premultiplied surrogates
+# (RGB8 bytes == first 3 bytes of RGBA; BGR8 == first 3 of BGRA).
+_SURROGATE_4B = {8: 0, 9: 1}
+
+
+def _adapt_24bpp(plan: ScalePlan):
+    """Surrogate 4-byte plan for 24bpp endpoints, or None.
+
+    Valid because the 24bpp unpack is exactly the 32bpp premul unpack with
+    a constant 0xff alpha channel, and that channel is filtered like any
+    other; dropping it at pack recovers the 24bpp output byte-for-byte.
+    """
+    ti, to = int(plan.pixel_type_in), int(plan.pixel_type_out)
+    if plan.meta_in.n_bytes == 4 and plan.meta_out.n_bytes == 4:
+        return None
+    sti = _SURROGATE_4B.get(ti, ti)
+    sto = _SURROGATE_4B.get(to, to)
+    from ..formats import get_meta
+
+    if get_meta(sti).n_bytes != 4 or get_meta(sto).n_bytes != 4:
+        return None
+    sp = ScalePlan(
+        plan.width_in, plan.height_in, plan.width_out, plan.height_out,
+        sti, sto, plan.with_srgb,
+    )
+    # surrogate must make identical planner decisions
+    if (
+        sp.storage != plan.storage
+        or sp.internal_alpha != plan.internal_alpha
+        or sp.gamma != plan.gamma
+    ):
+        return None
+    return sp, plan.meta_in.n_bytes == 3, plan.meta_out.n_bytes == 3
+
 
 def scale_fn(plan: ScalePlan, img):
     """Traceable scale: (..., H, W, nb_in) u8 -> (..., h, w, nb_out) u8.
@@ -734,6 +768,23 @@ def scale_fn(plan: ScalePlan, img):
         return pallas_box.scale_fn(plan, img)
     if use_pallas and pallas_bilinear.applicable(plan):
         return pallas_bilinear.scale_fn(plan, img)
+    if use_pallas:
+        adapted = _adapt_24bpp(plan)
+        if adapted is not None:
+            sp, pad_in, slice_out = adapted
+            if pallas_box.applicable(sp) or pallas_bilinear.applicable(sp):
+                x = img
+                if pad_in:
+                    # alpha byte = 255: the reference unpacks 24bpp with
+                    # alpha 0xff and filters it like any channel
+                    # (unpack_pixel_123_*, generic.c:353-358), so the
+                    # surrogate 32bpp run is bit-identical.
+                    pad = [(0, 0)] * img.ndim
+                    pad[-1] = (0, 1)
+                    x = jnp.pad(img, pad, constant_values=255)
+                kern = pallas_box if pallas_box.applicable(sp) else pallas_bilinear
+                out = kern.scale_fn(sp, x)
+                return out[..., :3] if slice_out else out
     planes = _unpack(plan, img)
     hrows = _hfilter(plan, planes)
     vout = _vfilter(plan, hrows)

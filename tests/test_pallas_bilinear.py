@@ -47,3 +47,37 @@ def test_applicability_gate():
     assert not pallas_bilinear.applicable(ScalePlan(512, 512, 256, 256, 0, 0, True))
     # unassociated output needs the inv-div pack
     assert not pallas_bilinear.applicable(ScalePlan(512, 512, 256, 256, 0, 4, False))
+
+
+@pytest.mark.parametrize(
+    "wi,hi,wo,ho,ti,to",
+    [
+        (512, 256, 96, 56, 8, 8),    # RGB24->RGB24 ladder
+        (384, 256, 3, 2, 8, 9),      # RGB24->BGR8 deep box
+        (512, 256, 96, 56, 8, 0),    # RGB24->RGBA
+        (300, 200, 290, 190, 0, 8),  # RGBA->RGB24
+    ],
+)
+def test_24bpp_surrogate_exact(wi, hi, wo, ho, ti, to):
+    """24bpp endpoints run through the 4-byte kernels via the RGBX
+    surrogate (alpha byte = 255, dropped at pack)."""
+    import jax
+
+    from smolscale_tpu.backends import xla
+    from smolscale_tpu.ops import pallas_box
+
+    plan = ScalePlan(wi, hi, wo, ho, ti, to, False)
+    pallas_box._built.cache_clear()
+    pallas_bilinear._built.cache_clear()
+    nbi = 3 if ti >= 8 else 4
+    img = RNG.integers(0, 256, (2, hi, wi, nbi), np.uint8)
+    xla._FORCE_PALLAS = True
+    try:
+        with mock.patch.object(pl, "pallas_call", _interp_call):
+            got = np.asarray(jax.jit(lambda v: xla.scale_fn(plan, v))(img))
+    finally:
+        xla._FORCE_PALLAS = None
+        pallas_box._built.cache_clear()
+        pallas_bilinear._built.cache_clear()
+    want = np.stack([numpy_ref.scale(plan, img[i]) for i in range(2)])
+    assert np.array_equal(want, got)
