@@ -67,7 +67,9 @@ def _geometry(plan: ScalePlan):
     w_out, h_out = plan.width_out, plan.height_out
     w_in, h_in = plan.width_in, plan.height_in
 
-    jc_out = min(256, _round_up(w_out, 8))
+    # >= 128 keeps every reshape's minor dim at full lane width (Mosaic
+    # rejects shape casts to sub-128 minor dims); small outputs just clamp.
+    jc_out = min(256, max(128, _round_up(w_out, 8)))
     jc = jc_out << kh  # bilinear samples per col tile
     t = max(1, min(16, 512 >> kv))  # output rows per step
     n_ct = -(-w_out // jc_out)
