@@ -324,10 +324,13 @@ def _box_axis(planes, ax, mask, storage, axis_is_vertical):
 
 def scale(plan: ScalePlan, img: np.ndarray) -> np.ndarray:
     """Scale one image: (H_in, W_in, n_bytes_in) u8 -> (H_out, W_out, n_bytes_out) u8."""
-    assert img.shape == (plan.height_in, plan.width_in, plan.meta_in.n_bytes), (
-        img.shape,
-        (plan.height_in, plan.width_in, plan.meta_in.n_bytes),
-    )
+    expect = (plan.height_in, plan.width_in, plan.meta_in.n_bytes)
+    if img.shape != expect:
+        raise ValueError(
+            f"input shape {img.shape} does not match plan "
+            f"(H_in, W_in, n_bytes_in) = {expect} for "
+            f"{plan.pixel_type_in.name}"
+        )
     planes = unpack(plan, img)
     hrows = hfilter(plan, planes)
     vout = vfilter(plan, hrows)
