@@ -1,9 +1,12 @@
-"""Fused Pallas TPU kernel for bilinear(+halvings) scaling, 64bpp storage.
+"""General fused Pallas TPU scaling kernel: bilinear(+halvings) and/or
+non-uniform box per axis, 64bpp storage.  (Integer-ratio box-x-box plans
+take the cheaper reshape-reduce kernel in pallas_box.py; this one covers
+everything else the 64bpp premul pipeline can express.)
 
 The XLA op-graph path materializes unpacked planes and gathered p/q sample
-arrays in HBM (~16 bytes per input pixel per stage), which bounds the
-bilinear configs at HBM bandwidth.  This kernel runs the whole
-unpack -> H-lerp-ladder -> V-lerp-ladder -> pack pipeline on one VMEM tile,
+arrays in HBM (~16 bytes per input pixel per stage), which bounds these
+configs at HBM bandwidth.  This kernel runs the whole
+unpack -> H-filter -> V-filter -> pack pipeline on one VMEM tile,
 so HBM sees the u8 input once plus the small output.
 
 Per grid step (batch b, output-row group gr, output-col tile gc):
@@ -52,9 +55,15 @@ def applicable(plan: ScalePlan) -> bool:
         and plan.meta_in.n_bytes == 4
         and plan.meta_out.n_bytes == 4
         and plan.meta_out.alpha == AlphaType.PREMUL8
-        and plan.x.filter.is_bilinear
-        and plan.y.filter.is_bilinear
+        and (plan.x.filter.is_bilinear or plan.x.filter == FilterType.BOX)
+        and (plan.y.filter.is_bilinear or plan.y.filter == FilterType.BOX)
     ):
+        return False
+    if plan.x.filter == FilterType.BOX and plan.y.filter == FilterType.BOX:
+        # integer-ratio box-x-box goes to the reshape kernel (pallas_box);
+        # non-integer box-x-box measured faster on the XLA segment-matmul
+        # path (12.7 vs 10.7 Gpix/s at 13.7:1) -- the per-tile windows of
+        # this kernel re-read more HBM than the one big matmul.
         return False
     geo = _geometry(plan)
     return geo is not None
@@ -62,21 +71,42 @@ def applicable(plan: ScalePlan) -> bool:
 
 @functools.cache
 def _geometry(plan: ScalePlan):
-    """Static tile geometry + tables, or None if budgets don't work out."""
-    kh, kv = plan.x.halvings, plan.y.halvings
+    """Static tile geometry + tables, or None if budgets don't work out.
+
+    Each axis is either a bilinear ladder (one-hot p/q matmul + lerp +
+    halving reduce) or a general box (segment/edge matmul + span
+    normalization, the walk of interp_horizontal_boxes generic.c:1427-1556
+    and scale_outrow_box generic.c:2112-2161 as static per-tile tables).
+    """
+    from ..backends.xla import _box_h_arrays, _box_v_arrays
+
+    h_is_box = plan.x.filter == FilterType.BOX
+    v_is_box = plan.y.filter == FilterType.BOX
+    kh = 0 if h_is_box else plan.x.halvings
+    kv = 0 if v_is_box else plan.y.halvings
     w_out, h_out = plan.width_out, plan.height_out
     w_in, h_in = plan.width_in, plan.height_in
 
     # >= 128 keeps every reshape's minor dim at full lane width (Mosaic
     # rejects shape casts to sub-128 minor dims); small outputs just clamp.
     jc_out = min(256, max(128, _round_up(w_out, 8)))
-    jc = jc_out << kh  # bilinear samples per col tile
-    t = max(1, min(16, 512 >> kv))  # output rows per step
+    jc = jc_out << kh  # bilinear samples per col tile (== jc_out for box)
+    # rows of input needed per output row, to budget the row-group size
+    est = -(-h_in // h_out) + 2 if v_is_box else (1 << kv) + 1
+    t = max(1, min(16, 512 // est))
     n_ct = -(-w_out // jc_out)
     n_rg = -(-h_out // t)
 
     xoff, xfac = plan.x.offsets, plan.x.factors
     yoff, yfac = plan.y.offsets, plan.y.factors
+    bh = _box_h_arrays(plan.x) if h_is_box else None
+    bv = _box_v_arrays(plan.y) if v_is_box else None
+
+    def clamp_out_col(j):
+        return min(j, w_out - 1)
+
+    def clamp_out_row(i):
+        return min(i, h_out - 1)
 
     def clamp_col(j):
         return min(j, (w_out << kh) - 1)
@@ -109,9 +139,16 @@ def _geometry(plan: ScalePlan):
 
     col_lo_hi = []
     for g in range(n_ct):
-        samples = [clamp_col(g * jc + k) for k in range(jc)]
-        lo = min(int(xoff[s]) for s in samples)
-        hi = max(int(xoff[s]) for s in samples) + 2
+        if h_is_box:
+            outs = [clamp_out_col(g * jc_out + j) for j in range(jc_out)]
+            lo = min(int(bh["left_idx"][j]) for j in outs)
+            lo = min(lo, min(int(bh["mid_start"][j]) for j in outs))
+            hi = max(int(bh["right_idx"][j]) + 1 for j in outs)
+            hi = max(hi, max(int(bh["mid_start"][j] + bh["mid_len"][j]) for j in outs))
+        else:
+            samples = [clamp_col(g * jc + k) for k in range(jc)]
+            lo = min(int(xoff[s]) for s in samples)
+            hi = max(int(xoff[s]) for s in samples) + 2
         col_lo_hi.append((lo, hi))
     # pad dims so aligned windows always fit (fn pads the input once)
     w_pad = _round_up(w_in, 128)
@@ -123,9 +160,16 @@ def _geometry(plan: ScalePlan):
 
     row_lo_hi = []
     for g in range(n_rg):
-        samples = [clamp_row(g * t * (1 << kv) + k) for k in range(t << kv)]
-        lo = min(int(yoff[s]) for s in samples)
-        hi = max(int(yoff[s]) for s in samples) + 2
+        if v_is_box:
+            outs = [clamp_out_row(g * t + i) for i in range(t)]
+            lo = min(int(bv["first_idx"][i]) for i in outs)
+            lo = min(lo, min(int(bv["mid_start"][i]) for i in outs))
+            hi = max(int(bv["last_idx"][i]) + 1 for i in outs)
+            hi = max(hi, max(int(bv["mid_start"][i] + bv["mid_len"][i]) for i in outs))
+        else:
+            samples = [clamp_row(g * t * (1 << kv) + k) for k in range(t << kv)]
+            lo = min(int(yoff[s]) for s in samples)
+            hi = max(int(yoff[s]) for s in samples) + 2
         row_lo_hi.append((lo, hi))
     rw = windows(row_lo_hi, h_pad, 8)
     if rw is None:
@@ -133,44 +177,77 @@ def _geometry(plan: ScalePlan):
     rstart, win_r = rw
 
     # VMEM budget: input window u32 + h matrix bf16 + v matrix bf16 + tiles
+    mh_cols = 3 * jc_out if h_is_box else 2 * jc
+    mv_rows = 3 * t if v_is_box else 2 * (t << kv)
     budget = (
         win_r * win_c * 4
-        + win_c * 2 * jc * 2
-        + 2 * (t << kv) * win_r * 2
-        + win_r * jc * 4 * 2
+        + win_c * mh_cols * 2
+        + mv_rows * win_r * 2
+        + win_r * max(jc, jc_out) * 4 * 2
     )
     if budget > 12 * 2**20:
         return None
 
-    # H one-hot matrix per col tile: (n_ct, win_c, 2*jc); sample column
-    # order k*jc_out + j so the ladder sums over the leading sample axis.
-    mh = np.zeros((n_ct, win_c, 2 * jc), dtype=np.float32)
-    hfac = np.zeros((n_ct, 1, jc), dtype=np.int32)
-    for g in range(n_ct):
-        for j in range(jc_out):
-            for k in range(1 << kh):
-                s = clamp_col((g * jc_out + j) * (1 << kh) + k)
-                col = k * jc_out + j
-                o = int(xoff[s]) - int(cstart[g])
-                mh[g, o, col] = 1.0
-                mh[g, o + 1, jc + col] = 1.0
-                hfac[g, 0, col] = int(xfac[s])
+    # H matrix per col tile.  Bilinear: (win_c, 2*jc) one-hots, sample
+    # column order k*jc_out + j so the ladder sums over the leading sample
+    # axis.  Box: (win_c, 3*jc_out) = [segments | left | right] one-hots
+    # with per-output edge weights in hfac rows (0=left_w, 1=right_F).
+    if h_is_box:
+        mh = np.zeros((n_ct, win_c, 3 * jc_out), dtype=np.float32)
+        hfac = np.zeros((n_ct, 2, jc_out), dtype=np.int32)
+        for g in range(n_ct):
+            for j in range(jc_out):
+                oj = clamp_out_col(g * jc_out + j)
+                base = int(cstart[g])
+                ms, ml = int(bh["mid_start"][oj]), int(bh["mid_len"][oj])
+                mh[g, ms - base : ms - base + ml, j] = 1.0
+                mh[g, int(bh["left_idx"][oj]) - base, jc_out + j] = 1.0
+                mh[g, int(bh["right_idx"][oj]) - base, 2 * jc_out + j] = 1.0
+                hfac[g, 0, j] = int(bh["left_w"][oj])
+                hfac[g, 1, j] = int(bh["fracs"][oj])
+    else:
+        mh = np.zeros((n_ct, win_c, 2 * jc), dtype=np.float32)
+        hfac = np.zeros((n_ct, 2, jc), dtype=np.int32)
+        for g in range(n_ct):
+            for j in range(jc_out):
+                for k in range(1 << kh):
+                    s = clamp_col((g * jc_out + j) * (1 << kh) + k)
+                    col = k * jc_out + j
+                    o = int(xoff[s]) - int(cstart[g])
+                    mh[g, o, col] = 1.0
+                    mh[g, o + 1, jc + col] = 1.0
+                    hfac[g, 0, col] = int(xfac[s])
     mh = mh.astype(jnp.bfloat16)
 
-    # V one-hot matrix per row group: (n_rg, 2*t*2^kv, win_r), row order
-    # k*t + i.
+    # V matrix per row group.  Bilinear: (2*t*2^kv, win_r) one-hot rows,
+    # order k*t + i.  Box: (3*t, win_r) = [segments; first; last] with
+    # per-output weights in vfac cols (0=w1, 1=w2).
     tv = t << kv
-    mv = np.zeros((n_rg, 2 * tv, win_r), dtype=np.float32)
-    vfac = np.zeros((n_rg, tv, 1), dtype=np.int32)
-    for g in range(n_rg):
-        for i in range(t):
-            for k in range(1 << kv):
-                s = clamp_row((g * t + i) * (1 << kv) + k)
-                row = k * t + i
-                o = int(yoff[s]) - int(rstart[g])
-                mv[g, row, o] = 1.0
-                mv[g, tv + row, o + 1] = 1.0
-                vfac[g, row, 0] = int(yfac[s])
+    if v_is_box:
+        mv = np.zeros((n_rg, 3 * t, win_r), dtype=np.float32)
+        vfac = np.zeros((n_rg, t, 2), dtype=np.int32)
+        for g in range(n_rg):
+            for i in range(t):
+                oi = clamp_out_row(g * t + i)
+                base = int(rstart[g])
+                ms, ml = int(bv["mid_start"][oi]), int(bv["mid_len"][oi])
+                mv[g, i, ms - base : ms - base + ml] = 1.0
+                mv[g, t + i, int(bv["first_idx"][oi]) - base] = 1.0
+                mv[g, 2 * t + i, int(bv["last_idx"][oi]) - base] = 1.0
+                vfac[g, i, 0] = int(bv["w1"][oi])
+                vfac[g, i, 1] = int(bv["w2"][oi])
+    else:
+        mv = np.zeros((n_rg, 2 * tv, win_r), dtype=np.float32)
+        vfac = np.zeros((n_rg, tv, 2), dtype=np.int32)
+        for g in range(n_rg):
+            for i in range(t):
+                for k in range(1 << kv):
+                    s = clamp_row((g * t + i) * (1 << kv) + k)
+                    row = k * t + i
+                    o = int(yoff[s]) - int(rstart[g])
+                    mv[g, row, o] = 1.0
+                    mv[g, tv + row, o + 1] = 1.0
+                    vfac[g, row, 0] = int(yfac[s])
     mv = mv.astype(jnp.bfloat16)
 
     return dict(
@@ -179,7 +256,18 @@ def _geometry(plan: ScalePlan):
         mh=mh, hfac=hfac.astype(np.int32), mv=mv, vfac=vfac.astype(np.int32),
         w_out_pad=n_ct * jc_out, h_out_pad=n_rg * t,
         w_pad=w_pad, h_pad=h_pad,
+        h_is_box=h_is_box, v_is_box=v_is_box,
+        span_mul_x=int(plan.x.span_mul), span_mul_y=int(plan.y.span_mul),
     )
+
+
+def _mul_shift_round24(a, m):
+    """In-kernel copy of ops.fixedpoint.mul_shift_round24 (int32 split)."""
+    ah, al = a >> 12, a & 0xFFF
+    mh_, ml = m >> 12, m & 0xFFF
+    w = al * ml + (1 << 23)
+    y = ah * ml + al * mh_ + (w >> 12)
+    return ah * mh_ + (y >> 12)
 
 
 def _make_kernel(plan: ScalePlan, geo):
@@ -191,6 +279,8 @@ def _make_kernel(plan: ScalePlan, geo):
     t, tv = geo["t"], geo["t"] << kv
     jc, jc_out = geo["jc"], geo["jc_out"]
     win_r, win_c = geo["win_r"], geo["win_c"]
+    h_is_box, v_is_box = geo["h_is_box"], geo["v_is_box"]
+    span_mul_x, span_mul_y = geo["span_mul_x"], geo["span_mul_y"]
 
     def kernel(rs_ref, cs_ref, x_any, mh_ref, hfac_ref, mv_ref, vfac_ref,
                o_ref, xwin, sem):
@@ -208,8 +298,6 @@ def _make_kernel(plan: ScalePlan, geo):
         px = xwin[...]
         mh = mh_ref[0]
         mv = mv_ref[0]
-        hfac = hfac_ref[0].astype(jnp.uint32)  # (1, jc)
-        vfac = vfac_ref[0].astype(jnp.uint32)  # (tv, 1)
 
         a_vals = ((px >> (8 * alpha_byte)) & jnp.uint32(0xFF)).astype(jnp.int32)
         out_px = jnp.zeros((t, jc_out), dtype=jnp.uint32)
@@ -217,27 +305,56 @@ def _make_kernel(plan: ScalePlan, geo):
             ch = ((px >> (8 * byte_pos)) & jnp.uint32(0xFF)).astype(jnp.int32)
             if unassoc_in and byte_pos != alpha_byte:
                 ch = (((ch + 1) * (a_vals + 1) - 1) >> 8) & 0xFF
-            # H: one-hot gather on MXU, then integer lerp + ladder
             y = jnp.dot(ch.astype(jnp.bfloat16), mh,
                         preferred_element_type=jnp.float32)
-            p = y[:, :jc].astype(jnp.int32).astype(jnp.uint32)
-            q = y[:, jc:].astype(jnp.int32).astype(jnp.uint32)
-            s = (p * hfac + q * (jnp.uint32(256) - hfac)) >> 8
-            s = (s & jnp.uint32(0xFF)).astype(jnp.int32)  # (win_r, jc)
-            if kh:
-                s3 = s.reshape(win_r, 1 << kh, jc_out)
-                s = (jnp.sum(s3, axis=1) >> kh) & 0xFF  # (win_r, jc_out)
-            # V: one-hot gather + lerp + ladder
+            if h_is_box:
+                # acc = (left*w1>>8) + mids + (right*F>>8); normalize
+                # (interp_horizontal_boxes + scale_64bpp, generic.c:1427-1479)
+                mids = y[:, :jc_out].astype(jnp.int32)
+                left = y[:, jc_out : 2 * jc_out].astype(jnp.int32).astype(jnp.uint32)
+                right = y[:, 2 * jc_out :].astype(jnp.int32).astype(jnp.uint32)
+                lw = hfac_ref[0, 0:1, :].astype(jnp.uint32)
+                rf = hfac_ref[0, 1:2, :].astype(jnp.uint32)
+                acc = (
+                    ((left * lw >> 8) & jnp.uint32(0xFF)).astype(jnp.int32)
+                    + mids
+                    + ((right * rf >> 8) & jnp.uint32(0xFF)).astype(jnp.int32)
+                )
+                s = _mul_shift_round24(acc, jnp.int32(span_mul_x)) & 0xFF
+            else:
+                hfac = hfac_ref[0, 0:1, :].astype(jnp.uint32)  # (1, jc)
+                p = y[:, :jc].astype(jnp.int32).astype(jnp.uint32)
+                q = y[:, jc:].astype(jnp.int32).astype(jnp.uint32)
+                s = (p * hfac + q * (jnp.uint32(256) - hfac)) >> 8
+                s = (s & jnp.uint32(0xFF)).astype(jnp.int32)  # (win_r, jc)
+                if kh:
+                    s3 = s.reshape(win_r, 1 << kh, jc_out)
+                    s = (jnp.sum(s3, axis=1) >> kh) & 0xFF
             yv = jnp.dot(
                 mv, s.astype(jnp.bfloat16), preferred_element_type=jnp.float32
-            )  # (2*tv, jc_out)
-            pv = yv[:tv].astype(jnp.int32).astype(jnp.uint32)
-            qv = yv[tv:].astype(jnp.int32).astype(jnp.uint32)
-            sv = (pv * vfac + qv * (jnp.uint32(256) - vfac)) >> 8
-            sv = (sv & jnp.uint32(0xFF)).astype(jnp.int32)  # (tv, jc_out)
-            if kv:
-                sv3 = sv.reshape(1 << kv, t, jc_out)
-                sv = (jnp.sum(sv3, axis=0) >> kv) & 0xFF
+            )
+            if v_is_box:
+                # (scale_outrow_box_64bpp, generic.c:2112-2161)
+                midsv = yv[:t].astype(jnp.int32)
+                first = yv[t : 2 * t].astype(jnp.int32).astype(jnp.uint32)
+                last = yv[2 * t :].astype(jnp.int32).astype(jnp.uint32)
+                w1 = vfac_ref[0, :, 0:1].astype(jnp.uint32)
+                w2 = vfac_ref[0, :, 1:2].astype(jnp.uint32)
+                accv = (
+                    ((first * w1 >> 8) & jnp.uint32(0xFF)).astype(jnp.int32)
+                    + midsv
+                    + ((last * w2 >> 8) & jnp.uint32(0xFF)).astype(jnp.int32)
+                )
+                sv = _mul_shift_round24(accv, jnp.int32(span_mul_y)) & 0xFF
+            else:
+                vfac = vfac_ref[0, :, 0:1].astype(jnp.uint32)  # (tv, 1)
+                pv = yv[:tv].astype(jnp.int32).astype(jnp.uint32)
+                qv = yv[tv:].astype(jnp.int32).astype(jnp.uint32)
+                sv = (pv * vfac + qv * (jnp.uint32(256) - vfac)) >> 8
+                sv = (sv & jnp.uint32(0xFF)).astype(jnp.int32)  # (tv, jc_out)
+                if kv:
+                    sv3 = sv.reshape(1 << kv, t, jc_out)
+                    sv = (jnp.sum(sv3, axis=0) >> kv) & 0xFF
             out_byte = out_layout.index(in_layout[byte_pos])
             out_px = out_px | (sv.astype(jnp.uint32) << (8 * out_byte))
         o_ref[0] = out_px
@@ -258,22 +375,22 @@ def _built(plan: ScalePlan, batch: int):
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.HBM),  # full input, DMA'd manually
             pl.BlockSpec(
-                (1, geo["win_c"], 2 * geo["jc"]),
+                (1,) + geo["mh"].shape[1:],
                 lambda b, gr, gc, *_: (gc, 0, 0),
                 memory_space=pltpu.VMEM,
             ),
             pl.BlockSpec(
-                (1, 1, geo["jc"]),
+                (1,) + geo["hfac"].shape[1:],
                 lambda b, gr, gc, *_: (gc, 0, 0),
                 memory_space=pltpu.VMEM,
             ),
             pl.BlockSpec(
-                (1, 2 * (t << geo["kv"]), geo["win_r"]),
+                (1,) + geo["mv"].shape[1:],
                 lambda b, gr, gc, *_: (gr, 0, 0),
                 memory_space=pltpu.VMEM,
             ),
             pl.BlockSpec(
-                (1, t << geo["kv"], 1),
+                (1,) + geo["vfac"].shape[1:],
                 lambda b, gr, gc, *_: (gr, 0, 0),
                 memory_space=pltpu.VMEM,
             ),

@@ -41,12 +41,29 @@ def test_pallas_bilinear_exact(wi, hi, wo, ho, ti, to):
 
 
 def test_applicability_gate():
-    # box plans belong to the box kernel
-    assert not pallas_bilinear.applicable(ScalePlan(4096, 64, 256, 8, 0, 0, False))
     # srgb -> 128bpp storage
     assert not pallas_bilinear.applicable(ScalePlan(512, 512, 256, 256, 0, 0, True))
     # unassociated output needs the inv-div pack
     assert not pallas_bilinear.applicable(ScalePlan(512, 512, 256, 256, 0, 4, False))
+
+
+@pytest.mark.parametrize(
+    "wi,hi,wo,ho,ti,to",
+    [
+        (1100, 300, 80, 100, 0, 0), # box H (13.75:1) x bilinear V
+        (300, 1100, 100, 80, 4, 1), # bilinear H x box V, unassoc in
+    ],
+)
+def test_general_box_paths_exact(wi, hi, wo, ho, ti, to):
+    plan = ScalePlan(wi, hi, wo, ho, ti, to, False)
+    assert pallas_bilinear.applicable(plan)
+    pallas_bilinear._built.cache_clear()
+    img = RNG.integers(0, 256, (2, hi, wi, 4), dtype=np.uint8)
+    with mock.patch.object(pl, "pallas_call", _interp_call):
+        got = np.asarray(pallas_bilinear.scale_fn(plan, img))
+    want = np.stack([numpy_ref.scale(plan, img[i]) for i in range(2)])
+    assert np.array_equal(want, got)
+    pallas_bilinear._built.cache_clear()
 
 
 @pytest.mark.parametrize(
@@ -81,3 +98,9 @@ def test_24bpp_surrogate_exact(wi, hi, wo, ho, ti, to):
         pallas_bilinear._built.cache_clear()
     want = np.stack([numpy_ref.scale(plan, img[i]) for i in range(2)])
     assert np.array_equal(want, got)
+
+
+def test_pure_box_goes_elsewhere():
+    # integer-ratio box -> pallas_box kernel; non-integer box-x-box -> XLA
+    assert not pallas_bilinear.applicable(ScalePlan(640, 640, 64, 64, 0, 0, False))
+    assert not pallas_bilinear.applicable(ScalePlan(4096, 64, 300, 8, 0, 0, False))
