@@ -103,4 +103,4 @@ def test_24bpp_surrogate_exact(wi, hi, wo, ho, ti, to):
 def test_pure_box_goes_elsewhere():
     # integer-ratio box -> pallas_box kernel; non-integer box-x-box -> XLA
     assert not pallas_bilinear.applicable(ScalePlan(640, 640, 64, 64, 0, 0, False))
-    assert not pallas_bilinear.applicable(ScalePlan(4096, 64, 300, 8, 0, 0, False))
+    assert not pallas_bilinear.applicable(ScalePlan(4096, 4096, 300, 300, 0, 0, False))
