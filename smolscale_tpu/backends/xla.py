@@ -5,12 +5,16 @@ Pipeline (one fused jitted program per :class:`ScalePlan`):
     u8 bytes -> unpack (channel permute + alpha/gamma conversion)
              -> horizontal filter -> vertical filter -> pack -> u8 bytes
 
-Data layout is per-channel int32 planes shaped (..., 4, H, W): the lane
-(last) axis is the image width for the horizontal pass and XLA fuses the
-elementwise chains.  All arithmetic uses the proven 32-bit formulations in
-:mod:`smolscale_tpu.ops.fixedpoint`; all plan arrays (gather indices,
-weights, LUTs) are closed over as compile-time constants, the analogue of
-the reference's SmolScaleCtx precalc (smolscale.c:816-870).
+Data layout is per-channel planes shaped (..., 4, H, W) -- stored uint8
+between stages for 64bpp plans (values <= 255; 4x less HBM traffic) and
+int32 for 128bpp; the lane (last) axis is the image width for the
+horizontal pass and XLA fuses the elementwise chains.  All arithmetic uses
+the proven 32-bit formulations in :mod:`smolscale_tpu.ops.fixedpoint`; all
+plan arrays (gather indices, weights, LUTs) are closed over as compile-time
+constants, the analogue of the reference's SmolScaleCtx precalc
+(smolscale.c:816-870).  On TPU, plans the fused Pallas kernels cover are
+dispatched there (scale_fn); this module is the always-correct fallback and
+the CPU-testable reference for them.
 
 Leading batch dimensions are supported everywhere (ops use negative axes),
 so ``scale`` accepts (H, W, C) or (B, H, W, C).
