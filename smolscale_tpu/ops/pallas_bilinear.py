@@ -71,7 +71,24 @@ def applicable(plan: ScalePlan) -> bool:
 
 @functools.cache
 def _geometry(plan: ScalePlan):
-    """Static tile geometry + tables, or None if budgets don't work out.
+    """Largest-tile geometry that fits the VMEM budget, or None."""
+    h_in, h_out = plan.height_in, plan.height_out
+    v_is_box = plan.y.filter == FilterType.BOX
+    kv = 0 if v_is_box else plan.y.halvings
+    est = -(-h_in // h_out) + 2 if v_is_box else (1 << kv) + 1
+    t = max(1, min(64, 512 // est))
+    while t >= 1:
+        geo = _geometry_for_t(plan, t)
+        if geo is not None:
+            return geo
+        t //= 2
+    return None
+
+
+@functools.cache
+def _geometry_for_t(plan: ScalePlan, t: int):
+    """Static tile geometry + tables for a given row-group size, or None
+    if the VMEM budget doesn't work out.
 
     Each axis is either a bilinear ladder (one-hot p/q matmul + lerp +
     halving reduce) or a general box (segment/edge matmul + span
@@ -91,9 +108,6 @@ def _geometry(plan: ScalePlan):
     # rejects shape casts to sub-128 minor dims); small outputs just clamp.
     jc_out = min(256, max(128, _round_up(w_out, 8)))
     jc = jc_out << kh  # bilinear samples per col tile (== jc_out for box)
-    # rows of input needed per output row, to budget the row-group size
-    est = -(-h_in // h_out) + 2 if v_is_box else (1 << kv) + 1
-    t = max(1, min(16, 512 // est))
     n_ct = -(-w_out // jc_out)
     n_rg = -(-h_out // t)
 
