@@ -759,7 +759,7 @@ def scale_fn(plan: ScalePlan, img):
     This is the analogue of the reference's runtime backend dispatch
     (get_implementations, smolscale.c:724-814).
     """
-    from ..ops import pallas_bilinear, pallas_box
+    from ..ops import pallas_bilinear, pallas_box, pallas_srgb
 
     use_pallas = _FORCE_PALLAS
     if use_pallas is None:
@@ -772,6 +772,8 @@ def scale_fn(plan: ScalePlan, img):
         return pallas_box.scale_fn(plan, img)
     if use_pallas and pallas_bilinear.applicable(plan):
         return pallas_bilinear.scale_fn(plan, img)
+    if use_pallas and pallas_srgb.applicable(plan):
+        return pallas_srgb.scale_fn(plan, img)
     if use_pallas:
         adapted = _adapt_24bpp(plan)
         if adapted is not None:

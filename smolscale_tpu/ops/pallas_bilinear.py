@@ -70,15 +70,16 @@ def applicable(plan: ScalePlan) -> bool:
 
 
 @functools.cache
-def _geometry(plan: ScalePlan):
+def _geometry(plan: ScalePlan, jc_out_max: int = 256, budget_mb: int = 12,
+              t_max: int = 64):
     """Largest-tile geometry that fits the VMEM budget, or None."""
     h_in, h_out = plan.height_in, plan.height_out
     v_is_box = plan.y.filter == FilterType.BOX
     kv = 0 if v_is_box else plan.y.halvings
     est = -(-h_in // h_out) + 2 if v_is_box else (1 << kv) + 1
-    t = max(1, min(64, 512 // est))
+    t = max(1, min(t_max, 512 // est))
     while t >= 1:
-        geo = _geometry_for_t(plan, t)
+        geo = _geometry_for_t(plan, t, jc_out_max, budget_mb)
         if geo is not None:
             return geo
         t //= 2
@@ -86,7 +87,8 @@ def _geometry(plan: ScalePlan):
 
 
 @functools.cache
-def _geometry_for_t(plan: ScalePlan, t: int):
+def _geometry_for_t(plan: ScalePlan, t: int, jc_out_max: int = 256,
+                    budget_mb: int = 12):
     """Static tile geometry + tables for a given row-group size, or None
     if the VMEM budget doesn't work out.
 
@@ -106,7 +108,7 @@ def _geometry_for_t(plan: ScalePlan, t: int):
 
     # >= 128 keeps every reshape's minor dim at full lane width (Mosaic
     # rejects shape casts to sub-128 minor dims); small outputs just clamp.
-    jc_out = min(256, max(128, _round_up(w_out, 8)))
+    jc_out = min(jc_out_max, max(128, _round_up(w_out, 8)))
     jc = jc_out << kh  # bilinear samples per col tile (== jc_out for box)
     n_ct = -(-w_out // jc_out)
     n_rg = -(-h_out // t)
@@ -199,7 +201,7 @@ def _geometry_for_t(plan: ScalePlan, t: int):
         + mv_rows * win_r * 2
         + win_r * max(jc, jc_out) * 4 * 2
     )
-    if budget > 12 * 2**20:
+    if budget > budget_mb * 2**20:
         return None
 
     # H matrix per col tile.  Bilinear: (win_c, 2*jc) one-hots, sample

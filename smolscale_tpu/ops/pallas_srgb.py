@@ -1,0 +1,321 @@
+"""Fused Pallas kernel for the sRGB-linear (128bpp) pipeline.
+
+The linear-light path (with_srgb=True, smolscale.c:844 + the 128bpp storage
+rule smolscale.c:437) is LUT-heavy: every *input* pixel's channels pass
+through the 256-entry sRGB->11-bit-linear table (smolscale.c:87-111) before
+filtering.  Gathers are near-scalar on TPU and the XLA select-tree still
+materializes intermediates, so this kernel performs the lookup on the MXU:
+
+    lut[idx]  ==  LIMBS @ onehot_T          (exact)
+
+where onehot_T is the (256, N) transposed one-hot of a flat index slab --
+built by comparing idx (1, N) against an iota over the *sublane* axis, so
+lanes stay wide -- and LIMBS is a tiny (2, 256) bf16 matrix holding the
+table's low-8 and high-3 bits (both <= 255, exact in bf16; f32 products and
+recombination exact).
+
+Scope (config-6 class): gamma LINEAR, 32bpp in/out, unassociated input
+(internal PREMUL16 when output is unassociated too, PREMUL8-linear when the
+output is premultiplied); filters bilinear/box per axis under the same
+geometry as the general kernel.  The filter stage reuses the general
+kernel's tile geometry with 3x8-bit limb-split gather matmuls (values up to
+2**24).  Packing (unpremultiply + to-sRGB on *output*-sized data) stays in
+the XLA path: the kernel emits filtered int32 planes.
+
+Everything else falls back to the XLA path; premultiplied *inputs* (which
+need an alpha-indexed unpremultiply before linearization) are round-2 work.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from .. import luts
+from ..formats import AlphaType, GammaType, StorageType
+from ..plan import FilterType, ScalePlan
+from . import pallas_bilinear as pg  # shared tile geometry
+
+
+def applicable(plan: ScalePlan) -> bool:
+    if not (
+        plan.storage == StorageType.S128
+        and plan.gamma == GammaType.SRGB_LINEAR
+        and plan.meta_in.n_bytes == 4
+        and plan.meta_out.n_bytes == 4
+        and plan.meta_in.alpha == AlphaType.UNASSOCIATED
+        and (plan.x.filter.is_bilinear or plan.x.filter == FilterType.BOX)
+        and (plan.y.filter.is_bilinear or plan.y.filter == FilterType.BOX)
+    ):
+        return False
+    if plan.x.filter == FilterType.BOX and plan.y.filter == FilterType.BOX:
+        return False  # XLA segment-matmul path measured faster for box x box
+    return _geo(plan) is not None
+
+
+def _geo(plan: ScalePlan):
+    # Tighter tiles than the 64bpp kernel: every gather matmul here runs 3
+    # limb passes and values are 4-byte, so the real VMEM/code footprint is
+    # ~3x the geometry's estimate.
+    return pg._geometry(plan, jc_out_max=128, budget_mb=4, t_max=16)
+
+
+def _from_srgb_limbs():
+    """(32, 16) bf16: the from-sRGB table factored (16,16), limb-split.
+
+    Rows 0..15: low 8 bits of t2d[h, :]; rows 16..31: high 3 bits.  All
+    entries <= 255, exact in bf16.
+    """
+    t2d = np.asarray(luts.FROM_SRGB, dtype=np.int64).reshape(16, 16)
+    # transposed so rows[l, n] = sum_h [h == hi[n]] * t2d[h, l]
+    m = np.concatenate([(t2d & 0xFF).T, (t2d >> 8).T]).astype(np.float32)
+    return m.astype(jnp.bfloat16)
+
+
+def _make_kernel(plan: ScalePlan, geo):
+    in_layout = plan.meta_in.layout
+    alpha_byte = in_layout.index(3)
+    premul16 = plan.internal_alpha == AlphaType.PREMUL16
+    kh, kv = geo["kh"], geo["kv"]
+    t, tv = geo["t"], geo["t"] << kv
+    jc, jc_out = geo["jc"], geo["jc_out"]
+    win_r, win_c = geo["win_r"], geo["win_c"]
+    h_is_box, v_is_box = geo["h_is_box"], geo["v_is_box"]
+    span_mul_x, span_mul_y = geo["span_mul_x"], geo["span_mul_y"]
+    MASK = 0xFFFFFF  # 128bpp working mask (generic.c:1350 etc.)
+
+    SLAB = 8  # rows per LUT slab; transient (32, SLAB*win_c) f32 buffers
+
+    def lut_slab(idx_sl, limbs):
+        """from_srgb[idx] for one (SLAB, win_c) slab, two-level on MXU+VPU.
+
+        rows = limbs (32,16) @ onehot_T(hi) (16, N): rows[l, n] holds the
+        two limbs of t2d[hi[n], l]; the low-index select is an elementwise
+        mask + sublane reduce.  Exact: one-hots 0/1, limbs <= 255 (bf16
+        exact), every sum has a single nonzero term.
+        """
+        n = SLAB * win_c
+        flat = idx_sl.reshape(1, n)
+        hi = flat >> 4
+        lo = flat & 15
+        iota = jax.lax.broadcasted_iota(jnp.int32, (16, n), 0)
+        oh_hi = (iota == hi).astype(jnp.bfloat16)
+        rows = jnp.dot(limbs, oh_hi, preferred_element_type=jnp.float32)
+        oh_lo = iota == lo
+        lo_part = jnp.sum(jnp.where(oh_lo, rows[:16], 0.0), axis=0)
+        hi_part = jnp.sum(jnp.where(oh_lo, rows[16:], 0.0), axis=0)
+        val = lo_part.astype(jnp.int32) + (hi_part.astype(jnp.int32) << 8)
+        return val.reshape(SLAB, win_c)
+
+    def lut_rows(idx_2d, limbs, scratch):
+        """Apply the from-sRGB LUT over the full window via slab loop.
+
+        Slab slicing must go through the scratch *ref* (Mosaic has no
+        dynamic_slice on values); each slab is read then overwritten in
+        place.
+        """
+        scratch[...] = idx_2d
+
+        def body(si, _):
+            sl = scratch[pl.ds(si * SLAB, SLAB), :]
+            scratch[pl.ds(si * SLAB, SLAB), :] = lut_slab(sl, limbs)
+            return 0
+
+        jax.lax.fori_loop(0, win_r // SLAB, body, 0)
+        return scratch[...]
+
+    def gather_mm_wide(x_i32, mat, transpose=False):
+        """Exact 0/1-matrix application for values < 2**24: 3x8-bit limbs."""
+        def mm(v):
+            vb = v.astype(jnp.bfloat16)
+            if transpose:
+                y = jnp.dot(mat, vb, preferred_element_type=jnp.float32)
+            else:
+                y = jnp.dot(vb, mat, preferred_element_type=jnp.float32)
+            return y.astype(jnp.int32)
+
+        lo = mm(x_i32 & 0xFF)
+        mid = mm((x_i32 >> 8) & 0xFF)
+        hi = mm(x_i32 >> 16)
+        return lo + (mid << 8) + (hi << 16)
+
+    def kernel(rs_ref, cs_ref, x_any, mh_ref, hfac_ref, mv_ref, vfac_ref,
+               limbs_ref, o_ref, xwin, lscratch, sem):
+        gr = pl.program_id(1)
+        gc = pl.program_id(2)
+        rs = pl.multiple_of(rs_ref[gr], 8)
+        cs = pl.multiple_of(cs_ref[gc], 128)
+        dma = pltpu.make_async_copy(
+            x_any.at[pl.program_id(0), pl.ds(rs, win_r), pl.ds(cs, win_c)],
+            xwin, sem,
+        )
+        dma.start()
+        dma.wait()
+        px = xwin[...]
+        mh = mh_ref[0]
+        mv = mv_ref[0]
+        limbs = limbs_ref[...]
+
+        a_vals = ((px >> (8 * alpha_byte)) & jnp.uint32(0xFF)).astype(jnp.int32)
+        for lane in range(4):
+            byte_pos = in_layout.index(lane)
+            if lane == 3:
+                # alpha plane: (a<<8)|0x80 for PREMUL16
+                # (unpack_pixel_*_p16, generic.c:616-626), plain a for P8L
+                ch = ((a_vals << 8) | 0x80) if premul16 else a_vals
+            else:
+                v8 = ((px >> (8 * byte_pos)) & jnp.uint32(0xFF)).astype(jnp.int32)
+                l11 = lut_rows(v8, limbs, lscratch)
+                if premul16:
+                    ch = l11 * a_vals  # <= 2047*255 < 2**19
+                else:
+                    # premul_ul_to_p8l (generic.c:261-269)
+                    ch = (((l11 + 1) * ((a_vals << 3) + 1) - 1) >> 11) & 0x7FF
+
+            # H filter
+            y = gather_mm_wide(ch, mh)
+            if h_is_box:
+                mids = y[:, :jc_out]
+                left = y[:, jc_out : 2 * jc_out].astype(jnp.uint32)
+                right = y[:, 2 * jc_out :].astype(jnp.uint32)
+                lw = hfac_ref[0, 0:1, :].astype(jnp.uint32)
+                rf = hfac_ref[0, 1:2, :].astype(jnp.uint32)
+                acc = (
+                    ((left * lw >> 8) & jnp.uint32(MASK)).astype(jnp.int32)
+                    + mids
+                    + ((right * rf >> 8) & jnp.uint32(MASK)).astype(jnp.int32)
+                )
+                s = pg._mul_shift_round24(acc, jnp.int32(span_mul_x)) & 0xFFFF
+            else:
+                hfac = hfac_ref[0, 0:1, :].astype(jnp.uint32)
+                p = y[:, :jc].astype(jnp.uint32)
+                q = y[:, jc:].astype(jnp.uint32)
+                s = (p * hfac + q * (jnp.uint32(256) - hfac)) >> 8
+                s = (s & jnp.uint32(MASK)).astype(jnp.int32)
+                if kh:
+                    s3 = s.reshape(win_r, 1 << kh, jc_out)
+                    s = (jnp.sum(s3, axis=1) >> kh) & MASK
+
+            # V filter
+            yv = gather_mm_wide(s, mv, transpose=True)
+            if v_is_box:
+                midsv = yv[:t]
+                first = yv[t : 2 * t].astype(jnp.uint32)
+                last = yv[2 * t :].astype(jnp.uint32)
+                w1 = vfac_ref[0, :, 0:1].astype(jnp.uint32)
+                w2 = vfac_ref[0, :, 1:2].astype(jnp.uint32)
+                # 128bpp vertical weights last row by w2-1 and skips it at
+                # w2 == 0 (generic.c:2240-2253)
+                w2m = jnp.maximum(w2 - 1, 0) * (w2 > 0).astype(jnp.uint32)
+                accv = (
+                    ((first * w1 >> 8) & jnp.uint32(MASK)).astype(jnp.int32)
+                    + midsv
+                    + jnp.where(
+                        (w2 > 0).astype(jnp.int32) > 0,
+                        ((last * w2m >> 8) & jnp.uint32(MASK)).astype(jnp.int32),
+                        0,
+                    )
+                )
+                sv = pg._mul_shift_round24(accv, jnp.int32(span_mul_y)) & 0xFFFF
+            else:
+                vfac = vfac_ref[0, :, 0:1].astype(jnp.uint32)
+                pv = yv[:tv].astype(jnp.uint32)
+                qv = yv[tv:].astype(jnp.uint32)
+                sv = (pv * vfac + qv * (jnp.uint32(256) - vfac)) >> 8
+                sv = (sv & jnp.uint32(MASK)).astype(jnp.int32)
+                if kv:
+                    sv3 = sv.reshape(1 << kv, t, jc_out)
+                    sv = (jnp.sum(sv3, axis=0) >> kv) & MASK
+            o_ref[0, lane] = sv
+
+    return kernel
+
+
+@functools.cache
+def _built(plan: ScalePlan, batch: int):
+    geo = _geo(plan)
+    kernel = _make_kernel(plan, geo)
+    t, jc_out = geo["t"], geo["jc_out"]
+    grid = (batch, geo["n_rg"], geo["n_ct"])
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.HBM),
+            pl.BlockSpec(
+                (1,) + geo["mh"].shape[1:],
+                lambda b, gr, gc, *_: (gc, 0, 0), memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(
+                (1,) + geo["hfac"].shape[1:],
+                lambda b, gr, gc, *_: (gc, 0, 0), memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(
+                (1,) + geo["mv"].shape[1:],
+                lambda b, gr, gc, *_: (gr, 0, 0), memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(
+                (1,) + geo["vfac"].shape[1:],
+                lambda b, gr, gc, *_: (gr, 0, 0), memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(
+                (32, 16), lambda b, gr, gc, *_: (0, 0), memory_space=pltpu.VMEM,
+            ),
+        ],
+        out_specs=pl.BlockSpec(
+            (1, 4, t, jc_out), lambda b, gr, gc, *_: (b, 0, gr, gc),
+            memory_space=pltpu.VMEM,
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((geo["win_r"], geo["win_c"]), jnp.uint32),
+            pltpu.VMEM((geo["win_r"], geo["win_c"]), jnp.int32),
+            pltpu.SemaphoreType.DMA,
+        ],
+    )
+
+    call = pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct(
+            (batch, 4, geo["h_out_pad"], geo["w_out_pad"]), jnp.int32
+        ),
+        grid_spec=grid_spec,
+    )
+
+    h_in, w_in = plan.height_in, plan.width_in
+    h_out, w_out = plan.height_out, plan.width_out
+    limbs = np.asarray(_from_srgb_limbs())
+
+    def fn(imgs_u8):
+        from ..backends.xla import _pack
+
+        px = jax.lax.bitcast_convert_type(imgs_u8, jnp.uint32)
+        if geo["h_pad"] != h_in or geo["w_pad"] != w_in:
+            px = jnp.pad(
+                px,
+                [(0, 0), (0, geo["h_pad"] - h_in), (0, geo["w_pad"] - w_in)],
+            )
+        planes = call(
+            jnp.asarray(geo["rstart"]), jnp.asarray(geo["cstart"]), px,
+            jnp.asarray(geo["mh"]), jnp.asarray(geo["hfac"]),
+            jnp.asarray(geo["mv"]), jnp.asarray(geo["vfac"]),
+            jnp.asarray(limbs),
+        )
+        planes = planes[:, :, :h_out, :w_out]
+        return _pack(plan, planes)
+
+    return fn
+
+
+def scale_fn(plan: ScalePlan, imgs):
+    """(B, H, W, 4) u8 -> (B, h, w, 4) u8.  Caller checks applicable()."""
+    squeeze = imgs.ndim == 3
+    if squeeze:
+        imgs = imgs[None]
+    out = _built(plan, imgs.shape[0])(imgs)
+    return out[0] if squeeze else out

@@ -1,0 +1,46 @@
+"""Fused sRGB (128bpp) kernel: bit-exactness in interpreter mode."""
+
+from unittest import mock
+
+import numpy as np
+import pytest
+from jax.experimental import pallas as pl
+
+from smolscale_tpu.backends import numpy_ref
+from smolscale_tpu.ops import pallas_srgb
+from smolscale_tpu.plan import ScalePlan
+
+RNG = np.random.default_rng(4242)
+_ORIG = pl.pallas_call
+
+
+def _interp_call(*a, **k):
+    return _ORIG(*a, **k, interpret=True)
+
+
+@pytest.mark.parametrize(
+    "wi,hi,wo,ho,ti,to",
+    [
+        (512, 256, 96, 56, 4, 4),    # PREMUL16-linear, 2h ladder
+        (512, 256, 96, 56, 4, 0),    # PREMUL8-linear, unassoc->premul
+        (256, 256, 200, 190, 5, 6),  # 0h, reorders
+        (1100, 300, 80, 100, 4, 4),  # box H x bilinear V
+    ],
+)
+def test_pallas_srgb_exact(wi, hi, wo, ho, ti, to):
+    plan = ScalePlan(wi, hi, wo, ho, ti, to, True)
+    assert pallas_srgb.applicable(plan)
+    pallas_srgb._built.cache_clear()
+    img = RNG.integers(0, 256, (2, hi, wi, 4), dtype=np.uint8)
+    with mock.patch.object(pl, "pallas_call", _interp_call):
+        got = np.asarray(pallas_srgb.scale_fn(plan, img))
+    want = np.stack([numpy_ref.scale(plan, img[i]) for i in range(2)])
+    assert np.array_equal(want, got)
+    pallas_srgb._built.cache_clear()
+
+
+def test_gate():
+    # premultiplied input needs an alpha-indexed unpremultiply first: XLA path
+    assert not pallas_srgb.applicable(ScalePlan(512, 256, 96, 56, 0, 0, True))
+    # no-srgb plans belong to the 64bpp kernels
+    assert not pallas_srgb.applicable(ScalePlan(512, 256, 96, 56, 4, 4, False))
