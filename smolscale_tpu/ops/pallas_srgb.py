@@ -48,7 +48,6 @@ def applicable(plan: ScalePlan) -> bool:
         and plan.gamma == GammaType.SRGB_LINEAR
         and plan.meta_in.n_bytes == 4
         and plan.meta_out.n_bytes == 4
-        and plan.meta_in.alpha == AlphaType.UNASSOCIATED
         and (plan.x.filter.is_bilinear or plan.x.filter == FilterType.BOX)
         and (plan.y.filter.is_bilinear or plan.y.filter == FilterType.BOX)
     ):
@@ -65,16 +64,22 @@ def _geo(plan: ScalePlan):
     return pg._geometry(plan, jc_out_max=128, budget_mb=4, t_max=16)
 
 
-def _from_srgb_limbs():
-    """(32, 16) bf16: the from-sRGB table factored (16,16), limb-split.
+def _table_limbs(table, n_limbs):
+    """(16*n_limbs, 16) bf16: a 256-entry table factored (16,16), split into
+    8-bit limbs (each <= 255, exact in bf16), transposed so
+    rows[l, n] = sum_h [h == hi[n]] * t2d[h, l]."""
+    t2d = np.asarray(table, dtype=np.int64).reshape(16, 16)
+    parts = [((t2d >> (8 * k)) & 0xFF).T for k in range(n_limbs)]
+    return np.concatenate(parts).astype(np.float32).astype(jnp.bfloat16)
 
-    Rows 0..15: low 8 bits of t2d[h, :]; rows 16..31: high 3 bits.  All
-    entries <= 255, exact in bf16.
-    """
-    t2d = np.asarray(luts.FROM_SRGB, dtype=np.int64).reshape(16, 16)
-    # transposed so rows[l, n] = sum_h [h == hi[n]] * t2d[h, l]
-    m = np.concatenate([(t2d & 0xFF).T, (t2d >> 8).T]).astype(np.float32)
-    return m.astype(jnp.bfloat16)
+
+def _from_srgb_limbs():
+    return _table_limbs(luts.FROM_SRGB, 2)
+
+
+def _inv_div_p8_limbs():
+    # inv_div_p8 entries < 2**21 (smolscale.c:276-310): three 8-bit limbs
+    return _table_limbs(luts.INV_DIV_P8, 3)
 
 
 def _make_kernel(plan: ScalePlan, geo):
@@ -91,13 +96,13 @@ def _make_kernel(plan: ScalePlan, geo):
 
     SLAB = 8  # rows per LUT slab; transient (32, SLAB*win_c) f32 buffers
 
-    def lut_slab(idx_sl, limbs):
-        """from_srgb[idx] for one (SLAB, win_c) slab, two-level on MXU+VPU.
+    def lut_slab(idx_sl, limbs, n_limbs):
+        """table[idx] for one (SLAB, win_c) slab, two-level on MXU+VPU.
 
-        rows = limbs (32,16) @ onehot_T(hi) (16, N): rows[l, n] holds the
-        two limbs of t2d[hi[n], l]; the low-index select is an elementwise
-        mask + sublane reduce.  Exact: one-hots 0/1, limbs <= 255 (bf16
-        exact), every sum has a single nonzero term.
+        rows = limbs (16*n_limbs,16) @ onehot_T(hi) (16, N): rows[l, n]
+        holds the limbs of t2d[hi[n], l]; the low-index select is an
+        elementwise mask + sublane reduce.  Exact: one-hots 0/1, limbs
+        <= 255 (bf16 exact), every sum has a single nonzero term.
         """
         n = SLAB * win_c
         flat = idx_sl.reshape(1, n)
@@ -107,13 +112,16 @@ def _make_kernel(plan: ScalePlan, geo):
         oh_hi = (iota == hi).astype(jnp.bfloat16)
         rows = jnp.dot(limbs, oh_hi, preferred_element_type=jnp.float32)
         oh_lo = iota == lo
-        lo_part = jnp.sum(jnp.where(oh_lo, rows[:16], 0.0), axis=0)
-        hi_part = jnp.sum(jnp.where(oh_lo, rows[16:], 0.0), axis=0)
-        val = lo_part.astype(jnp.int32) + (hi_part.astype(jnp.int32) << 8)
+        val = jnp.zeros((1, n), dtype=jnp.int32)
+        for k in range(n_limbs):
+            part = jnp.sum(
+                jnp.where(oh_lo, rows[16 * k : 16 * (k + 1)], 0.0), axis=0
+            )
+            val = val + (part.astype(jnp.int32) << (8 * k))
         return val.reshape(SLAB, win_c)
 
-    def lut_rows(idx_2d, limbs, scratch):
-        """Apply the from-sRGB LUT over the full window via slab loop.
+    def lut_rows(idx_2d, limbs, n_limbs, scratch):
+        """Apply a 256-entry LUT over the full window via slab loop.
 
         Slab slicing must go through the scratch *ref* (Mosaic has no
         dynamic_slice on values); each slab is read then overwritten in
@@ -123,7 +131,7 @@ def _make_kernel(plan: ScalePlan, geo):
 
         def body(si, _):
             sl = scratch[pl.ds(si * SLAB, SLAB), :]
-            scratch[pl.ds(si * SLAB, SLAB), :] = lut_slab(sl, limbs)
+            scratch[pl.ds(si * SLAB, SLAB), :] = lut_slab(sl, limbs, n_limbs)
             return 0
 
         jax.lax.fori_loop(0, win_r // SLAB, body, 0)
@@ -144,8 +152,10 @@ def _make_kernel(plan: ScalePlan, geo):
         hi = mm(x_i32 >> 16)
         return lo + (mid << 8) + (hi << 16)
 
+    in_premul = plan.meta_in.alpha == AlphaType.PREMUL8
+
     def kernel(rs_ref, cs_ref, x_any, mh_ref, hfac_ref, mv_ref, vfac_ref,
-               limbs_ref, o_ref, xwin, lscratch, sem):
+               limbs_ref, inv_ref, o_ref, xwin, lscratch, ascratch, sem):
         gr = pl.program_id(1)
         gc = pl.program_id(2)
         rs = pl.multiple_of(rs_ref[gr], 8)
@@ -162,6 +172,12 @@ def _make_kernel(plan: ScalePlan, geo):
         limbs = limbs_ref[...]
 
         a_vals = ((px >> (8 * alpha_byte)) & jnp.uint32(0xFF)).astype(jnp.int32)
+        if in_premul:
+            # alpha-indexed inverse-division factor for unpremultiplying
+            # premultiplied inputs before linearization (generic.c:488-502)
+            inv_f = lut_rows(a_vals, inv_ref[...], 3, ascratch)
+            # keep a copy: lscratch is reused per channel below
+            ascratch_vals = inv_f
         for lane in range(4):
             byte_pos = in_layout.index(lane)
             if lane == 3:
@@ -170,7 +186,10 @@ def _make_kernel(plan: ScalePlan, geo):
                 ch = ((a_vals << 8) | 0x80) if premul16 else a_vals
             else:
                 v8 = ((px >> (8 * byte_pos)) & jnp.uint32(0xFF)).astype(jnp.int32)
-                l11 = lut_rows(v8, limbs, lscratch)
+                if in_premul:
+                    # unpremul_p8 (generic.c:227-236): v*inv>>13, v*inv < 2**29
+                    v8 = ((v8 * ascratch_vals) >> 13) & 0xFF
+                l11 = lut_rows(v8, limbs, 2, lscratch)
                 if premul16:
                     ch = l11 * a_vals  # <= 2047*255 < 2**19
                 else:
@@ -267,6 +286,9 @@ def _built(plan: ScalePlan, batch: int):
             pl.BlockSpec(
                 (32, 16), lambda b, gr, gc, *_: (0, 0), memory_space=pltpu.VMEM,
             ),
+            pl.BlockSpec(
+                (48, 16), lambda b, gr, gc, *_: (0, 0), memory_space=pltpu.VMEM,
+            ),
         ],
         out_specs=pl.BlockSpec(
             (1, 4, t, jc_out), lambda b, gr, gc, *_: (b, 0, gr, gc),
@@ -274,6 +296,7 @@ def _built(plan: ScalePlan, batch: int):
         ),
         scratch_shapes=[
             pltpu.VMEM((geo["win_r"], geo["win_c"]), jnp.uint32),
+            pltpu.VMEM((geo["win_r"], geo["win_c"]), jnp.int32),
             pltpu.VMEM((geo["win_r"], geo["win_c"]), jnp.int32),
             pltpu.SemaphoreType.DMA,
         ],
@@ -290,6 +313,7 @@ def _built(plan: ScalePlan, batch: int):
     h_in, w_in = plan.height_in, plan.width_in
     h_out, w_out = plan.height_out, plan.width_out
     limbs = np.asarray(_from_srgb_limbs())
+    inv_limbs = np.asarray(_inv_div_p8_limbs())
 
     def fn(imgs_u8):
         from ..backends.xla import _pack
@@ -304,7 +328,7 @@ def _built(plan: ScalePlan, batch: int):
             jnp.asarray(geo["rstart"]), jnp.asarray(geo["cstart"]), px,
             jnp.asarray(geo["mh"]), jnp.asarray(geo["hfac"]),
             jnp.asarray(geo["mv"]), jnp.asarray(geo["vfac"]),
-            jnp.asarray(limbs),
+            jnp.asarray(limbs), jnp.asarray(inv_limbs),
         )
         planes = planes[:, :, :h_out, :w_out]
         return _pack(plan, planes)

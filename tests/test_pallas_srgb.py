@@ -23,6 +23,8 @@ def _interp_call(*a, **k):
     [
         (512, 256, 96, 56, 4, 4),    # PREMUL16-linear, 2h ladder
         (512, 256, 96, 56, 4, 0),    # PREMUL8-linear, unassoc->premul
+        (512, 256, 96, 56, 0, 0),    # PREMUL8-linear, premul in (unpremul LUT)
+        (512, 256, 96, 56, 2, 5),    # premul in -> unassoc out
         (256, 256, 200, 190, 5, 6),  # 0h, reorders
         (1100, 300, 80, 100, 4, 4),  # box H x bilinear V
     ],
@@ -40,7 +42,7 @@ def test_pallas_srgb_exact(wi, hi, wo, ho, ti, to):
 
 
 def test_gate():
-    # premultiplied input needs an alpha-indexed unpremultiply first: XLA path
-    assert not pallas_srgb.applicable(ScalePlan(512, 256, 96, 56, 0, 0, True))
     # no-srgb plans belong to the 64bpp kernels
     assert not pallas_srgb.applicable(ScalePlan(512, 256, 96, 56, 4, 4, False))
+    # 24bpp endpoints: XLA fallback (the adapter only covers compressed gamma)
+    assert not pallas_srgb.applicable(ScalePlan(512, 256, 96, 56, 8, 8, True))
