@@ -46,7 +46,12 @@ def _chain_timer(step_fn, x, n_short=2, n_long=12, reps=3):
 
     ts = min(t(f_s) for _ in range(reps))
     tl = min(t(f_l) for _ in range(reps))
-    return (tl - ts) / (n_long - n_short)
+    per = (tl - ts) / (n_long - n_short)
+    if per <= 0:
+        # sub-ms configs: tunnel jitter can exceed the chain delta; fall
+        # back to the long chain's amortized time (upper bound on per-iter)
+        per = tl / n_long
+    return per
 
 
 def bench_config(name, plan, batch, check=True, n_long=12):
