@@ -25,9 +25,11 @@ Key reformulations (all bit-exact to the generic C backend):
   split (ops.fixedpoint.mul_shift_round24).
 
 Applicability: both axes integer-ratio box (uniform strides, zero fracs),
-64bpp storage, 4-byte pixel formats, PREMUL8-in (premultiplied input) --
-i.e. premultiplied 32bpp to premultiplied 32bpp.  Everything else falls
-back to the XLA path.
+64bpp storage (internal PREMUL8), 4-byte pixel formats.  Unassociated
+*input* is premultiplied in-kernel; unassociated *output* is handled by an
+output-sized XLA epilogue (unpremul_p8 at pack, generic.c:227-236) -- the
+output is ~R^2 x smaller than the input, so the epilogue is noise.
+Everything else falls back to the XLA path.
 """
 
 from __future__ import annotations
@@ -53,9 +55,6 @@ def applicable(plan: ScalePlan) -> bool:
         and plan.internal_alpha == AlphaType.PREMUL8
         and plan.meta_in.n_bytes == 4
         and plan.meta_out.n_bytes == 4
-        # unassociated input is premultiplied in-kernel; unassociated
-        # *output* would need the inv-div LUT gather at pack -- XLA path.
-        and plan.meta_out.alpha == AlphaType.PREMUL8
         and plan.x.filter == FilterType.BOX
         and plan.y.filter == FilterType.BOX
         and _box_uniform_applicable(plan.x)
@@ -145,6 +144,31 @@ def _make_kernel(plan: ScalePlan, rows_t: int):
     return kernel
 
 
+def _unpremul_epilogue(plan: ScalePlan, px):
+    """Unassociated-output pack on the kernel's packed-u32 result.
+
+    The kernel emits internal premultiplied channels already placed in the
+    output byte layout; this output-sized XLA step applies
+    ``(v * inv_div_p8[a]) >> 13`` per color (unpremul_p8_to_u_128bpp,
+    generic.c:227-236) through the proven two-level LUT select.
+    """
+    from ..backends import xla  # local: xla imports this module for dispatch
+    from .. import luts
+
+    out_layout = plan.meta_out.layout
+    alpha_byte = out_layout.index(3)
+    a = ((px >> (8 * alpha_byte)) & jnp.uint32(0xFF)).astype(jnp.int32)
+    inv = xla._take(xla._LUT["inv_p8"], a)
+    res = a.astype(jnp.uint32) << (8 * alpha_byte)
+    for byte_pos in range(4):
+        if byte_pos == alpha_byte:
+            continue
+        v = ((px >> (8 * byte_pos)) & jnp.uint32(0xFF)).astype(jnp.int32)
+        u = fp.mul_shift_small(v, inv, luts.INVERTED_DIV_SHIFT_P8) & 0xFF
+        res = res | (u.astype(jnp.uint32) << (8 * byte_pos))
+    return res
+
+
 @functools.cache
 def _built(plan: ScalePlan, batch: int):
     h_out = plan.y.dim_out
@@ -182,10 +206,14 @@ def _built(plan: ScalePlan, batch: int):
         ),
     )
 
+    unassoc_out = plan.meta_out.alpha == AlphaType.UNASSOCIATED
+
     def fn(imgs_u8):
         # (B, H, W, 4) u8 -> (B, H, W) u32 -> kernel -> (B, h, w, 4) u8
         px = jax.lax.bitcast_convert_type(imgs_u8, jnp.uint32)
         out = call(px, jnp.asarray(m))
+        if unassoc_out:
+            out = _unpremul_epilogue(plan, out)
         return jax.lax.bitcast_convert_type(out, jnp.uint8)
 
     return fn

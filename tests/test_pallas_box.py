@@ -46,7 +46,7 @@ def test_pallas_box_exact(wi, hi, wo, ho, ti, to):
 
 
 def test_applicability_gate():
-    # unassociated alpha *output* -> not applicable (inv-div LUT at pack)
+    # unassoc->unassoc is PREMUL16/128bpp internally -> not applicable
     assert not pallas_box.applicable(ScalePlan(256, 128, 16, 8, 4, 4, False))
     # srgb -> 128bpp -> not applicable
     assert not pallas_box.applicable(ScalePlan(256, 128, 16, 8, 0, 0, True))
@@ -69,5 +69,15 @@ def test_pallas_box_unassoc_in(ti, to):
     pallas_box._built.cache_clear()
 
 
-def test_unassoc_out_not_applicable():
-    assert not pallas_box.applicable(ScalePlan(256, 128, 16, 8, 0, 4, False))
+@pytest.mark.parametrize("ti,to", [(0, 4), (1, 7), (2, 5), (3, 6)])
+def test_pallas_box_unassoc_out(ti, to):
+    # premul in -> unassociated out: kernel + output-sized unpremul epilogue
+    plan = ScalePlan(256, 128, 16, 8, ti, to, False)
+    assert pallas_box.applicable(plan)
+    pallas_box._built.cache_clear()
+    img = RNG.integers(0, 256, (2, 128, 256, 4), dtype=np.uint8)
+    with mock.patch.object(pl, "pallas_call", _interp_call):
+        got = np.asarray(pallas_box.scale_fn(plan, img))
+    want = np.stack([numpy_ref.scale(plan, img[i]) for i in range(2)])
+    assert np.array_equal(want, got)
+    pallas_box._built.cache_clear()
