@@ -26,8 +26,9 @@ Per grid step (batch b, output-row group gr, output-col tile gc):
   form (ops.fixedpoint.lerp256); packing assembles u32 pixels.
 
 Applicability: both axes BILINEAR_0H..6H, 64bpp storage, 4-byte formats,
-PREMUL8 internal (unassociated input premultiplied in-kernel), premul
-output.  Everything else falls back to the XLA path.
+PREMUL8 internal (unassociated input premultiplied in-kernel; unassociated
+output unpremultiplied by pallas_box's output-sized XLA epilogue).
+Everything else falls back to the XLA path.
 """
 
 from __future__ import annotations
@@ -54,7 +55,6 @@ def applicable(plan: ScalePlan) -> bool:
         and plan.internal_alpha == AlphaType.PREMUL8
         and plan.meta_in.n_bytes == 4
         and plan.meta_out.n_bytes == 4
-        and plan.meta_out.alpha == AlphaType.PREMUL8
         and (plan.x.filter.is_bilinear or plan.x.filter == FilterType.BOX)
         and (plan.y.filter.is_bilinear or plan.y.filter == FilterType.BOX)
     ):
@@ -433,6 +433,8 @@ def _built(plan: ScalePlan, batch: int):
 
     h_in, w_in = plan.height_in, plan.width_in
 
+    unassoc_out = plan.meta_out.alpha == AlphaType.UNASSOCIATED
+
     def fn(imgs_u8):
         px = jax.lax.bitcast_convert_type(imgs_u8, jnp.uint32)
         if geo["h_pad"] != h_in or geo["w_pad"] != w_in:
@@ -446,6 +448,10 @@ def _built(plan: ScalePlan, batch: int):
             jnp.asarray(geo["mv"]), jnp.asarray(geo["vfac"]),
         )
         out = out[:, :h_out, :w_out]
+        if unassoc_out:
+            from .pallas_box import _unpremul_epilogue
+
+            out = _unpremul_epilogue(plan, out)
         return jax.lax.bitcast_convert_type(out, jnp.uint8)
 
     return fn

@@ -43,8 +43,28 @@ def test_pallas_bilinear_exact(wi, hi, wo, ho, ti, to):
 def test_applicability_gate():
     # srgb -> 128bpp storage
     assert not pallas_bilinear.applicable(ScalePlan(512, 512, 256, 256, 0, 0, True))
-    # unassociated output needs the inv-div pack
-    assert not pallas_bilinear.applicable(ScalePlan(512, 512, 256, 256, 0, 4, False))
+    # unassoc->unassoc is PREMUL16/128bpp internally
+    assert not pallas_bilinear.applicable(ScalePlan(512, 512, 256, 256, 4, 4, False))
+
+
+@pytest.mark.parametrize(
+    "wi,hi,wo,ho,ti,to",
+    [
+        (512, 256, 96, 56, 0, 4),   # 2h ladder, premul -> unassoc
+        (512, 512, 1024, 768, 1, 6), # 0h upscale + reorder, premul -> unassoc
+        (1100, 300, 80, 100, 3, 5),  # box H x bilinear V, premul -> unassoc
+    ],
+)
+def test_pallas_bilinear_unassoc_out(wi, hi, wo, ho, ti, to):
+    plan = ScalePlan(wi, hi, wo, ho, ti, to, False)
+    assert pallas_bilinear.applicable(plan)
+    pallas_bilinear._built.cache_clear()
+    img = RNG.integers(0, 256, (2, hi, wi, 4), dtype=np.uint8)
+    with mock.patch.object(pl, "pallas_call", _interp_call):
+        got = np.asarray(pallas_bilinear.scale_fn(plan, img))
+    want = np.stack([numpy_ref.scale(plan, img[i]) for i in range(2)])
+    assert np.array_equal(want, got)
+    pallas_bilinear._built.cache_clear()
 
 
 @pytest.mark.parametrize(
