@@ -14,16 +14,19 @@ lanes stay wide -- and LIMBS is a tiny (2, 256) bf16 matrix holding the
 table's low-8 and high-3 bits (both <= 255, exact in bf16; f32 products and
 recombination exact).
 
-Scope (config-6 class): gamma LINEAR, 32bpp in/out, unassociated input
-(internal PREMUL16 when output is unassociated too, PREMUL8-linear when the
-output is premultiplied); filters bilinear/box per axis under the same
-geometry as the general kernel.  The filter stage reuses the general
-kernel's tile geometry with 3x8-bit limb-split gather matmuls (values up to
-2**24).  Packing (unpremultiply + to-sRGB on *output*-sized data) stays in
-the XLA path: the kernel emits filtered int32 planes.
+Scope (config-6 class): gamma LINEAR, 24/32bpp in/out, every alpha combo
+(internal PREMUL16 when input and output are both unassociated, otherwise
+PREMUL8-linear; premultiplied inputs unpremultiply in-kernel via the
+alpha-indexed inv-div LUT; 24bpp inputs arrive padded with a synthesized
+255 alpha); filters bilinear/box per axis under the same geometry as the
+general kernel.  The filter stage reuses the general kernel's tile geometry
+with 3x8-bit limb-split gather matmuls (values up to 2**24).  Packing
+(unpremultiply + to-sRGB on *output*-sized data) stays in the XLA path:
+the kernel emits filtered int32 planes, so the reference's asymmetric
+24bpp linear pack variants (generic.c:922-935 vs 1010-1023) come for free
+from the shared pack.
 
-Everything else falls back to the XLA path; premultiplied *inputs* (which
-need an alpha-indexed unpremultiply before linearization) are round-2 work.
+Box-x-box and >8191:1 ratios (compressed-gamma fallback) go to XLA.
 """
 
 from __future__ import annotations
@@ -46,8 +49,8 @@ def applicable(plan: ScalePlan) -> bool:
     if not (
         plan.storage == StorageType.S128
         and plan.gamma == GammaType.SRGB_LINEAR
-        and plan.meta_in.n_bytes == 4
-        and plan.meta_out.n_bytes == 4
+        and plan.meta_in.n_bytes in (3, 4)
+        and plan.meta_out.n_bytes in (3, 4)
         and (plan.x.filter.is_bilinear or plan.x.filter == FilterType.BOX)
         and (plan.y.filter.is_bilinear or plan.y.filter == FilterType.BOX)
     ):
@@ -84,6 +87,10 @@ def _inv_div_p8_limbs():
 
 def _make_kernel(plan: ScalePlan, geo):
     in_layout = plan.meta_in.layout
+    if plan.meta_in.n_bytes == 3:
+        # 24bpp input arrives padded with a synthesized 255 alpha at byte 3
+        # (unpack_pixel_123_*, generic.c:353-358 filters it like any channel)
+        in_layout = in_layout + (3,)
     alpha_byte = in_layout.index(3)
     premul16 = plan.internal_alpha == AlphaType.PREMUL16
     kh, kv = geo["kh"], geo["kv"]
@@ -315,9 +322,14 @@ def _built(plan: ScalePlan, batch: int):
     limbs = np.asarray(_from_srgb_limbs())
     inv_limbs = np.asarray(_inv_div_p8_limbs())
 
+    pad_in = plan.meta_in.n_bytes == 3
+
     def fn(imgs_u8):
         from ..backends.xla import _pack
 
+        if pad_in:
+            pad = [(0, 0)] * (imgs_u8.ndim - 1) + [(0, 1)]
+            imgs_u8 = jnp.pad(imgs_u8, pad, constant_values=255)
         px = jax.lax.bitcast_convert_type(imgs_u8, jnp.uint32)
         if geo["h_pad"] != h_in or geo["w_pad"] != w_in:
             px = jnp.pad(
@@ -337,7 +349,7 @@ def _built(plan: ScalePlan, batch: int):
 
 
 def scale_fn(plan: ScalePlan, imgs):
-    """(B, H, W, 4) u8 -> (B, h, w, 4) u8.  Caller checks applicable()."""
+    """(B, H, W, nb_in) u8 -> (B, h, w, nb_out) u8.  Caller checks applicable()."""
     squeeze = imgs.ndim == 3
     if squeeze:
         imgs = imgs[None]

@@ -44,5 +44,27 @@ def test_pallas_srgb_exact(wi, hi, wo, ho, ti, to):
 def test_gate():
     # no-srgb plans belong to the 64bpp kernels
     assert not pallas_srgb.applicable(ScalePlan(512, 256, 96, 56, 4, 4, False))
-    # 24bpp endpoints: XLA fallback (the adapter only covers compressed gamma)
-    assert not pallas_srgb.applicable(ScalePlan(512, 256, 96, 56, 8, 8, True))
+
+
+@pytest.mark.parametrize(
+    "ti,to",
+    [
+        (8, 8),  # RGB24->RGB24: direct pack variant (to_srgb of premul-linear)
+        (8, 9),  # RGB24->BGR24: reversed variant (unpremuls properly)
+        (0, 8),  # premul 32bpp -> 24bpp, reversed variant
+        (4, 9),  # unassoc 32bpp -> 24bpp, direct variant
+        (8, 4),  # 24bpp -> unassoc 32bpp
+        (9, 0),  # 24bpp -> premul 32bpp
+    ],
+)
+def test_pallas_srgb_24bpp_exact(ti, to):
+    plan = ScalePlan(512, 256, 96, 56, ti, to, True)
+    assert pallas_srgb.applicable(plan)
+    pallas_srgb._built.cache_clear()
+    nb = plan.meta_in.n_bytes
+    img = RNG.integers(0, 256, (2, 256, 512, nb), dtype=np.uint8)
+    with mock.patch.object(pl, "pallas_call", _interp_call):
+        got = np.asarray(pallas_srgb.scale_fn(plan, img))
+    want = np.stack([numpy_ref.scale(plan, img[i]) for i in range(2)])
+    assert np.array_equal(want, got)
+    pallas_srgb._built.cache_clear()
