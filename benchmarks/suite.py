@@ -159,6 +159,10 @@ def main():
     results.append(bench_config(
         "3d: RGBA 4096^2->300^2 (non-integer box 13.6:1), batch 8",
         ScalePlan(4096, 4096, 300, 300, 0, 0, False), batch=8))
+    # premul -> unassociated output (fused kernel + unpremul epilogue)
+    results.append(bench_config(
+        "3e: RGBA premul->unassoc 4096^2->256^2 box, batch 8",
+        ScalePlan(4096, 4096, 256, 256, 0, 4, False), batch=8))
     # Config 4: row-batch streaming, 16384^2 in row chunks
     results.append(bench_row_stream())
     # Config 5: pyramid farm
@@ -167,6 +171,9 @@ def main():
     results.append(bench_config(
         "6: RGBA unassoc 2048^2->256^2 box with sRGB linear light, batch 8",
         ScalePlan(2048, 2048, 256, 256, 4, 4, True), batch=8, n_long=8))
+    results.append(bench_config(
+        "6b: RGB24 1920x1080->400x225 sRGB linear light, batch 8",
+        ScalePlan(1920, 1080, 400, 225, 8, 8, True), batch=8, n_long=8))
 
     if args.json:
         with open(args.json, "w") as f:
