@@ -63,6 +63,7 @@ def applicable(plan: ScalePlan) -> bool:
         and plan.width_in % 128 == 0
         and plan.width_in * 4 * 2 + plan.width_in * (plan.width_out + 256) * 2
         < 10 * 2**20
+        and _pick_rows_t(plan) is not None
     )
 
 
@@ -144,6 +145,24 @@ def _make_kernel(plan: ScalePlan, rows_t: int):
     return kernel
 
 
+def _pick_rows_t(plan: ScalePlan):
+    """Output rows per grid step, or None if no Mosaic-legal tiling fits.
+
+    Mosaic requires the output row-block to be 8-aligned unless it spans
+    the whole output, so valid choices are divisors of h_out that are
+    multiples of 8, or h_out itself (single group) within a looser budget.
+    """
+    h_out = plan.y.dim_out
+    ry = plan.y.dim_in // h_out
+    budget_rows = max(1, (2 * 2**20) // (plan.width_in * 4 * ry))
+    for t in range(min(budget_rows, h_out), 0, -1):
+        if h_out % t == 0 and (t % 8 == 0 or t == h_out):
+            return t
+    if plan.width_in * 4 * plan.y.dim_in <= 8 * 2**20:
+        return h_out  # whole output in one block
+    return None
+
+
 def _unpremul_epilogue(plan: ScalePlan, px):
     """Unassociated-output pack on the kernel's packed-u32 result.
 
@@ -173,13 +192,7 @@ def _unpremul_epilogue(plan: ScalePlan, px):
 def _built(plan: ScalePlan, batch: int):
     h_out = plan.y.dim_out
     ry = plan.y.dim_in // plan.y.dim_out
-    # rows per grid step: largest divisor of h_out with <= ~2MB input tile
-    budget_rows = max(1, (2 * 2**20) // (plan.width_in * 4 * ry))
-    rows_t = 1
-    for t in range(min(budget_rows, h_out), 0, -1):
-        if h_out % t == 0:
-            rows_t = t
-            break
+    rows_t = _pick_rows_t(plan)
     m = _span_matrices(plan.x)
     kernel = _make_kernel(plan, rows_t)
     grid = (batch, h_out // rows_t)

@@ -124,3 +124,23 @@ def test_pure_box_goes_elsewhere():
     # integer-ratio box -> pallas_box kernel; non-integer box-x-box -> XLA
     assert not pallas_bilinear.applicable(ScalePlan(640, 640, 64, 64, 0, 0, False))
     assert not pallas_bilinear.applicable(ScalePlan(4096, 4096, 300, 300, 0, 0, False))
+
+
+def test_geometry_row_block_mosaic_legal():
+    """TPU fuzz regression: Mosaic rejects multi-group output row blocks
+    that are not 8-aligned (found with a 14-row sRGB output, t=7)."""
+    from smolscale_tpu.ops import pallas_srgb
+
+    cases = [
+        (900, 1800, 768, 14, 0, 0, True),   # deep box V, tiny h_out, srgb
+        (1265, 1272, 768, 14, 2, 3, True),
+        (700, 500, 123, 77, 2, 3, False),
+        (512, 512, 96, 25, 0, 0, False),
+        (300, 1100, 100, 13, 4, 1, False),
+    ]
+    for wi, hi, wo, ho, ti, to, srgb in cases:
+        plan = ScalePlan(wi, hi, wo, ho, ti, to, srgb)
+        geo = pallas_srgb._geo(plan) if srgb else pallas_bilinear._geometry(plan)
+        if geo is not None:
+            t, n_rg = geo["t"], geo["n_rg"]
+            assert t % 8 == 0 or n_rg == 1, (plan.key, t, n_rg)

@@ -81,3 +81,21 @@ def test_pallas_box_unassoc_out(ti, to):
     want = np.stack([numpy_ref.scale(plan, img[i]) for i in range(2)])
     assert np.array_equal(want, got)
     pallas_box._built.cache_clear()
+
+
+def test_rows_t_mosaic_legal():
+    """Row tiles must be 8-aligned multiples or span the whole output."""
+    # h_out=25 has no 8-aligned divisor and the whole image exceeds the
+    # single-block budget -> not applicable (XLA path), never an illegal tile
+    big = ScalePlan(2560, 2500, 10, 25, 0, 0, False)
+    assert pallas_box._pick_rows_t(big) is None
+    assert not pallas_box.applicable(big)
+    # small image: whole-output single block is legal at any size
+    small = ScalePlan(256, 250, 16, 25, 0, 0, False)
+    rt = pallas_box._pick_rows_t(small)
+    assert rt == 25
+    for wi, hi, wo, ho in [(256, 128, 16, 8), (1280, 640, 128, 64),
+                           (512, 512, 4, 4), (384, 256, 3, 2)]:
+        plan = ScalePlan(wi, hi, wo, ho, 0, 0, False)
+        rt = pallas_box._pick_rows_t(plan)
+        assert rt is not None and (rt % 8 == 0 or rt == ho), (plan.key, rt)
