@@ -1,0 +1,77 @@
+#!/usr/bin/env python
+"""On-hardware differential fuzz: random plans vs the compiled C reference.
+
+Complements tests/test_fuzz_differential.py (CPU, seeded): this runs on the
+real TPU chip, so it exercises the actual Pallas kernels and Mosaic
+lowering, not the interpreter.  Found in round 1: an illegal (non-8-aligned,
+multi-group) output row block for tiny outputs (fixed in
+ops/pallas_bilinear._geometry / ops/pallas_box._pick_rows_t).
+
+Usage: python benchmarks/fuzz_tpu.py [N] [seed] [--edges]
+  --edges weights toward tiny dims, deep up/downscales, 1x1 outputs.
+"""
+
+import sys
+from pathlib import Path
+
+import numpy as np
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent / "tests"))
+
+
+def main():
+    import jax
+
+    import oracle
+    import smolscale_tpu as st
+
+    args = [a for a in sys.argv[1:] if not a.startswith("--")]
+    edges = "--edges" in sys.argv
+    n = int(args[0]) if args else 24
+    seed = int(args[1]) if len(args) > 1 else 20260816
+    rng = np.random.default_rng(seed)
+    print("backend:", jax.default_backend(), flush=True)
+
+    fails = []
+    for i in range(n):
+        if edges:
+            mode = int(rng.integers(0, 3))
+            if mode == 0:  # tiny everything
+                wi, hi = int(rng.integers(1, 64)), int(rng.integers(1, 64))
+                wo, ho = int(rng.integers(1, 64)), int(rng.integers(1, 64))
+            elif mode == 1:  # deep downscale (incl. >8191:1 gamma fallback)
+                wi, hi = int(rng.integers(512, 4096)), int(rng.integers(512, 4096))
+                wo, ho = int(rng.integers(1, 16)), int(rng.integers(1, 16))
+            else:  # deep upscale from tiny
+                wi, hi = int(rng.integers(1, 32)), int(rng.integers(1, 32))
+                wo, ho = int(rng.integers(64, 2048)), int(rng.integers(64, 2048))
+        else:
+            wi, hi = int(rng.integers(16, 1600)), int(rng.integers(16, 1200))
+            wo = int(rng.integers(1, max(2, wi * 2)))
+            ho = int(rng.integers(1, max(2, hi * 2)))
+        ti = int(rng.integers(0, 10))
+        to = int(rng.integers(0, 10))
+        srgb = bool(rng.integers(0, 2))
+        plan = st.ScalePlan(wi, hi, wo, ho, ti, to, with_srgb=srgb)
+        img = rng.integers(0, 256, (hi, wi, plan.meta_in.n_bytes), dtype=np.uint8)
+        try:
+            out = st.scale(plan, img)
+            ref = oracle.scale_simple(img, ti, wo, ho, to, srgb)
+            ok = np.array_equal(out, ref)
+        except Exception as e:  # lowering/compile failures are findings too
+            ok = False
+            print(f"EXC {type(e).__name__}: {str(e)[:120]}", flush=True)
+        print(
+            f"[{i:02d}] {wi}x{hi}->{wo}x{ho} t{ti}->{to} srgb={int(srgb)}: "
+            f"{'OK' if ok else 'MISMATCH'}", flush=True,
+        )
+        if not ok:
+            fails.append((i, wi, hi, wo, ho, ti, to, srgb))
+
+    print("FAILS:", fails, flush=True)
+    sys.exit(1 if fails else 0)
+
+
+if __name__ == "__main__":
+    main()
