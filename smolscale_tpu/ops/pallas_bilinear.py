@@ -59,12 +59,12 @@ def applicable(plan: ScalePlan) -> bool:
         and (plan.y.filter.is_bilinear or plan.y.filter == FilterType.BOX)
     ):
         return False
-    if plan.x.filter == FilterType.BOX and plan.y.filter == FilterType.BOX:
-        # integer-ratio box-x-box goes to the reshape kernel (pallas_box);
-        # non-integer box-x-box measured faster on the XLA segment-matmul
-        # path (12.7 vs 10.7 Gpix/s at 13.7:1) -- the per-tile windows of
-        # this kernel re-read more HBM than the one big matmul.
-        return False
+    # Box-x-box: integer-ratio plans are intercepted first by the faster
+    # reshape kernel (pallas_box, checked before this one in the dispatch);
+    # non-integer box-x-box runs here since the larger-row-group geometry
+    # landed (measured vs the XLA segment matmuls: 18.3 vs 12.5 Gpix/s at
+    # 13.7:1, 14.2 vs 10.2 at 9.1:1, 24.6 vs 21.2 at 51:1; under the old
+    # small-t geometry this kernel used to lose, 10.7 vs 12.7).
     geo = _geometry(plan)
     return geo is not None
 

@@ -56,7 +56,11 @@ def applicable(plan: ScalePlan) -> bool:
     ):
         return False
     if plan.x.filter == FilterType.BOX and plan.y.filter == FilterType.BOX:
-        return False  # XLA segment-matmul path measured faster for box x box
+        # Unlike the 64bpp kernel, box-x-box stays on XLA here: measured
+        # only +11% (2.40 vs 2.17 Gpix/s at 10.2:1), and the premul-in
+        # variant overflows scoped VMEM (16.35M > 16M stack OOM at
+        # 13.7:1) -- the 3-limb gathers triple the geometry's estimate.
+        return False
     return _geo(plan) is not None
 
 

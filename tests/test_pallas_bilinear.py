@@ -120,10 +120,33 @@ def test_24bpp_surrogate_exact(wi, hi, wo, ho, ti, to):
     assert np.array_equal(want, got)
 
 
-def test_pure_box_goes_elsewhere():
-    # integer-ratio box -> pallas_box kernel; non-integer box-x-box -> XLA
-    assert not pallas_bilinear.applicable(ScalePlan(640, 640, 64, 64, 0, 0, False))
-    assert not pallas_bilinear.applicable(ScalePlan(4096, 4096, 300, 300, 0, 0, False))
+def test_box_x_box_dispatch():
+    from smolscale_tpu.ops import pallas_box
+
+    # integer-ratio box: pallas_box wins the dispatch (checked first)
+    assert pallas_box.applicable(ScalePlan(640, 640, 64, 64, 0, 0, False))
+    # non-integer box x box now runs on this kernel
+    assert pallas_bilinear.applicable(ScalePlan(4096, 4096, 300, 300, 0, 0, False))
+
+
+@pytest.mark.parametrize(
+    "wi,hi,wo,ho,ti,to",
+    [
+        (1100, 1100, 80, 80, 0, 0),   # 13.75:1 box x box
+        (1100, 990, 80, 110, 4, 1),   # box x box, mixed ratios, unassoc in
+        (700, 700, 50, 50, 0, 4),     # 14:1 box x box, premul -> unassoc
+    ],
+)
+def test_box_x_box_exact(wi, hi, wo, ho, ti, to):
+    plan = ScalePlan(wi, hi, wo, ho, ti, to, False)
+    assert pallas_bilinear.applicable(plan)
+    pallas_bilinear._built.cache_clear()
+    img = RNG.integers(0, 256, (2, hi, wi, 4), dtype=np.uint8)
+    with mock.patch.object(pl, "pallas_call", _interp_call):
+        got = np.asarray(pallas_bilinear.scale_fn(plan, img))
+    want = np.stack([numpy_ref.scale(plan, img[i]) for i in range(2)])
+    assert np.array_equal(want, got)
+    pallas_bilinear._built.cache_clear()
 
 
 def test_geometry_row_block_mosaic_legal():
