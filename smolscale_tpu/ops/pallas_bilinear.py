@@ -138,6 +138,12 @@ def _geometry_for_t(plan: ScalePlan, t: int, jc_out_max: int = 256,
     # >= 128 keeps every reshape's minor dim at full lane width (Mosaic
     # rejects shape casts to sub-128 minor dims); small outputs just clamp.
     jc_out = min(jc_out_max, max(128, _round_up(w_out, 8)))
+    if (kh or kv) and jc_out % 128:
+        # the H-halving reduce reshapes (win_r, jc) -> (win_r, 2**kh,
+        # jc_out), which Mosaic only lowers when the new minor dim is a
+        # multiple of 128 (found by on-chip fuzz: w_out=166 -> jc_out=168
+        # crashed the compiler); jc_out_max is always a 128-multiple
+        jc_out = min(jc_out_max, _round_up(jc_out, 128))
     jc = jc_out << kh  # bilinear samples per col tile (== jc_out for box)
     n_ct = -(-w_out // jc_out)
     n_rg = -(-h_out // t)

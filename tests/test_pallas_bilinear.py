@@ -167,3 +167,31 @@ def test_geometry_row_block_mosaic_legal():
         if geo is not None:
             t, n_rg = geo["t"], geo["n_rg"]
             assert t % 8 == 0 or n_rg == 1, (plan.key, t, n_rg)
+
+
+def test_geometry_halving_jc_out_mosaic_legal():
+    """TPU fuzz regression: with halvings, the per-ladder reshape needs a
+    128-multiple column tile (w_out=166 -> jc_out=168 crashed Mosaic)."""
+    cases = [
+        (465, 914, 166, 1483, 0, 3),  # the fuzzed crash (1h H, 0h V up)
+        (600, 600, 170, 170, 0, 0),   # 2h both axes, w_out in the gap
+        (365, 677, 225, 729, 0, 1),   # 0h: non-128-multiple jc_out is fine
+    ]
+    for wi, hi, wo, ho, ti, to in cases:
+        plan = ScalePlan(wi, hi, wo, ho, ti, to, False)
+        geo = pallas_bilinear._geometry(plan)
+        if geo is not None and (geo["kh"] or geo["kv"]):
+            assert geo["jc_out"] % 128 == 0, (plan.key, geo["jc_out"])
+
+
+def test_halving_gap_width_exact():
+    # exactness with the rounded-up column tile (wo in the 128..256 gap)
+    plan = ScalePlan(465, 914, 166, 200, 0, 3, False)
+    assert pallas_bilinear.applicable(plan)
+    pallas_bilinear._built.cache_clear()
+    img = RNG.integers(0, 256, (1, 914, 465, 4), dtype=np.uint8)
+    with mock.patch.object(pl, "pallas_call", _interp_call):
+        got = np.asarray(pallas_bilinear.scale_fn(plan, img))
+    want = numpy_ref.scale(plan, img[0])[None]
+    assert np.array_equal(want, got)
+    pallas_bilinear._built.cache_clear()
