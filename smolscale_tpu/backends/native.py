@@ -133,6 +133,19 @@ def scale(plan: ScalePlan, img: np.ndarray, n_threads: int = 1) -> np.ndarray:
 def scale_rows(
     plan: ScalePlan, img: np.ndarray, first_out_row: int, n_out_rows: int
 ) -> np.ndarray:
+    # The C engine walks [first, first+n) straight into the precalc arrays;
+    # enforce the row-range contract here (the xla/numpy backends clamp).
+    first_out_row = int(first_out_row)
+    n_out_rows = int(n_out_rows)
+    if (
+        first_out_row < 0
+        or n_out_rows < 0
+        or first_out_row + n_out_rows > plan.height_out
+    ):
+        raise ValueError(
+            f"row range [{first_out_row}, {first_out_row + n_out_rows}) "
+            f"outside [0, {plan.height_out})"
+        )
     lib = _get_lib()
     nplan = _native_plan(plan)
     flat, stride_in = _prep(plan, img)

@@ -46,24 +46,33 @@ def mul_shift_round24(a, m):
     """floor((a*m + 2**23) / 2**24), the box normalization
     (scale_64bpp / scale_128bpp_half, generic.c:1231-1261).
 
-    Bounds: 0 <= a < 2**30 (box accumulators: 64bpp <= 65535, 128bpp < 2**30
-    since values <= 2**16 sum over spans <= 2**13 -- the 8191:1 sRGB cutoff
-    exists precisely to keep this), 0 <= m < 2**24 (span_mul < 2**22 for
-    ratios > 8).  The 12-bit split keeps every intermediate < 2**31:
-      a = ah*2**12 + al,  m = mh*2**12 + ml
-      a*m + 2**23 = ah*mh*2**24 + (ah*ml + al*mh)*2**12 + (al*ml + 2**23)
-      floor(./2**24) = ah*mh + ((ah*ml + al*mh + ((al*ml + 2**23) >> 12)) >> 12)
-    using floor((Y*2**12 + W)/2**24) == floor((Y + (W >> 12)) / 2**12).
-      ah < 2**18, mh < 2**12: ah*ml < 2**30, al*mh < 2**24, ah*mh < 2**30,
-      Y + (W>>12) < 2**30 + 2**13.  All int32-safe.
+    Bounds: 0 <= a < 2**32 (interpreted as uint32) and 0 <= m < 2**24.
+    This covers every accumulator the pipeline can produce: the worst case
+    is PREMUL16 lanes (<= 255*255 = 65025) over spans up to 65535
+    (65025*65535 < 2**32) and linear-light lanes (<= 2047*255 = 521985)
+    over spans up to the 8191:1 sRGB cutoff (521985*8191 < 2**32) -- the
+    reference enforces exactly these limits so its own 32-bit lane
+    accumulators cannot overflow (smolscale.c:760-770, generic.c:2248).
+
+    3-limb split, every intermediate < 2**32 so uint32 (mod-2**32) is exact:
+      a = a2*2**24 + a1*2**12 + a0   (a2 < 2**8, a1,a0 < 2**12)
+      m = mh*2**12 + ml              (mh,ml < 2**12)
+      floor((a*m + 2**23)/2**24)
+        = a2*m + floor((a1*m + floor((a0*m + 2**23)/2**12)) / 2**12)
+      with  floor((ai*m + c)/2**12) = ai*mh + ((ai*ml + c) >> 12).
+      Intermediates: ai*mh < 2**24, ai*ml + c < 2**25+2**23,
+      w0,w1 < 2**24 + 2**13; a2*m < 2**32; the final sum equals the true
+      result, which is < 2**32 whenever a < 2**32 and m < 2**24.
     """
-    a = a.astype(jnp.int32)
-    m = m.astype(jnp.int32)
-    ah, al = a >> 12, a & 0xFFF
-    mh, ml = m >> 12, m & 0xFFF
-    w = al * ml + (1 << 23)
-    y = ah * ml + al * mh + (w >> 12)
-    return ah * mh + (y >> 12)
+    a = a.astype(jnp.uint32)
+    m = m.astype(jnp.uint32)
+    a2 = a >> 24
+    a1 = (a >> 12) & jnp.uint32(0xFFF)
+    a0 = a & jnp.uint32(0xFFF)
+    mh, ml = m >> 12, m & jnp.uint32(0xFFF)
+    w0 = a0 * mh + ((a0 * ml + jnp.uint32(1 << 23)) >> 12)
+    w1 = a1 * mh + ((a1 * ml + w0) >> 12)
+    return (a2 * m + w1).astype(jnp.int32)
 
 
 def mul_shift_small(v, m, shift):

@@ -42,6 +42,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from ..formats import AlphaType, StorageType
+from ..ops import fixedpoint as fp
 from ..plan import FilterType, ScalePlan
 
 
@@ -316,12 +317,9 @@ def _geometry_for_t(plan: ScalePlan, t: int, jc_out_max: int = 256,
 
 
 def _mul_shift_round24(a, m):
-    """In-kernel copy of ops.fixedpoint.mul_shift_round24 (int32 split)."""
-    ah, al = a >> 12, a & 0xFFF
-    mh_, ml = m >> 12, m & 0xFFF
-    w = al * ml + (1 << 23)
-    y = ah * ml + al * mh_ + (w >> 12)
-    return ah * mh_ + (y >> 12)
+    """In-kernel alias of ops.fixedpoint.mul_shift_round24 (exact 3-limb
+    uint32 split, valid for the full a in [0, 2**32) accumulator domain)."""
+    return fp.mul_shift_round24(a, m)
 
 
 def _make_kernel(plan: ScalePlan, geo):

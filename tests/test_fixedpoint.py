@@ -37,23 +37,38 @@ def test_weight256_exact():
 
 
 def test_mul_shift_round24_exact():
+    # Full accumulator domain a in [0, 2**32): covers PREMUL16 lanes
+    # (65025) over spans to 65535 and linear lanes (521985) over spans to
+    # the 8191:1 sRGB cutoff -- the band the old int32 split overflowed in.
     a = np.concatenate(
         [
             RNG.integers(0, 1 << 30, 20000),
-            np.array([0, 1, (1 << 30) - 1, 65535, 0xFFFF]),
+            RNG.integers(1 << 30, 1 << 32, 20000),
+            np.array(
+                [0, 1, (1 << 30) - 1, 65535, 0xFFFF,
+                 65025 * 65535, 521985 * 8191, (1 << 32) - 1]
+            ),
         ]
     ).astype(np.int64)
     m = np.concatenate(
         [
-            RNG.integers(0, 1 << 24, 20000),
-            np.array([0, 1, (1 << 24) - 1, (1 << 22) - 1, 123]),
+            RNG.integers(0, 1 << 24, 40000),
+            np.array([0, 1, (1 << 24) - 1, (1 << 22) - 1, 123,
+                      258, 2**24 // 4113, (1 << 24) - 1]),
         ]
     ).astype(np.int64)
     n = min(len(a), len(m))
     a, m = a[:n], m[:n]
-    want = (a * m + (1 << 23)) >> 24
-    got = np.asarray(fp.mul_shift_round24(_j(a), _j(m)))
-    assert np.array_equal(want, got)
+    want = ((a * m + (1 << 23)) >> 24) & 0xFFFFFFFF
+    # int32 bit-pattern entry (what the kernels pass)
+    a32 = jnp.asarray(a.astype(np.uint32).view(np.int32))
+    got = np.asarray(fp.mul_shift_round24(a32, _j(m))).astype(np.int64)
+    assert np.array_equal(want, got & 0xFFFFFFFF)
+    # uint32 entry
+    got_u = np.asarray(
+        fp.mul_shift_round24(jnp.asarray(a, dtype=jnp.uint32), _j(m))
+    ).astype(np.int64)
+    assert np.array_equal(want, got_u & 0xFFFFFFFF)
 
 
 def test_mul_shift_u32_exact():

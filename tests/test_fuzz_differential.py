@@ -9,7 +9,7 @@ import numpy as np
 import pytest
 
 import oracle
-from smolscale_tpu.backends import numpy_ref
+from smolscale_tpu.backends import numpy_ref, xla
 from smolscale_tpu.plan import ScalePlan
 
 N_CASES = 60
@@ -45,7 +45,50 @@ def test_fuzz_case(seed):
     nbi = 3 if ti >= 8 else 4
     img = rng.integers(0, 256, (hi, wi, nbi), dtype=np.uint8)
     ref = oracle.scale_simple(img, ti, wo, ho, to, srgb)
-    got = numpy_ref.scale(ScalePlan(wi, hi, wo, ho, ti, to, srgb), img)
+    plan = ScalePlan(wi, hi, wo, ho, ti, to, srgb)
+    got = numpy_ref.scale(plan, img)
     assert np.array_equal(ref, got), (
         f"{wi}x{hi}->{wo}x{ho} t{ti}->t{to} srgb={srgb}"
     )
+    # the int32 compute path must match ground truth too (ADVICE r1: the
+    # fixed-case XLA list never reached the deep-ratio overflow band)
+    got_xla = np.asarray(xla.scale(plan, img))
+    assert np.array_equal(ref, got_xla), (
+        f"xla: {wi}x{hi}->{wo}x{ho} t{ti}->t{to} srgb={srgb}"
+    )
+
+
+# Deep box ratios (4096:1 .. 65535:1) with unassociated formats: PREMUL16
+# lanes (<= 65025, or 521985 linear) over huge spans drive the box
+# accumulator past 2**31 -- the band where the old mul_shift_round24 split
+# overflowed (ADVICE r1, high).  Checked on both XLA paths.
+_DEEP_CASES = [
+    (5000, 2, 1, 2, 4, 4, True),  # advisor repro: 92 vs 97 pre-fix
+    (40000, 2, 1, 2, 4, 4, False),  # advisor repro: alpha 92 vs 255 pre-fix
+    (4113, 3, 1, 1, 4, 5, True),
+    (8191, 2, 1, 1, 6, 7, True),
+    (65535, 1, 1, 1, 4, 4, False),
+    (33000, 2, 1, 2, 7, 4, False),
+    (2, 65535, 2, 1, 5, 5, False),  # vertical deep span
+    (3, 8191, 1, 1, 4, 6, True),
+]
+
+
+@pytest.mark.parametrize("case", _DEEP_CASES, ids=str)
+@pytest.mark.parametrize("mxu", [False, True], ids=["gather", "mxu"])
+def test_deep_ratio_overflow_band(case, mxu):
+    wi, hi, wo, ho, ti, to, srgb = case
+    rng = np.random.default_rng(hash(case) & 0xFFFF)
+    nbi = 3 if ti >= 8 else 4
+    img = rng.integers(128, 256, (hi, wi, nbi), dtype=np.uint8)
+    img[..., -1] = 255  # saturated alpha maximizes the accumulator
+    ref = oracle.scale_simple(img, ti, wo, ho, to, srgb)
+    plan = ScalePlan(wi, hi, wo, ho, ti, to, srgb)
+    assert np.array_equal(ref, numpy_ref.scale(plan, img))
+    old = xla._FORCE_MXU
+    xla._FORCE_MXU = mxu
+    try:
+        got = np.asarray(xla.scale(plan, img))
+    finally:
+        xla._FORCE_MXU = old
+    assert np.array_equal(ref, got), f"{case} mxu={mxu}"
