@@ -638,20 +638,24 @@ class RowShardTables:
             self.rows = rows
 
 
-def _vfilter_windowed(plan: ScalePlan, tables: RowShardTables, planes, shard_id):
-    """Vertical filter over a window, using per-shard traced tables."""
+def _vfilter_tbl(plan: ScalePlan, n_rows: int, tbl: dict, planes):
+    """Vertical filter over a window from traced per-row tables.
+
+    ``tbl`` holds (n_rows,)-shaped traced arrays whose names depend on the
+    filter (off/fac for bilinear, first_idx/last_idx/w1/w2/mid_start/mid_len
+    for box, rows for copy); shared by the per-shard and traced-row-range
+    paths.
+    """
     ay = plan.y
     mask = plan.working_mask
     if ay.filter == FilterType.ONE:
         reps = [1] * planes.ndim
-        reps[-2] = tables.n_rows
+        reps[-2] = n_rows
         return jnp.tile(planes[..., :1, :], reps)
     if ay.filter == FilterType.COPY:
-        rows = jnp.take(jnp.asarray(tables.rows), shard_id, axis=0)
-        return jnp.take(planes, rows, axis=-2)
+        return jnp.take(planes, tbl["rows"], axis=-2)
     if ay.filter.is_bilinear:
-        off = jnp.take(jnp.asarray(tables.off), shard_id, axis=0)
-        fac = jnp.take(jnp.asarray(tables.fac), shard_id, axis=0)
+        off, fac = tbl["off"], tbl["fac"]
         p = jnp.take(planes, off, axis=-2)
         q = jnp.take(planes, off + 1, axis=-2)
         samples = fp.lerp256(p, q, fac[:, None], mask)
@@ -659,31 +663,122 @@ def _vfilter_windowed(plan: ScalePlan, tables: RowShardTables, planes, shard_id)
         if k == 0:
             return samples
         shape = list(samples.shape)
-        shape[-2:] = [tables.n_rows, 1 << k, samples.shape[-1]]
+        shape[-2:] = [n_rows, 1 << k, samples.shape[-1]]
         return (jnp.sum(samples.reshape(shape), axis=-2) >> k) & mask
     # BOX
-    t = tables
-    sid = shard_id
     first = fp.weight256(
-        jnp.take(planes, jnp.take(jnp.asarray(t.first_idx), sid, axis=0), axis=-2),
-        jnp.take(jnp.asarray(t.w1), sid, axis=0)[:, None],
-        mask,
+        jnp.take(planes, tbl["first_idx"], axis=-2), tbl["w1"][:, None], mask
     )
-    last_rows = jnp.take(planes, jnp.take(jnp.asarray(t.last_idx), sid, axis=0), axis=-2)
-    w2 = jnp.take(jnp.asarray(t.w2), sid, axis=0)[:, None]
+    last_rows = jnp.take(planes, tbl["last_idx"], axis=-2)
+    w2 = tbl["w2"][:, None]
     if plan.storage == StorageType.S64:
         last = fp.weight256(last_rows, w2, mask)
     else:
         last = jnp.where(w2 > 0, fp.weight256(last_rows, jnp.maximum(w2 - 1, 0), mask), 0)
-    mids = fp.segsum_cumsum(
-        planes,
-        jnp.take(jnp.asarray(t.mid_start), sid, axis=0),
-        jnp.take(jnp.asarray(t.mid_len), sid, axis=0),
-        axis=-2,
-    )
+    mids = fp.segsum_cumsum(planes, tbl["mid_start"], tbl["mid_len"], axis=-2)
     acc = first + mids + last
     out_mask = 0xFF if plan.storage == StorageType.S64 else 0xFFFF
     return fp.mul_shift_round24(acc, jnp.int32(plan.y.span_mul)) & out_mask
+
+
+def _vfilter_windowed(plan: ScalePlan, tables: RowShardTables, planes, shard_id):
+    """Vertical filter over a window, using per-shard traced tables."""
+    ay = plan.y
+    t = tables
+    tbl = {}
+    if ay.filter == FilterType.COPY:
+        tbl["rows"] = jnp.take(jnp.asarray(t.rows), shard_id, axis=0)
+    elif ay.filter.is_bilinear:
+        tbl["off"] = jnp.take(jnp.asarray(t.off), shard_id, axis=0)
+        tbl["fac"] = jnp.take(jnp.asarray(t.fac), shard_id, axis=0)
+    elif ay.filter == FilterType.BOX:
+        for k, arr in [
+            ("first_idx", t.first_idx), ("last_idx", t.last_idx),
+            ("w1", t.w1), ("w2", t.w2),
+            ("mid_start", t.mid_start), ("mid_len", t.mid_len),
+        ]:
+            tbl[k] = jnp.take(jnp.asarray(arr), shard_id, axis=0)
+    return _vfilter_tbl(plan, tables.n_rows, tbl, planes)
+
+
+class RowRangeTables:
+    """Full per-output-row vertical tables for a traced-first row range.
+
+    One compiled program per (plan, n): any output-row range
+    [first, first+n) is served by dynamic gathers into these full arrays,
+    so streaming N chunks costs one compile instead of N (the reference's
+    smol_scale_batch contract, smolscale.h:74-82, where the ctx is built
+    once and any row subrange is a cheap call).
+    """
+
+    def __init__(self, plan: ScalePlan, n: int):
+        ay = plan.y
+        self.plan, self.n = plan, n
+        h_out, h_in = plan.height_out, plan.height_in
+        assert 1 <= n <= h_out
+        nf = h_out - n + 1  # valid first values
+        f = np.arange(nf, dtype=np.int64)
+        if ay.filter == FilterType.ONE:
+            self.window_h = 1
+            starts = np.zeros(nf, np.int64)
+        elif ay.filter == FilterType.COPY:
+            self.window_h = n
+            starts = f.copy()
+        elif ay.filter.is_bilinear:
+            k = ay.halvings
+            off = np.asarray(ay.offsets, np.int64)
+            self.off_full = off.astype(np.int32)
+            self.fac_full = np.asarray(ay.factors, np.int32)
+            starts = off[f << k]
+            stops = off[((f + n) << k) - 1] + 2
+            self.window_h = int((stops - starts).max())
+        else:  # BOX
+            off = np.asarray(ay.offsets, np.int64)
+            y0 = off[:h_out]
+            y1 = off[1 : h_out + 1]
+            fac = np.asarray(ay.factors, np.int64)[:h_out]
+            self.y0_full = y0.astype(np.int32)
+            self.li_full = np.minimum(y1, ay.dim_in - 1).astype(np.int32)
+            self.w1_full = np.concatenate(
+                [[256], 255 - fac[: h_out - 1]]
+            ).astype(np.int32)
+            self.w2_full = fac.astype(np.int32)
+            self.ms_full = (y0 + 1).astype(np.int32)
+            self.ml_full = np.maximum(y1 - y0 - 1, 0).astype(np.int32)
+            starts = y0[f]
+            last = np.minimum(f + n, h_out)
+            stops = np.minimum(off[last] + 1, ay.dim_in)
+            self.window_h = int((stops - starts).max())
+        if self.window_h <= h_in:
+            starts = np.minimum(starts, h_in - self.window_h)
+        self.starts = starts.astype(np.int32)
+        self.pad_h = max(h_in, int(starts.max()) + self.window_h)
+
+    def traced(self, first):
+        """(start, tbl): traced window start + per-row tables for ``first``."""
+        ay = self.plan.y
+        n, h_out = self.n, self.plan.height_out
+        start = jnp.take(jnp.asarray(self.starts), first)
+        tbl = {}
+        if ay.filter == FilterType.COPY:
+            idx = jnp.minimum(first + jnp.arange(n), h_out - 1)
+            tbl["rows"] = idx - start
+        elif ay.filter.is_bilinear:
+            k = ay.halvings
+            bidx = jnp.minimum(
+                (first << k) + jnp.arange(n << k), (h_out << k) - 1
+            )
+            tbl["off"] = jnp.take(jnp.asarray(self.off_full), bidx) - start
+            tbl["fac"] = jnp.take(jnp.asarray(self.fac_full), bidx)
+        elif ay.filter == FilterType.BOX:
+            idx = jnp.minimum(first + jnp.arange(n), h_out - 1)
+            tbl["first_idx"] = jnp.take(jnp.asarray(self.y0_full), idx) - start
+            tbl["last_idx"] = jnp.take(jnp.asarray(self.li_full), idx) - start
+            tbl["w1"] = jnp.take(jnp.asarray(self.w1_full), idx)
+            tbl["w2"] = jnp.take(jnp.asarray(self.w2_full), idx)
+            tbl["mid_start"] = jnp.take(jnp.asarray(self.ms_full), idx) - start
+            tbl["mid_len"] = jnp.take(jnp.asarray(self.ml_full), idx)
+        return start, tbl
 
 
 def row_shard_fn(plan: ScalePlan, tables: RowShardTables, img_padded, shard_id):
@@ -703,7 +798,23 @@ def row_shard_fn(plan: ScalePlan, tables: RowShardTables, img_padded, shard_id):
     return _pack(plan, vout)
 
 
-def pad_rows(plan: ScalePlan, tables: RowShardTables, img):
+def row_range_fn(plan: ScalePlan, tables: RowRangeTables, img_padded, first):
+    """Compute output rows [first, first+n) with a *traced* first row.
+
+    ``img_padded`` must have height tables.pad_h.  One program per
+    (plan, n); the row range moves without recompiling.
+    """
+    start, tbl = tables.traced(first)
+    window = jax.lax.dynamic_slice_in_dim(
+        img_padded, start, tables.window_h, axis=img_padded.ndim - 3
+    )
+    planes = _unpack(plan, window)
+    hrows = _hfilter(plan, planes)
+    vout = _vfilter_tbl(plan, tables.n, tbl, hrows)
+    return _pack(plan, vout)
+
+
+def pad_rows(plan: ScalePlan, tables, img):
     extra = tables.pad_h - plan.height_in
     if extra == 0:
         return img
@@ -811,19 +922,25 @@ def scale(plan: ScalePlan, img) -> np.ndarray:
 
 
 @functools.cache
-def _jitted_rows(plan: ScalePlan, first: int, n: int):
+def _jitted_rows(plan: ScalePlan, n: int):
     # Windowed execution: only the input rows this range depends on are
     # unpacked and filtered (the smol_scale_batch recompute-at-edges
-    # trade-off, smolscale.c:512-530).
-    tables = RowShardTables(plan, 1, row_ranges=[(first, n)])
+    # trade-off, smolscale.c:512-530).  The first row is traced, so
+    # streaming a full image in n-row chunks compiles exactly once.
+    tables = RowRangeTables(plan, n)
 
-    def fn(img):
+    def fn(img, first):
         padded = pad_rows(plan, tables, img)
-        return row_shard_fn(plan, tables, padded, jnp.int32(0))
+        return row_range_fn(plan, tables, padded, first)
 
     return jax.jit(fn)
 
 
 def scale_rows(plan: ScalePlan, img, first_out_row: int, n_out_rows: int) -> np.ndarray:
+    first, n = int(first_out_row), int(n_out_rows)
+    if first < 0 or n < 1 or first + n > plan.height_out:
+        raise ValueError(
+            f"row range [{first}, {first + n}) outside [0, {plan.height_out})"
+        )
     img = jnp.asarray(img)
-    return np.asarray(_jitted_rows(plan, int(first_out_row), int(n_out_rows))(img))
+    return np.asarray(_jitted_rows(plan, n)(img, jnp.int32(first)))
