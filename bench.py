@@ -48,7 +48,9 @@ def main() -> int:
     want = numpy_ref.scale(plan, imgs[0])
     exact = bool(np.array_equal(got, want))
 
-    x = jax.device_put(jnp.asarray(imgs))
+    # upload the (free) host u32 pixel view: the on-device u8->u32 bitcast
+    # is a full tiled-layout relayout copy (~0.9 ms on this 512 MB batch)
+    x = jax.device_put(jnp.asarray(imgs.reshape(B, H, W * 4).view(np.uint32)))
     _ = np.asarray(x[0, 0, 0])
 
     def make(k):

@@ -112,7 +112,12 @@ def _extract_channels(plan: ScalePlan, img):
     """
     meta = plan.meta_in
     chans = [None] * 4
-    if meta.n_bytes == 4:
+    if img.dtype == jnp.uint32:
+        # already-packed pixels (one u32 per pixel): no bitcast needed
+        px = img
+        for byte_pos, ch in enumerate(meta.layout):
+            chans[ch] = ((px >> (8 * byte_pos)) & jnp.uint32(0xFF)).astype(jnp.int32)
+    elif meta.n_bytes == 4:
         px = jax.lax.bitcast_convert_type(img, jnp.uint32)
         for byte_pos, ch in enumerate(meta.layout):
             chans[ch] = ((px >> (8 * byte_pos)) & jnp.uint32(0xFF)).astype(jnp.int32)
@@ -870,21 +875,24 @@ def scale_fn(plan: ScalePlan, img):
     This is the analogue of the reference's runtime backend dispatch
     (get_implementations, smolscale.c:724-814).
     """
-    from ..ops import pallas_bilinear, pallas_box, pallas_srgb
+    from ..ops import pallas_128, pallas_bilinear, pallas_box, pallas_srgb
 
+    packed = img.dtype == jnp.uint32  # (.., H, W) u32 pixel view, 4B formats
     use_pallas = _FORCE_PALLAS
     if use_pallas is None:
         try:
             on_tpu = jax.default_backend() == "tpu"
         except RuntimeError:  # pragma: no cover
             on_tpu = False
-        use_pallas = on_tpu and img.ndim in (3, 4)
+        use_pallas = on_tpu and img.ndim in ((2, 3) if packed else (3, 4))
     if use_pallas and pallas_box.applicable(plan):
         return pallas_box.scale_fn(plan, img)
     if use_pallas and pallas_bilinear.applicable(plan):
         return pallas_bilinear.scale_fn(plan, img)
     if use_pallas and pallas_srgb.applicable(plan):
         return pallas_srgb.scale_fn(plan, img)
+    if use_pallas and pallas_128.applicable(plan):
+        return pallas_128.scale_fn(plan, img)
     if use_pallas:
         adapted = _adapt_24bpp(plan)
         if adapted is not None:
@@ -914,10 +922,20 @@ def _jitted(plan: ScalePlan):
 
 
 def scale(plan: ScalePlan, img) -> np.ndarray:
-    img = jnp.asarray(img)
     expect = (plan.height_in, plan.width_in, plan.meta_in.n_bytes)
-    if tuple(img.shape[-3:]) != expect:
-        raise ValueError(f"input shape {img.shape} does not match plan {expect}")
+    if tuple(np.shape(img)[-3:]) != expect:
+        raise ValueError(
+            f"input shape {np.shape(img)} does not match plan {expect}"
+        )
+    if (
+        isinstance(img, np.ndarray)
+        and plan.meta_in.n_bytes == 4
+        and img.dtype == np.uint8
+    ):
+        # free host-side u32 pixel view: skips the on-device u8->u32 bitcast,
+        # which is a full tiled-layout relayout copy on TPU
+        img = np.ascontiguousarray(img).view(np.uint32)[..., 0]
+    img = jnp.asarray(img)
     return np.asarray(_jitted(plan)(img))
 
 

@@ -1,0 +1,201 @@
+"""Fused Pallas kernel for the 128bpp non-sRGB (compressed gamma) classes.
+
+Two plan classes force 128bpp storage without linear light:
+
+* **internal PREMUL16** — unassociated input AND output (smolscale.c:751-758):
+  channels are premultiplied at 16 bits (v*a <= 65025) so transparent
+  pixels keep their color through filtering; alpha rides as (a<<8)|0x80
+  (unpack_pixel_*_p16, generic.c:616-634).
+* **deep box** (ratio > 255:1 on either axis, smolscale.c:437-446): plain
+  8-bit PREMUL8 values in 32-bit lanes so long span sums don't overflow.
+
+The reference gives these real SIMD (128bpp H-bilinear avx2.c:1786-1912,
+V-bilinear/box avx2.c:2171-2954); round 1 left them on the XLA op-graph
+fallback.  This kernel reuses the general tile geometry (pallas_bilinear)
+and the shared wide int32 stages; vs the sRGB kernel it drops the LUT
+passes entirely and needs only 2-limb gathers (values < 2**16), so it
+runs tighter tiles at a bigger budget.
+
+Value-range proof for the gather matmuls: per-limb f32 span sums <=
+255*65535 < 2**24 (exact); recombined int32 sums wrap mod 2**32, and the
+true accumulators stay < 2**32 for every planner-legal span (PREMUL16:
+65025*65535 < 2**32; vertical: 65535 * 65535 < 2**32 -- the same bounds
+that keep the reference's own 32-bit lanes from overflowing), which the
+uint32 box normalization (fixedpoint.mul_shift_round24) is exact over.
+
+Packing (unpremul_p16 on output-sized data, generic.c:290-299) stays in
+the shared XLA pack.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ..formats import AlphaType, GammaType, StorageType
+from ..plan import FilterType, ScalePlan
+from . import pallas_bilinear as pg  # shared geometry + wide stages
+
+MASK = 0xFFFFFF  # 128bpp working mask
+
+
+def applicable(plan: ScalePlan) -> bool:
+    return (
+        plan.storage == StorageType.S128
+        and plan.gamma == GammaType.SRGB_COMPRESSED
+        and plan.meta_in.n_bytes in (3, 4)
+        and plan.meta_out.n_bytes in (3, 4)
+        and (plan.x.filter.is_bilinear or plan.x.filter == FilterType.BOX)
+        and (plan.y.filter.is_bilinear or plan.y.filter == FilterType.BOX)
+        and _geo(plan) is not None
+    )
+
+
+def _geo(plan: ScalePlan):
+    # 2-limb gathers double the geometry's matmul estimate; deep-box spans
+    # inflate windows, so let the geometry search shrink tiles as needed.
+    return pg._geometry(plan, jc_out_max=128, budget_mb=6, t_max=32)
+
+
+def _make_kernel(plan: ScalePlan, geo):
+    in_layout = plan.meta_in.layout
+    if plan.meta_in.n_bytes == 3:
+        # 24bpp input arrives padded with a synthesized 255 alpha
+        # (unpack_pixel_123_*, generic.c:353-358)
+        in_layout = in_layout + (3,)
+    alpha_byte = in_layout.index(3)
+    premul16 = plan.internal_alpha == AlphaType.PREMUL16
+    in_premul = plan.meta_in.alpha == AlphaType.PREMUL8
+    win_r, win_c = geo["win_r"], geo["win_c"]
+    span_mul_x, span_mul_y = geo["span_mul_x"], geo["span_mul_y"]
+    # channel values: PREMUL16 <= 65408 -> 2 limbs; deep-box PREMUL8 <= 255
+    h_limbs = 2 if premul16 else 1
+    # post-H values are <= 0xFFFF either way (box norm mask / lerp bound)
+    v_limbs = 2
+
+    def kernel(rs_ref, cs_ref, x_any, mh_ref, hfac_ref, mv_ref, vfac_ref,
+               o_ref, xwin, sem):
+        rs = pl.multiple_of(rs_ref[pl.program_id(1)], 8)
+        cs = pl.multiple_of(cs_ref[pl.program_id(2)], 128)
+        dma = pltpu.make_async_copy(
+            x_any.at[pl.program_id(0), pl.ds(rs, win_r), pl.ds(cs, win_c)],
+            xwin, sem,
+        )
+        dma.start()
+        dma.wait()
+        px = xwin[...]
+        mh = mh_ref[0]
+        mv = mv_ref[0]
+
+        a_vals = ((px >> (8 * alpha_byte)) & jnp.uint32(0xFF)).astype(jnp.int32)
+        for lane in range(4):
+            byte_pos = in_layout.index(lane)
+            if lane == 3:
+                ch = ((a_vals << 8) | 0x80) if premul16 else a_vals
+            else:
+                v8 = ((px >> (8 * byte_pos)) & jnp.uint32(0xFF)).astype(jnp.int32)
+                if premul16:
+                    ch = v8 * a_vals  # <= 65025 (generic.c:616-634)
+                elif in_premul:
+                    ch = v8
+                else:
+                    # premul_u_to_p8 (generic.c:238-244)
+                    ch = (((v8 + 1) * (a_vals + 1) - 1) >> 8) & 0xFF
+            y = pg._gather_mm(ch, mh, h_limbs)
+            s = pg._h_stage_i32(y, hfac_ref, geo, span_mul_x, MASK, 0xFFFF)
+            yv = pg._gather_mm(s, mv, v_limbs, transpose=True)
+            sv = pg._v_stage_i32(yv, vfac_ref, geo, span_mul_y, MASK, 0xFFFF)
+            o_ref[0, lane] = sv
+
+    return kernel
+
+
+@functools.cache
+def _built(plan: ScalePlan, batch: int):
+    geo = _geo(plan)
+    kernel = _make_kernel(plan, geo)
+    t, jc_out = geo["t"], geo["jc_out"]
+    grid = (batch, geo["n_rg"], geo["n_ct"])
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.HBM),
+            pl.BlockSpec(
+                (1,) + geo["mh"].shape[1:],
+                lambda b, gr, gc, *_: (gc, 0, 0), memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(
+                (1,) + geo["hfac"].shape[1:],
+                lambda b, gr, gc, *_: (gc, 0, 0), memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(
+                (1,) + geo["mv"].shape[1:],
+                lambda b, gr, gc, *_: (gr, 0, 0), memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(
+                (1,) + geo["vfac"].shape[1:],
+                lambda b, gr, gc, *_: (gr, 0, 0), memory_space=pltpu.VMEM,
+            ),
+        ],
+        out_specs=pl.BlockSpec(
+            (1, 4, t, jc_out), lambda b, gr, gc, *_: (b, 0, gr, gc),
+            memory_space=pltpu.VMEM,
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((geo["win_r"], geo["win_c"]), jnp.uint32),
+            pltpu.SemaphoreType.DMA,
+        ],
+    )
+
+    call = pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct(
+            (batch, 4, geo["h_out_pad"], geo["w_out_pad"]), jnp.int32
+        ),
+        grid_spec=grid_spec,
+    )
+
+    h_in, w_in = plan.height_in, plan.width_in
+    h_out, w_out = plan.height_out, plan.width_out
+    pad_in = plan.meta_in.n_bytes == 3
+
+    def fn(imgs_u8):
+        from ..backends.xla import _pack
+
+        if imgs_u8.dtype == jnp.uint32:  # pre-packed pixel view
+            px = imgs_u8
+        else:
+            if pad_in:
+                pad = [(0, 0)] * (imgs_u8.ndim - 1) + [(0, 1)]
+                imgs_u8 = jnp.pad(imgs_u8, pad, constant_values=255)
+            px = jax.lax.bitcast_convert_type(imgs_u8, jnp.uint32)
+        if geo["h_pad"] != h_in or geo["w_pad"] != w_in:
+            px = jnp.pad(
+                px,
+                [(0, 0), (0, geo["h_pad"] - h_in), (0, geo["w_pad"] - w_in)],
+            )
+        planes = call(
+            jnp.asarray(geo["rstart"]), jnp.asarray(geo["cstart"]), px,
+            jnp.asarray(geo["mh"]), jnp.asarray(geo["hfac"]),
+            jnp.asarray(geo["mv"]), jnp.asarray(geo["vfac"]),
+        )
+        planes = planes[:, :, :h_out, :w_out]
+        return _pack(plan, planes)
+
+    return fn
+
+
+def scale_fn(plan: ScalePlan, imgs):
+    """(B, H, W, nb_in) u8 -> (B, h, w, nb_out) u8.  Caller checks applicable()."""
+    squeeze = imgs.ndim == (2 if imgs.dtype == jnp.uint32 else 3)
+    if squeeze:
+        imgs = imgs[None]
+    out = _built(plan, imgs.shape[0])(imgs)
+    return out[0] if squeeze else out

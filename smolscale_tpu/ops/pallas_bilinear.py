@@ -322,6 +322,105 @@ def _mul_shift_round24(a, m):
     return fp.mul_shift_round24(a, m)
 
 
+# -- shared in-kernel stages for the wide (128bpp int32-plane) kernels --------
+# Used by pallas_srgb (linear light) and pallas_128 (PREMUL16 / deep box);
+# the 64bpp kernel keeps its own fused copies below.
+
+def _gather_mm(x_i32, mat, n_limbs, transpose=False):
+    """Exact 0/1-matrix application via 8-bit bf16 limb matmuls.
+
+    Limbs <= 255 are exact in bf16; per-limb f32 sums stay < 2**24 for
+    every span the planner allows, and the int32 limb recombination is
+    mod-2**32 exact (downstream normalization treats accumulators as
+    uint32).  n_limbs = ceil(value_bits / 8) of the input bound.
+    """
+    def mm(v):
+        vb = v.astype(jnp.bfloat16)
+        if transpose:
+            y = jnp.dot(mat, vb, preferred_element_type=jnp.float32)
+        else:
+            y = jnp.dot(vb, mat, preferred_element_type=jnp.float32)
+        return y.astype(jnp.int32)
+
+    if n_limbs == 1:
+        return mm(x_i32)
+    out = mm(x_i32 & 0xFF) + (mm((x_i32 >> 8) & 0xFF) << 8)
+    if n_limbs >= 3:
+        out = out + (mm(x_i32 >> 16) << 16)
+    return out
+
+
+def _h_stage_i32(y, hfac_ref, geo, span_mul_x, mask, norm_mask):
+    """Horizontal stage on gathered int32 samples.
+
+    Box: acc = (left*w1>>8 & mask) + mids + (right*F>>8 & mask), then
+    (acc*span_mul + 2**23) >> 24 & norm_mask (interp_horizontal_boxes +
+    scale_128bpp_half, generic.c:1427-1556, 1247-1261).  Bilinear: packed
+    lerp + halving-ladder sublane reduce (generic.c:1290-1361).
+    """
+    jc, jc_out, kh = geo["jc"], geo["jc_out"], geo["kh"]
+    win_r = geo["win_r"]
+    if geo["h_is_box"]:
+        mids = y[:, :jc_out]
+        left = y[:, jc_out : 2 * jc_out].astype(jnp.uint32)
+        right = y[:, 2 * jc_out :].astype(jnp.uint32)
+        lw = hfac_ref[0, 0:1, :].astype(jnp.uint32)
+        rf = hfac_ref[0, 1:2, :].astype(jnp.uint32)
+        acc = (
+            ((left * lw >> 8) & jnp.uint32(mask)).astype(jnp.int32)
+            + mids
+            + ((right * rf >> 8) & jnp.uint32(mask)).astype(jnp.int32)
+        )
+        return _mul_shift_round24(acc, jnp.int32(span_mul_x)) & norm_mask
+    hfac = hfac_ref[0, 0:1, :].astype(jnp.uint32)
+    p = y[:, :jc].astype(jnp.uint32)
+    q = y[:, jc:].astype(jnp.uint32)
+    s = (p * hfac + q * (jnp.uint32(256) - hfac)) >> 8
+    s = (s & jnp.uint32(mask)).astype(jnp.int32)
+    if kh:
+        s3 = s.reshape(win_r, 1 << kh, jc_out)
+        s = (jnp.sum(s3, axis=1) >> kh) & mask
+    return s
+
+
+def _v_stage_i32(yv, vfac_ref, geo, span_mul_y, mask, norm_mask):
+    """Vertical stage on gathered int32 samples (128bpp rules).
+
+    Box: last row weighted by w2-1 and skipped when w2 == 0
+    (scale_outrow_box_128bpp, generic.c:2198-2260).  Bilinear: lerp +
+    ladder (scale_outrow_bilinear_Nh, generic.c:1841-1916).
+    """
+    t, kv = geo["t"], geo["kv"]
+    tv = t << kv
+    jc_out = geo["jc_out"]
+    if geo["v_is_box"]:
+        midsv = yv[:t]
+        first = yv[t : 2 * t].astype(jnp.uint32)
+        last = yv[2 * t :].astype(jnp.uint32)
+        w1 = vfac_ref[0, :, 0:1].astype(jnp.uint32)
+        w2 = vfac_ref[0, :, 1:2].astype(jnp.uint32)
+        w2m = jnp.maximum(w2 - 1, 0) * (w2 > 0).astype(jnp.uint32)
+        accv = (
+            ((first * w1 >> 8) & jnp.uint32(mask)).astype(jnp.int32)
+            + midsv
+            + jnp.where(
+                (w2 > 0).astype(jnp.int32) > 0,
+                ((last * w2m >> 8) & jnp.uint32(mask)).astype(jnp.int32),
+                0,
+            )
+        )
+        return _mul_shift_round24(accv, jnp.int32(span_mul_y)) & norm_mask
+    vfac = vfac_ref[0, :, 0:1].astype(jnp.uint32)
+    pv = yv[:tv].astype(jnp.uint32)
+    qv = yv[tv:].astype(jnp.uint32)
+    sv = (pv * vfac + qv * (jnp.uint32(256) - vfac)) >> 8
+    sv = (sv & jnp.uint32(mask)).astype(jnp.int32)
+    if kv:
+        sv3 = sv.reshape(1 << kv, t, jc_out)
+        sv = (jnp.sum(sv3, axis=0) >> kv) & mask
+    return sv
+
+
 def _make_kernel(plan: ScalePlan, geo):
     in_layout = plan.meta_in.layout
     out_layout = plan.meta_out.layout
@@ -471,8 +570,11 @@ def _built(plan: ScalePlan, batch: int):
 
     unassoc_out = plan.meta_out.alpha == AlphaType.UNASSOCIATED
 
-    def fn(imgs_u8):
-        px = jax.lax.bitcast_convert_type(imgs_u8, jnp.uint32)
+    def fn(imgs):
+        if imgs.dtype == jnp.uint32:  # pre-packed pixel view (free on host)
+            px = imgs
+        else:
+            px = jax.lax.bitcast_convert_type(imgs, jnp.uint32)
         if geo["h_pad"] != h_in or geo["w_pad"] != w_in:
             px = jnp.pad(
                 px,
@@ -494,8 +596,9 @@ def _built(plan: ScalePlan, batch: int):
 
 
 def scale_fn(plan: ScalePlan, imgs):
-    """(B, H, W, 4) u8 -> (B, h, w, 4) u8.  Caller checks applicable()."""
-    squeeze = imgs.ndim == 3
+    """(B, H, W, 4) u8 (or packed (B, H, W) u32) -> (B, h, w, 4) u8.
+    Caller checks applicable()."""
+    squeeze = imgs.ndim == (2 if imgs.dtype == jnp.uint32 else 3)
     if squeeze:
         imgs = imgs[None]
     out = _built(plan, imgs.shape[0])(imgs)

@@ -8,16 +8,17 @@ the u8 input once plus the tiny output, where the XLA path materializes
 
 Key reformulations (all bit-exact to the generic C backend):
 
-* Horizontal whole-span sums ride the MXU: per channel,
-  ``Y = x_bf16 @ [S | G]`` where S is the 0/1 span-sum matrix (col j sums
-  input columns [j*R, (j+1)*R), minus the final element the reference's
-  precalc clamp drops, generic.c:105-110) and G the one-hot boundary
-  gather.  Inputs <= 255 are exact in bf16; span sums <= 255*R < 2**24 are
-  exact in f32.
+* Horizontal whole-span sums ride the MXU as an **int8 matmul** (2x the
+  bf16 rate on v5e): per channel, ``Y = (x' - 128)_i8 @ S_i8`` where S is
+  the 0/1 span-sum matrix (col j sums input columns [j*R, (j+1)*R), minus
+  the final element the reference's precalc clamp drops, generic.c:105-110);
+  the -128 offset is undone arithmetically (+128 * colsum, a static
+  per-column constant).  Integer matmuls are exact by construction.
 * The reference weights each span's first pixel by 255/256 with truncation
   (the carry (r*255 - r*0)>>8 of generic.c:1462).  For 8-bit x,
-  (x*255)>>8 == x - [x > 0], so the span accumulator is simply
-  full_sum - [boundary > 0] (except span 0, weighted 256/256 = identity).
+  (x*255)>>8 == x - [x > 0], so the left-edge adjustment is applied to the
+  *input* (x' = x - [span-first lane & x > 0], span 0 exempt) and rides
+  through the span sum -- no boundary-gather matrix needed at all.
 * The vertical pass applies the same identity on already-normalized 8-bit
   rows with a sublane reshape-reduce; the final input row of the image is
   dropped like the reference does.
@@ -59,34 +60,30 @@ def applicable(plan: ScalePlan) -> bool:
         and plan.y.filter == FilterType.BOX
         and _box_uniform_applicable(plan.x)
         and _box_uniform_applicable(plan.y)
-        # VMEM budget: input tile + matmul const
+        # VMEM budget: int8 span matrix + input tile
         and plan.width_in % 128 == 0
-        and plan.width_in * 4 * 2 + plan.width_in * (plan.width_out + 256) * 2
-        < 10 * 2**20
+        and plan.width_in * plan.width_out < 4 * 2**20
         and _pick_rows_t(plan) is not None
     )
 
 
-def _span_matrices(ax):
-    """[S | G]: span-sum and boundary-gather matrix, (W, 2*w_out) bf16."""
+def _span_matrix(ax):
+    """S: 0/1 span-sum matrix, (W, w_out) int8."""
     w_in, w_out = ax.dim_in, ax.dim_out
     r = w_in // w_out
-    m = np.zeros((w_in, 2 * w_out), dtype=np.float32)
+    m = np.zeros((w_in, w_out), dtype=np.int8)
     for j in range(w_out):
         lo, hi = j * r, (j + 1) * r
         if j == w_out - 1:
             hi -= 1  # the reference drops the final input element
-        m[lo:hi, j] = 1.0
-        m[j * r, w_out + j] = 1.0  # boundary gather
-    # keep as numpy: jnp constants created inside one trace must not be
-    # cached and reused in another (tracer leak)
-    return m.astype(jnp.bfloat16)
+        m[lo:hi, j] = 1
+    return m
 
 
 def _make_kernel(plan: ScalePlan, rows_t: int):
     """Kernel over one (batch, row-group) tile.
 
-    Block shapes: x_ref (1, rows_t*Ry, W) u32; m_ref (W, 2*w_out) bf16;
+    Block shapes: x_ref (1, rows_t*Ry, W) u32; m_ref (W, w_out) int8;
     o_ref (1, rows_t, w_out) u32.
     """
     w_in, w_out = plan.x.dim_in, plan.x.dim_out
@@ -104,12 +101,16 @@ def _make_kernel(plan: ScalePlan, rows_t: int):
     def kernel(x_ref, m_ref, o_ref):
         g = pl.program_id(1)
         px = x_ref[0]  # (rows_t*ry, w_in) u32
-        m = m_ref[...]
+        m8 = m_ref[...]
         # output-row index within the whole image, for edge-weight selection
         row_ids = g * rows_t + jax.lax.broadcasted_iota(
             jnp.int32, (rows_t, w_out), 0
         )
-        col_ids = jax.lax.broadcasted_iota(jnp.int32, (rows_t * ry, w_out), 1)
+        lane = jax.lax.broadcasted_iota(jnp.int32, (rows_t * ry, w_in), 1)
+        adj_lane = (lane > 0) & (lane % rx == 0)  # span-first, span 0 exempt
+        col_last = (
+            jax.lax.broadcasted_iota(jnp.int32, (1, w_out), 1) == w_out - 1
+        )
 
         a_vals = ((px >> (8 * alpha_byte)) & jnp.uint32(0xFF)).astype(jnp.int32)
         out_px = jnp.zeros((rows_t, w_out), dtype=jnp.uint32)
@@ -118,14 +119,14 @@ def _make_kernel(plan: ScalePlan, rows_t: int):
             if unassoc_in and byte_pos != alpha_byte:
                 # premultiply in-kernel (premul_u_to_p8, generic.c:238-244)
                 ch_vals = (((ch_vals + 1) * (a_vals + 1) - 1) >> 8) & 0xFF
-            xb = ch_vals.astype(jnp.bfloat16)
-            y = jnp.dot(xb, m, preferred_element_type=jnp.float32)
-            fs = y[:, :w_out].astype(jnp.int32)
-            boundary = y[:, w_out:].astype(jnp.int32)
-            # left-edge weight: identity for span 0, x - [x>0] otherwise
-            acc = fs - jnp.where(
-                (col_ids > 0) & (boundary > 0), jnp.int32(1), jnp.int32(0)
-            )
+            # left-edge weight folded into the input: identity for span 0,
+            # x - [x>0] otherwise; rides through the span sum exactly
+            chp = ch_vals - (adj_lane & (ch_vals > 0)).astype(jnp.int32)
+            xb = (chp - 128).astype(jnp.int8)
+            y = jnp.dot(xb, m8, preferred_element_type=jnp.int32)
+            # undo the -128 offset: colsum is rx per span column (rx-1 for
+            # the final span, whose last element the matrix drops)
+            acc = y + (128 * rx) - jnp.where(col_last, 128, 0)
             hrow = fp.mul_shift_round24(acc, jnp.int32(span_mul_x)) & 0xFF
             # vertical: groups of ry rows
             gv = hrow.reshape(rows_t, ry, w_out)
@@ -154,7 +155,9 @@ def _pick_rows_t(plan: ScalePlan):
     """
     h_out = plan.y.dim_out
     ry = plan.y.dim_in // h_out
-    budget_rows = max(1, (2 * 2**20) // (plan.width_in * 4 * ry))
+    # 4 MB input blocks: measured best on v5e (2.70 ms vs 2.80 at 2 MB for
+    # the 4096->256 headline); double-buffered they stay well inside VMEM
+    budget_rows = max(1, (4 * 2**20) // (plan.width_in * 4 * ry))
     for t in range(min(budget_rows, h_out), 0, -1):
         if h_out % t == 0 and (t % 8 == 0 or t == h_out):
             return t
@@ -193,7 +196,7 @@ def _built(plan: ScalePlan, batch: int):
     h_out = plan.y.dim_out
     ry = plan.y.dim_in // plan.y.dim_out
     rows_t = _pick_rows_t(plan)
-    m = _span_matrices(plan.x)
+    m = _span_matrix(plan.x)
     kernel = _make_kernel(plan, rows_t)
     grid = (batch, h_out // rows_t)
 
@@ -208,7 +211,7 @@ def _built(plan: ScalePlan, batch: int):
                 memory_space=pltpu.VMEM,
             ),
             pl.BlockSpec(
-                (plan.width_in, 2 * plan.width_out),
+                (plan.width_in, plan.width_out),
                 lambda b, g: (0, 0),
                 memory_space=pltpu.VMEM,
             ),
@@ -221,9 +224,15 @@ def _built(plan: ScalePlan, batch: int):
 
     unassoc_out = plan.meta_out.alpha == AlphaType.UNASSOCIATED
 
-    def fn(imgs_u8):
-        # (B, H, W, 4) u8 -> (B, H, W) u32 -> kernel -> (B, h, w, 4) u8
-        px = jax.lax.bitcast_convert_type(imgs_u8, jnp.uint32)
+    def fn(imgs):
+        # (B, H, W, 4) u8 or packed (B, H, W) u32 -> kernel -> (B, h, w, 4) u8.
+        # Callers that hold host memory should pass the (free) u32 view: the
+        # on-device u8->u32 bitcast is a full tiled-layout copy on TPU
+        # (measured ~0.9 ms on the 512 MB headline batch).
+        if imgs.dtype == jnp.uint32:
+            px = imgs
+        else:
+            px = jax.lax.bitcast_convert_type(imgs, jnp.uint32)
         out = call(px, jnp.asarray(m))
         if unassoc_out:
             out = _unpremul_epilogue(plan, out)
@@ -233,8 +242,9 @@ def _built(plan: ScalePlan, batch: int):
 
 
 def scale_fn(plan: ScalePlan, imgs):
-    """(B, H, W, 4) u8 -> (B, h, w, 4) u8.  Caller checks applicable()."""
-    squeeze = imgs.ndim == 3
+    """(B, H, W, 4) u8 (or packed (B, H, W) u32) -> (B, h, w, 4) u8.
+    Caller checks applicable()."""
+    squeeze = imgs.ndim == (2 if imgs.dtype == jnp.uint32 else 3)
     if squeeze:
         imgs = imgs[None]
     out = _built(plan, imgs.shape[0])(imgs)

@@ -148,21 +148,6 @@ def _make_kernel(plan: ScalePlan, geo):
         jax.lax.fori_loop(0, win_r // SLAB, body, 0)
         return scratch[...]
 
-    def gather_mm_wide(x_i32, mat, transpose=False):
-        """Exact 0/1-matrix application for values < 2**24: 3x8-bit limbs."""
-        def mm(v):
-            vb = v.astype(jnp.bfloat16)
-            if transpose:
-                y = jnp.dot(mat, vb, preferred_element_type=jnp.float32)
-            else:
-                y = jnp.dot(vb, mat, preferred_element_type=jnp.float32)
-            return y.astype(jnp.int32)
-
-        lo = mm(x_i32 & 0xFF)
-        mid = mm((x_i32 >> 8) & 0xFF)
-        hi = mm(x_i32 >> 16)
-        return lo + (mid << 8) + (hi << 16)
-
     in_premul = plan.meta_in.alpha == AlphaType.PREMUL8
 
     def kernel(rs_ref, cs_ref, x_any, mh_ref, hfac_ref, mv_ref, vfac_ref,
@@ -207,60 +192,12 @@ def _make_kernel(plan: ScalePlan, geo):
                     # premul_ul_to_p8l (generic.c:261-269)
                     ch = (((l11 + 1) * ((a_vals << 3) + 1) - 1) >> 11) & 0x7FF
 
-            # H filter
-            y = gather_mm_wide(ch, mh)
-            if h_is_box:
-                mids = y[:, :jc_out]
-                left = y[:, jc_out : 2 * jc_out].astype(jnp.uint32)
-                right = y[:, 2 * jc_out :].astype(jnp.uint32)
-                lw = hfac_ref[0, 0:1, :].astype(jnp.uint32)
-                rf = hfac_ref[0, 1:2, :].astype(jnp.uint32)
-                acc = (
-                    ((left * lw >> 8) & jnp.uint32(MASK)).astype(jnp.int32)
-                    + mids
-                    + ((right * rf >> 8) & jnp.uint32(MASK)).astype(jnp.int32)
-                )
-                s = pg._mul_shift_round24(acc, jnp.int32(span_mul_x)) & 0xFFFF
-            else:
-                hfac = hfac_ref[0, 0:1, :].astype(jnp.uint32)
-                p = y[:, :jc].astype(jnp.uint32)
-                q = y[:, jc:].astype(jnp.uint32)
-                s = (p * hfac + q * (jnp.uint32(256) - hfac)) >> 8
-                s = (s & jnp.uint32(MASK)).astype(jnp.int32)
-                if kh:
-                    s3 = s.reshape(win_r, 1 << kh, jc_out)
-                    s = (jnp.sum(s3, axis=1) >> kh) & MASK
-
+            # H filter (shared wide stages, pallas_bilinear)
+            y = pg._gather_mm(ch, mh, 3)
+            s = pg._h_stage_i32(y, hfac_ref, geo, span_mul_x, MASK, 0xFFFF)
             # V filter
-            yv = gather_mm_wide(s, mv, transpose=True)
-            if v_is_box:
-                midsv = yv[:t]
-                first = yv[t : 2 * t].astype(jnp.uint32)
-                last = yv[2 * t :].astype(jnp.uint32)
-                w1 = vfac_ref[0, :, 0:1].astype(jnp.uint32)
-                w2 = vfac_ref[0, :, 1:2].astype(jnp.uint32)
-                # 128bpp vertical weights last row by w2-1 and skips it at
-                # w2 == 0 (generic.c:2240-2253)
-                w2m = jnp.maximum(w2 - 1, 0) * (w2 > 0).astype(jnp.uint32)
-                accv = (
-                    ((first * w1 >> 8) & jnp.uint32(MASK)).astype(jnp.int32)
-                    + midsv
-                    + jnp.where(
-                        (w2 > 0).astype(jnp.int32) > 0,
-                        ((last * w2m >> 8) & jnp.uint32(MASK)).astype(jnp.int32),
-                        0,
-                    )
-                )
-                sv = pg._mul_shift_round24(accv, jnp.int32(span_mul_y)) & 0xFFFF
-            else:
-                vfac = vfac_ref[0, :, 0:1].astype(jnp.uint32)
-                pv = yv[:tv].astype(jnp.uint32)
-                qv = yv[tv:].astype(jnp.uint32)
-                sv = (pv * vfac + qv * (jnp.uint32(256) - vfac)) >> 8
-                sv = (sv & jnp.uint32(MASK)).astype(jnp.int32)
-                if kv:
-                    sv3 = sv.reshape(1 << kv, t, jc_out)
-                    sv = (jnp.sum(sv3, axis=0) >> kv) & MASK
+            yv = pg._gather_mm(s, mv, 3, transpose=True)
+            sv = pg._v_stage_i32(yv, vfac_ref, geo, span_mul_y, MASK, 0xFFFF)
             o_ref[0, lane] = sv
 
     return kernel
@@ -331,10 +268,13 @@ def _built(plan: ScalePlan, batch: int):
     def fn(imgs_u8):
         from ..backends.xla import _pack
 
-        if pad_in:
-            pad = [(0, 0)] * (imgs_u8.ndim - 1) + [(0, 1)]
-            imgs_u8 = jnp.pad(imgs_u8, pad, constant_values=255)
-        px = jax.lax.bitcast_convert_type(imgs_u8, jnp.uint32)
+        if imgs_u8.dtype == jnp.uint32:  # pre-packed pixel view
+            px = imgs_u8
+        else:
+            if pad_in:
+                pad = [(0, 0)] * (imgs_u8.ndim - 1) + [(0, 1)]
+                imgs_u8 = jnp.pad(imgs_u8, pad, constant_values=255)
+            px = jax.lax.bitcast_convert_type(imgs_u8, jnp.uint32)
         if geo["h_pad"] != h_in or geo["w_pad"] != w_in:
             px = jnp.pad(
                 px,
@@ -354,7 +294,7 @@ def _built(plan: ScalePlan, batch: int):
 
 def scale_fn(plan: ScalePlan, imgs):
     """(B, H, W, nb_in) u8 -> (B, h, w, nb_out) u8.  Caller checks applicable()."""
-    squeeze = imgs.ndim == 3
+    squeeze = imgs.ndim == (2 if imgs.dtype == jnp.uint32 else 3)
     if squeeze:
         imgs = imgs[None]
     out = _built(plan, imgs.shape[0])(imgs)
