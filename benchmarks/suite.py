@@ -65,7 +65,12 @@ def bench_config(name, plan, batch, check=True, n_long=12):
     imgs = rng.integers(
         0, 256, (batch, plan.height_in, plan.width_in, nb), dtype=np.uint8
     )
-    x = jax.device_put(jnp.asarray(imgs))
+    if nb == 4:
+        # free host u32 pixel view (skips the on-device relayout copy)
+        up = imgs.reshape(batch, plan.height_in, plan.width_in * 4).view(np.uint32)
+    else:
+        up = imgs
+    x = jax.device_put(jnp.asarray(up))
     _ = np.asarray(x[0, 0, 0])
 
     exact = True

