@@ -20,8 +20,13 @@
 #include <cstring>
 #include <cstdlib>
 #include <algorithm>
+#include <type_traits>
 #include <thread>
 #include <vector>
+
+#if defined(__AVX2__)
+#include <immintrin.h>
+#endif
 
 #include "tables.inc"
 
@@ -78,6 +83,13 @@ static inline T lerp256(T p, T q, T f, T mask) {
 template <typename T>
 static inline T weight256(T v, T w, T mask) {
   return ((v * w) >> 8) & mask;  // generic.c:1177-1192
+}
+template <typename T>
+static inline int64_t zext(T v) {
+  // zero-extend: S128 accumulators run mod 2**32 in int32 lanes (true
+  // values < 2**32, the reference's own lane bound: smolscale.c:760-770,
+  // generic.c:2248), recovered exactly by unsigned reinterpretation
+  return (int64_t)(uint64_t)(typename std::make_unsigned<T>::type)v;
 }
 static inline int64_t scale_span(int64_t acc, int64_t mul, Storage st) {
   // generic.c:1231-1261; the product needs up to 2**41 bits, so this takes
@@ -276,9 +288,12 @@ void sst_plan_free(sst_plan *p) { delete p; }
 namespace {
 
 // Per-worker scratch: unpacked input row + h-scaled rows + accumulators.
-// T = int32_t for 64bpp storage (every intermediate fits: lerp |p-q|*F <
-// 2**16, box accumulators <= 65535; only the span normalization needs a
-// 64-bit product, done locally in scale_span) and int64_t for 128bpp.
+// T = uint16_t for 64bpp storage: every S64 intermediate is exact mod
+// 2**16 -- box accumulators reach at most 255 + 254*255 + 255 = 65280
+// (spans past 255:1 switch to 128bpp, smolscale.c:437), ladder sums
+// <= 64*255, and the lerp's masked low byte is sign-independent (bits
+// 8..15 of (p-q)*F).  Halves row traffic and doubles SIMD width vs the
+// int32 rows used through round 1.  T = int64_t for 128bpp.
 template <typename T>
 struct Worker {
   const Plan *p;
@@ -307,6 +322,35 @@ static void unpack_row(const Plan *p, const uint8_t *src, T *dst) {
   if (p->ialpha == A_PREMUL8 && p->gamma == G_COMPRESSED && nb == 4) {
     const int l0 = p->lin[0], l1 = p->lin[1], l2 = p->lin[2], l3 = p->lin[3];
     if (alpha_of(p->type_in) == A_PREMUL8) {
+#if defined(__AVX2__)
+      if (sizeof(T) == 2) {
+        // 4 px/iter: byte-shuffle into channel order, zero-extend to u16
+        uint16_t *d = (uint16_t *)dst;
+        // inverse permutation: output channel c comes from byte inv[c]
+        char inv[4];
+        inv[l0] = 0; inv[l1] = 1; inv[l2] = 2; inv[l3] = 3;
+        const __m128i shuf = _mm_setr_epi8(
+            inv[0], -1, inv[1], -1, inv[2], -1, inv[3], -1,
+            (char)(4 + inv[0]), -1, (char)(4 + inv[1]), -1,
+            (char)(4 + inv[2]), -1, (char)(4 + inv[3]), -1);
+        int i = 0;
+        for (; i + 4 <= w; i += 4) {
+          const __m128i v = _mm_loadu_si128((const __m128i *)(src + 4 * i));
+          _mm_storeu_si128((__m128i *)(d + 4 * i),
+                           _mm_shuffle_epi8(v, shuf));
+          const __m128i hi = _mm_srli_si128(v, 8);
+          _mm_storeu_si128((__m128i *)(d + 4 * i + 8),
+                           _mm_shuffle_epi8(hi, shuf));
+        }
+        for (; i < w; i++) {
+          d[4 * i + l0] = src[4 * i + 0];
+          d[4 * i + l1] = src[4 * i + 1];
+          d[4 * i + l2] = src[4 * i + 2];
+          d[4 * i + l3] = src[4 * i + 3];
+        }
+        return;
+      }
+#endif
       for (int i = 0; i < w; i++) {
         dst[4 * i + l0] = src[4 * i + 0];
         dst[4 * i + l1] = src[4 * i + 1];
@@ -327,6 +371,61 @@ static void unpack_row(const Plan *p, const uint8_t *src, T *dst) {
     }
     return;
   }
+#if defined(__AVX2__)
+  if (p->ialpha == A_PREMUL16 && p->gamma == G_COMPRESSED && nb == 4 &&
+      sizeof(T) == 4) {
+    // u16-lane premultiply: c*a <= 65025 and (a<<8)|0x80 <= 65408 are both
+    // u16-exact; widen to the int32 planes afterwards.
+    const int l0 = p->lin[0], l1 = p->lin[1], l2 = p->lin[2], l3 = p->lin[3];
+    char inv[4];
+    inv[l0] = 0; inv[l1] = 1; inv[l2] = 2; inv[l3] = 3;
+    const int apos = (int)inv[3];
+    const __m128i shuf = _mm_setr_epi8(
+        inv[0], -1, inv[1], -1, inv[2], -1, inv[3], -1,
+        (char)(4 + inv[0]), -1, (char)(4 + inv[1]), -1,
+        (char)(4 + inv[2]), -1, (char)(4 + inv[3]), -1);
+    // broadcast the alpha u16 within each 64-bit pixel half
+    const int ai = 3;  // channel-ordered: alpha is lane 3
+    const __m128i amask =
+        _mm_setr_epi16(0, 0, 0, -1, 0, 0, 0, -1);
+    int32_t *d = (int32_t *)dst;
+    int i = 0;
+    for (; i + 2 <= w; i += 2) {
+      const __m128i raw = _mm_loadl_epi64((const __m128i *)(src + 4 * i));
+      const __m128i v16 =
+          _mm_shuffle_epi8(_mm_unpacklo_epi64(raw, _mm_srli_si128(raw, 4)),
+                           _mm_setr_epi8(inv[0], -1, inv[1], -1, inv[2], -1,
+                                         inv[3], -1, (char)(8 + inv[0]), -1,
+                                         (char)(8 + inv[1]), -1,
+                                         (char)(8 + inv[2]), -1,
+                                         (char)(8 + inv[3]), -1));
+      // a broadcast: shuffle alpha lane (3) across each pixel's 4 lanes
+      const __m128i av = _mm_shufflehi_epi16(
+          _mm_shufflelo_epi16(v16, _MM_SHUFFLE(3, 3, 3, 3)),
+          _MM_SHUFFLE(3, 3, 3, 3));
+      __m128i r = _mm_mullo_epi16(v16, av);                  // c*a
+      const __m128i aenc = _mm_or_si128(_mm_slli_epi16(av, 8),
+                                        _mm_set1_epi16(0x80));
+      r = _mm_or_si128(_mm_andnot_si128(amask, r),
+                       _mm_and_si128(amask, aenc));
+      _mm_storeu_si128((__m128i *)(d + 4 * i),
+                       _mm_cvtepu16_epi32(r));
+      _mm_storeu_si128((__m128i *)(d + 4 * i + 4),
+                       _mm_cvtepu16_epi32(_mm_srli_si128(r, 8)));
+    }
+    for (; i < w; i++) {
+      int64_t c[4] = {0, 0, 0, 255};
+      for (int b = 0; b < 4; b++) c[p->lin[b]] = src[i * 4 + b];
+      const int64_t a = c[3];
+      d[4 * i + 0] = (int32_t)(c[0] * a);
+      d[4 * i + 1] = (int32_t)(c[1] * a);
+      d[4 * i + 2] = (int32_t)(c[2] * a);
+      d[4 * i + 3] = (int32_t)((a << 8) | 0x80);
+    }
+    (void)apos; (void)shuf; (void)ai;
+    return;
+  }
+#endif
   for (int i = 0; i < w; i++) {
     int64_t c[4] = {0, 0, 0, 255};
     for (int b = 0; b < nb; b++) {
@@ -377,6 +476,92 @@ static void hfilter_row(const Plan *p, const T *unp, T *dst) {
       break;
     case F_BILIN: {
       const int n = ax.halvings;
+#if defined(__AVX2__)
+      // 8-lane lerp on AoS uint16 rows: one unaligned 128-bit load per
+      // sample covers BOTH bilinear endpoints (pixels o and o+1 are
+      // adjacent).  mullo_epi16 + logical >>8 is exact mod 2**16, and the
+      // true lerp's low 8 bits live in bits 8..15 of (p-q)*F regardless of
+      // sign, so the final & 0xff matches the reference arithmetic.  This
+      // is the engine's own AoS design, not the upstream's SWAR mid-order
+      // batches (avx2.c:1394-1525).
+      if (sizeof(T) == 2 && mask == 0xff) {
+        const uint16_t *u = (const uint16_t *)unp;
+        uint16_t *d = (uint16_t *)dst;
+        const __m128i m8 = _mm_set1_epi16(0xff);
+        if (n == 0) {
+          for (int j = 0; j < w_out; j++) {
+            const __m128i v =
+                _mm_loadu_si128((const __m128i *)(u + 4 * ax.off[j]));
+            const __m128i q = _mm_unpackhi_epi64(v, v);
+            const __m128i f = _mm_set1_epi16((short)ax.fac[j]);
+            __m128i r = _mm_add_epi16(
+                _mm_srli_epi16(_mm_mullo_epi16(_mm_sub_epi16(v, q), f), 8),
+                q);
+            r = _mm_and_si128(r, m8);
+            _mm_storel_epi64((__m128i *)(d + 4 * j), r);
+          }
+        } else {
+          int k = 0;
+          for (int j = 0; j < w_out; j++) {
+            __m128i acc = _mm_setzero_si128();
+            for (int s = 0; s < (1 << n); s++, k++) {
+              const __m128i v =
+                  _mm_loadu_si128((const __m128i *)(u + 4 * ax.off[k]));
+              const __m128i q = _mm_unpackhi_epi64(v, v);
+              const __m128i f = _mm_set1_epi16((short)ax.fac[k]);
+              __m128i r = _mm_add_epi16(
+                  _mm_srli_epi16(_mm_mullo_epi16(_mm_sub_epi16(v, q), f), 8),
+                  q);
+              acc = _mm_add_epi16(acc, _mm_and_si128(r, m8));
+            }
+            acc = _mm_and_si128(_mm_srli_epi16(acc, n), m8);
+            _mm_storel_epi64((__m128i *)(d + 4 * j), acc);
+          }
+        }
+        break;
+      }
+      if (sizeof(T) == 4 && mask == 0xff) {
+        const int32_t *u = (const int32_t *)unp;
+        int32_t *d = (int32_t *)dst;
+        const __m256i m8 = _mm256_set1_epi32(0xff);
+        if (n == 0) {
+          for (int j = 0; j < w_out; j++) {
+            const __m256i v =
+                _mm256_loadu_si256((const __m256i *)(u + 4 * ax.off[j]));
+            const __m256i q = _mm256_permute2x128_si256(v, v, 0x11);
+            const __m256i f = _mm256_set1_epi32(ax.fac[j]);
+            __m256i r = _mm256_add_epi32(
+                _mm256_srai_epi32(
+                    _mm256_mullo_epi32(_mm256_sub_epi32(v, q), f), 8),
+                q);
+            r = _mm256_and_si256(r, m8);
+            _mm_storeu_si128((__m128i *)(d + 4 * j),
+                             _mm256_castsi256_si128(r));
+          }
+        } else {
+          int k = 0;
+          for (int j = 0; j < w_out; j++) {
+            __m128i acc = _mm_setzero_si128();
+            for (int s = 0; s < (1 << n); s++, k++) {
+              const __m256i v =
+                  _mm256_loadu_si256((const __m256i *)(u + 4 * ax.off[k]));
+              const __m256i q = _mm256_permute2x128_si256(v, v, 0x11);
+              const __m256i f = _mm256_set1_epi32(ax.fac[k]);
+              __m256i r = _mm256_add_epi32(
+                  _mm256_srai_epi32(
+                      _mm256_mullo_epi32(_mm256_sub_epi32(v, q), f), 8),
+                  q);
+              r = _mm256_and_si256(r, m8);
+              acc = _mm_add_epi32(acc, _mm256_castsi256_si128(r));
+            }
+            acc = _mm_srai_epi32(acc, n);
+            acc = _mm_and_si128(acc, _mm256_castsi256_si128(m8));
+            _mm_storeu_si128((__m128i *)(d + 4 * j), acc);
+          }
+        }
+        break;
+      }
+#endif
       if (n == 0) {
         for (int j = 0; j < w_out; j++) {
           const int o = ax.off[j];
@@ -403,30 +588,88 @@ static void hfilter_row(const Plan *p, const T *unp, T *dst) {
       break;
     }
     case F_BOX: {
-      // Sequential span walk (interp_horizontal_boxes, generic.c:1427-1556)
+#if defined(__AVX2__)
+      // u16 span walk: whole pixels accumulate 2-at-a-time in 8 u16 lanes,
+      // folded to one pixel's 4 lanes; fractional edges stay scalar-width
+      // vectors.  Exact: per-lane sums <= 65280 (64bpp spans <= 255).
+      if (sizeof(T) == 2 && mask == 0xff) {
+        const uint16_t *u = (const uint16_t *)unp;
+        uint16_t *d = (uint16_t *)dst;
+        const __m128i m8 = _mm_set1_epi16(0xff);
+        int pos = 1;
+        __m128i left = _mm_and_si128(
+            _mm_loadl_epi64((const __m128i *)u), m8);  // weight 256 = identity
+        for (int j = 0; j < w_out; j++) {
+          const bool last = j == w_out - 1;
+          __m128i acc2 = _mm_setzero_si128();  // 2 pixels wide
+          int nspan = ax.stride[j];
+          int sgo = nspan & ~1;
+          for (int sp = 0; sp < sgo; sp += 2, pos += 2)
+            acc2 = _mm_add_epi16(
+                acc2, _mm_loadu_si128((const __m128i *)(u + 4 * pos)));
+          __m128i acc = _mm_add_epi16(acc2, _mm_unpackhi_epi64(acc2, acc2));
+          if (nspan & 1) {
+            acc = _mm_add_epi16(
+                acc, _mm_loadl_epi64((const __m128i *)(u + 4 * pos)));
+            pos++;
+          }
+          acc = _mm_add_epi16(acc, left);
+          const __m128i f = _mm_set1_epi16((short)ax.fac[j]);
+          if (!last) {
+            const __m128i r =
+                _mm_loadl_epi64((const __m128i *)(u + 4 * pos));
+            pos++;
+            acc = _mm_add_epi16(
+                acc,
+                _mm_and_si128(_mm_srli_epi16(_mm_mullo_epi16(r, f), 8), m8));
+            // left = (r*255 - r*f) >> 8 & 0xff
+            const __m128i r255 = _mm_mullo_epi16(r, _mm_set1_epi16(255));
+            left = _mm_and_si128(
+                _mm_srli_epi16(_mm_sub_epi16(r255, _mm_mullo_epi16(r, f)), 8),
+                m8);
+          } else if (ax.fac[j] > 0) {
+            const __m128i r =
+                _mm_loadl_epi64((const __m128i *)(u + 4 * pos));
+            acc = _mm_add_epi16(
+                acc,
+                _mm_and_si128(_mm_srli_epi16(_mm_mullo_epi16(r, f), 8), m8));
+          }
+          alignas(16) uint16_t a4[8];
+          _mm_store_si128((__m128i *)a4, acc);
+          for (int c = 0; c < 4; c++)
+            d[4 * j + c] =
+                (uint16_t)scale_span(a4[c], ax.span_mul, p->storage);
+        }
+        break;
+      }
+#endif
+      // Sequential span walk (interp_horizontal_boxes, generic.c:1427-1556).
+      // Accumulation is T-typed so the 4-wide channel loops vectorize
+      // (S64: T=int32, sums <= 255*256 + 2*255 < 2**17; S128: T=int64).
       int pos = 1;
-      int64_t left[4], accum[4];
+      T left[4], accum[4];
       for (int c = 0; c < 4; c++)
-        left[c] = weight256<int64_t>(unp[c], 256, (int64_t)mask);
+        left[c] = weight256<T>(unp[c], (T)256, (T)mask);
       for (int j = 0; j < w_out; j++) {
         const bool last = j == w_out - 1;
         for (int c = 0; c < 4; c++) accum[c] = left[c];
         for (int s = 0; s < ax.stride[j]; s++, pos++)
           for (int c = 0; c < 4; c++) accum[c] += unp[4 * pos + c];
-        const int64_t f = ax.fac[j];
+        const T f = (T)ax.fac[j];
         if (!last) {
           const T *r = unp + 4 * pos;
           pos++;
           for (int c = 0; c < 4; c++) {
-            accum[c] += ((int64_t)r[c] * f >> 8) & mask;
-            left[c] = (((int64_t)r[c] * 255 - (int64_t)r[c] * f) >> 8) & mask;
+            accum[c] += (r[c] * f >> 8) & mask;
+            left[c] = ((r[c] * 255 - r[c] * f) >> 8) & mask;
           }
         } else if (f > 0) {
           for (int c = 0; c < 4; c++)
-            accum[c] += ((int64_t)unp[4 * pos + c] * f >> 8) & mask;
+            accum[c] += (unp[4 * pos + c] * f >> 8) & mask;
         }
         for (int c = 0; c < 4; c++)
-          dst[4 * j + c] = (T)scale_span(accum[c], ax.span_mul, p->storage);
+          dst[4 * j + c] =
+              (T)scale_span(zext(accum[c]), ax.span_mul, p->storage);
       }
       break;
     }
@@ -542,15 +785,17 @@ static void scale_outrow(Worker<T> *w, const uint8_t *pixels_in,
       T *accum = w->acc.data();
       {
         const T *first = get_hrow(w, pixels_in, rowstride_in, y0);
+        // T-typed weights vectorize (S64: values <= 255, products < 2**16;
+        // S128 runs with T = int64 so this is the same arithmetic)
         for (int x = 0; x < n4; x++)
-          accum[x] = weight256<int64_t>(first[x], w1, mask);
+          accum[x] = weight256<T>(first[x], (T)w1, (T)mask);
       }
       if (p->storage == S64) {
         // q = (r*w2)>>8 even when w2==0 (generic.c:2042-2068)
         if (w2 || y1 < p->h_in) {
           const T *last = get_hrow(w, pixels_in, rowstride_in, y1);
           for (int x = 0; x < n4; x++)
-            accum[x] += weight256<int64_t>(last[x], w2, mask);
+            accum[x] += weight256<T>(last[x], (T)w2, (T)mask);
         }
         for (int yy = y0 + 1; yy < y1; yy++) {
           const T *mid = get_hrow(w, pixels_in, rowstride_in, yy);
@@ -565,11 +810,11 @@ static void scale_outrow(Worker<T> *w, const uint8_t *pixels_in,
           // last row weighted w2-1 (generic.c:2240-2253)
           const T *last = get_hrow(w, pixels_in, rowstride_in, y1);
           for (int x = 0; x < n4; x++)
-            accum[x] += weight256<int64_t>(last[x], w2 - 1, mask);
+            accum[x] += weight256<T>(last[x], (T)(w2 - 1), (T)mask);
         }
       }
       for (int x = 0; x < n4; x++)
-        tmp[x] = scale_span(accum[x], ay.span_mul, p->storage);
+        tmp[x] = (T)scale_span(zext(accum[x]), ay.span_mul, p->storage);
       pack_row(p, tmp, row_out);
       return;
     }
@@ -587,12 +832,15 @@ void sst_scale_rows(const sst_plan *p, const uint8_t *pixels_in,
                     int64_t rowstride_in, uint8_t *rows_out,
                     int64_t rowstride_out, int first, int n) {
   if (p->storage == S64) {
-    Worker<int32_t> w(p);
+    Worker<uint16_t> w(p);
     for (int i = first; i < first + n; i++)
       scale_outrow(&w, pixels_in, rowstride_in, i,
                    rows_out + rowstride_out * (i - first));
   } else {
-    Worker<int64_t> w(p);
+    // int32 lanes: every 128bpp intermediate is exact mod 2**32 (lerp
+    // products <= 2**27, box accumulators < 2**32 by the sRGB span cutoff
+    // and the w2-1 rule); scale_span zero-extends the wrapped bit pattern.
+    Worker<int32_t> w(p);
     for (int i = first; i < first + n; i++)
       scale_outrow(&w, pixels_in, rowstride_in, i,
                    rows_out + rowstride_out * (i - first));

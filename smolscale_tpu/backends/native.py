@@ -37,11 +37,14 @@ def build() -> Path:
         or _LIB_PATH.stat().st_mtime < src.stat().st_mtime
         or _LIB_PATH.stat().st_mtime < inc.stat().st_mtime
     ):
-        subprocess.run(
-            ["g++", "-O3", "-fPIC", "-shared", "-std=c++17", str(src),
-             "-o", str(_LIB_PATH), "-lpthread"],
-            check=True,
-        )
+        cmd = ["g++", "-O3", "-mavx2", "-fPIC", "-shared", "-std=c++17",
+               str(src), "-o", str(_LIB_PATH), "-lpthread"]
+        try:
+            subprocess.run(cmd, check=True, capture_output=True)
+        except subprocess.CalledProcessError:
+            # non-AVX2 host: plain -O3 (the engine has scalar fallbacks)
+            cmd.remove("-mavx2")
+            subprocess.run(cmd, check=True)
     return _LIB_PATH
 
 

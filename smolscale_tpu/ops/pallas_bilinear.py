@@ -231,22 +231,30 @@ def _geometry_for_t(plan: ScalePlan, t: int, jc_out_max: int = 256,
         return None
     rstart, win_r = rw
 
-    # VMEM budget: input window u32 + h matrix bf16 + v matrix bf16 + tiles
-    mh_cols = 3 * jc_out if h_is_box else 2 * jc
-    mv_rows = 3 * t if v_is_box else 2 * (t << kv)
+    # VMEM budget.  Block inputs are double-buffered by the pipeline; the
+    # kernel body also materializes the gathered y (win_r x mh_cols i32)
+    # and the h-scaled s (win_r x jc) -- omitting those undercounted badly
+    # once the lerp-fold halved the matrices (scoped-vmem OOM at 17.6M on
+    # a 12M estimate, found on-chip).
+    mh_cols = 3 * jc_out if h_is_box else jc
+    mv_rows = 3 * t if v_is_box else (t << kv)
     budget = (
-        win_r * win_c * 4
-        + win_c * mh_cols * 2
-        + mv_rows * win_r * 2
+        2 * win_r * win_c * 4
+        + 2 * win_c * mh_cols * 2
+        + 2 * mv_rows * win_r * 2
+        + win_r * mh_cols * 4
         + win_r * max(jc, jc_out) * 4 * 2
     )
     if budget > budget_mb * 2**20:
         return None
 
-    # H matrix per col tile.  Bilinear: (win_c, 2*jc) one-hots, sample
-    # column order k*jc_out + j so the ladder sums over the leading sample
-    # axis.  Box: (win_c, 3*jc_out) = [segments | left | right] one-hots
-    # with per-output edge weights in hfac rows (0=left_w, 1=right_F).
+    # H matrix per col tile.  Bilinear: (win_c, jc) WEIGHTED gathers -- the
+    # integer lerp is folded into the matmul (col s has F at row off[s] and
+    # 256-F at off[s]+1, so y = p*F + q*(256-F); per-limb products <= 255*256
+    # are f32-exact, and (y >> 8) & mask equals the proven lerp256).  Sample
+    # column order k*jc_out + j so the ladder sums over a leading axis.
+    # Box: (win_c, 3*jc_out) = [segments | left | right] one-hots with
+    # per-output edge weights in hfac rows (0=left_w, 1=right_F).
     if h_is_box:
         mh = np.zeros((n_ct, win_c, 3 * jc_out), dtype=np.float32)
         hfac = np.zeros((n_ct, 2, jc_out), dtype=np.int32)
@@ -261,22 +269,23 @@ def _geometry_for_t(plan: ScalePlan, t: int, jc_out_max: int = 256,
                 hfac[g, 0, j] = int(bh["left_w"][oj])
                 hfac[g, 1, j] = int(bh["fracs"][oj])
     else:
-        mh = np.zeros((n_ct, win_c, 2 * jc), dtype=np.float32)
-        hfac = np.zeros((n_ct, 2, jc), dtype=np.int32)
+        mh = np.zeros((n_ct, win_c, jc), dtype=np.float32)
+        hfac = np.zeros((n_ct, 2, jc), dtype=np.int32)  # unused for ladders
         for g in range(n_ct):
             for j in range(jc_out):
                 for k in range(1 << kh):
                     s = clamp_col((g * jc_out + j) * (1 << kh) + k)
                     col = k * jc_out + j
                     o = int(xoff[s]) - int(cstart[g])
-                    mh[g, o, col] = 1.0
-                    mh[g, o + 1, jc + col] = 1.0
-                    hfac[g, 0, col] = int(xfac[s])
+                    f = int(xfac[s])
+                    mh[g, o, col] = f
+                    mh[g, o + 1, col] = 256 - f
     mh = mh.astype(jnp.bfloat16)
 
-    # V matrix per row group.  Bilinear: (2*t*2^kv, win_r) one-hot rows,
-    # order k*t + i.  Box: (3*t, win_r) = [segments; first; last] with
-    # per-output weights in vfac cols (0=w1, 1=w2).
+    # V matrix per row group.  Bilinear: (t*2^kv, win_r) WEIGHTED gather
+    # rows (lerp folded in, as above), order k*t + i.  Box: (3*t, win_r) =
+    # [segments; first; last] with per-output weights in vfac cols (0=w1,
+    # 1=w2).
     tv = t << kv
     if v_is_box:
         mv = np.zeros((n_rg, 3 * t, win_r), dtype=np.float32)
@@ -292,17 +301,17 @@ def _geometry_for_t(plan: ScalePlan, t: int, jc_out_max: int = 256,
                 vfac[g, i, 0] = int(bv["w1"][oi])
                 vfac[g, i, 1] = int(bv["w2"][oi])
     else:
-        mv = np.zeros((n_rg, 2 * tv, win_r), dtype=np.float32)
-        vfac = np.zeros((n_rg, tv, 2), dtype=np.int32)
+        mv = np.zeros((n_rg, tv, win_r), dtype=np.float32)
+        vfac = np.zeros((n_rg, tv, 2), dtype=np.int32)  # unused for ladders
         for g in range(n_rg):
             for i in range(t):
                 for k in range(1 << kv):
                     s = clamp_row((g * t + i) * (1 << kv) + k)
                     row = k * t + i
                     o = int(yoff[s]) - int(rstart[g])
-                    mv[g, row, o] = 1.0
-                    mv[g, tv + row, o + 1] = 1.0
-                    vfac[g, row, 0] = int(yfac[s])
+                    f = int(yfac[s])
+                    mv[g, row, o] = f
+                    mv[g, row, o + 1] = 256 - f
     mv = mv.astype(jnp.bfloat16)
 
     return dict(
@@ -372,11 +381,8 @@ def _h_stage_i32(y, hfac_ref, geo, span_mul_x, mask, norm_mask):
             + ((right * rf >> 8) & jnp.uint32(mask)).astype(jnp.int32)
         )
         return _mul_shift_round24(acc, jnp.int32(span_mul_x)) & norm_mask
-    hfac = hfac_ref[0, 0:1, :].astype(jnp.uint32)
-    p = y[:, :jc].astype(jnp.uint32)
-    q = y[:, jc:].astype(jnp.uint32)
-    s = (p * hfac + q * (jnp.uint32(256) - hfac)) >> 8
-    s = (s & jnp.uint32(mask)).astype(jnp.int32)
+    # lerp folded into the weighted gather matmul: y = p*F + q*(256-F)
+    s = (y >> 8) & mask
     if kh:
         s3 = s.reshape(win_r, 1 << kh, jc_out)
         s = (jnp.sum(s3, axis=1) >> kh) & mask
@@ -410,11 +416,7 @@ def _v_stage_i32(yv, vfac_ref, geo, span_mul_y, mask, norm_mask):
             )
         )
         return _mul_shift_round24(accv, jnp.int32(span_mul_y)) & norm_mask
-    vfac = vfac_ref[0, :, 0:1].astype(jnp.uint32)
-    pv = yv[:tv].astype(jnp.uint32)
-    qv = yv[tv:].astype(jnp.uint32)
-    sv = (pv * vfac + qv * (jnp.uint32(256) - vfac)) >> 8
-    sv = (sv & jnp.uint32(mask)).astype(jnp.int32)
+    sv = (yv >> 8) & mask
     if kv:
         sv3 = sv.reshape(1 << kv, t, jc_out)
         sv = (jnp.sum(sv3, axis=0) >> kv) & mask
@@ -473,11 +475,8 @@ def _make_kernel(plan: ScalePlan, geo):
                 )
                 s = _mul_shift_round24(acc, jnp.int32(span_mul_x)) & 0xFF
             else:
-                hfac = hfac_ref[0, 0:1, :].astype(jnp.uint32)  # (1, jc)
-                p = y[:, :jc].astype(jnp.int32).astype(jnp.uint32)
-                q = y[:, jc:].astype(jnp.int32).astype(jnp.uint32)
-                s = (p * hfac + q * (jnp.uint32(256) - hfac)) >> 8
-                s = (s & jnp.uint32(0xFF)).astype(jnp.int32)  # (win_r, jc)
+                # lerp folded into the weighted matmul: y = p*F + q*(256-F)
+                s = (y.astype(jnp.int32) >> 8) & 0xFF  # (win_r, jc)
                 if kh:
                     s3 = s.reshape(win_r, 1 << kh, jc_out)
                     s = (jnp.sum(s3, axis=1) >> kh) & 0xFF
@@ -498,11 +497,7 @@ def _make_kernel(plan: ScalePlan, geo):
                 )
                 sv = _mul_shift_round24(accv, jnp.int32(span_mul_y)) & 0xFF
             else:
-                vfac = vfac_ref[0, :, 0:1].astype(jnp.uint32)  # (tv, 1)
-                pv = yv[:tv].astype(jnp.int32).astype(jnp.uint32)
-                qv = yv[tv:].astype(jnp.int32).astype(jnp.uint32)
-                sv = (pv * vfac + qv * (jnp.uint32(256) - vfac)) >> 8
-                sv = (sv & jnp.uint32(0xFF)).astype(jnp.int32)  # (tv, jc_out)
+                sv = (yv.astype(jnp.int32) >> 8) & 0xFF  # (tv, jc_out)
                 if kv:
                     sv3 = sv.reshape(1 << kv, t, jc_out)
                     sv = (jnp.sum(sv3, axis=0) >> kv) & 0xFF

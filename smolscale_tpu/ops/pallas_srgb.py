@@ -26,7 +26,9 @@ the kernel emits filtered int32 planes, so the reference's asymmetric
 24bpp linear pack variants (generic.c:922-935 vs 1010-1023) come for free
 from the shared pack.
 
-Box-x-box and >8191:1 ratios (compressed-gamma fallback) go to XLA.
+>8191:1 ratios (compressed-gamma fallback) go to XLA; box-x-box is fused
+too since round 2 (the round-1 scoped-VMEM overflow came from the slab
+scratch buffers, which the whole-window LUT removed).
 """
 
 from __future__ import annotations
@@ -45,6 +47,9 @@ from ..plan import FilterType, ScalePlan
 from . import pallas_bilinear as pg  # shared tile geometry
 
 
+_ABLATE = None  # timing-only kernel ablation knob (benchmarks/probe_srgb_ablate)
+
+
 def applicable(plan: ScalePlan) -> bool:
     if not (
         plan.storage == StorageType.S128
@@ -54,12 +59,6 @@ def applicable(plan: ScalePlan) -> bool:
         and (plan.x.filter.is_bilinear or plan.x.filter == FilterType.BOX)
         and (plan.y.filter.is_bilinear or plan.y.filter == FilterType.BOX)
     ):
-        return False
-    if plan.x.filter == FilterType.BOX and plan.y.filter == FilterType.BOX:
-        # Unlike the 64bpp kernel, box-x-box stays on XLA here: measured
-        # only +11% (2.40 vs 2.17 Gpix/s at 10.2:1), and the premul-in
-        # variant overflows scoped VMEM (16.35M > 16M stack OOM at
-        # 13.7:1) -- the 3-limb gathers triple the geometry's estimate.
         return False
     return _geo(plan) is not None
 
@@ -74,14 +73,30 @@ def _geo(plan: ScalePlan):
 def _table_limbs(table, n_limbs):
     """(16*n_limbs, 16) bf16: a 256-entry table factored (16,16), split into
     8-bit limbs (each <= 255, exact in bf16), transposed so
-    rows[l, n] = sum_h [h == hi[n]] * t2d[h, l]."""
+    rows[l, n] = sum_h [h == hi[n]] * t2d[h, l].  (A single f32 matrix at
+    Precision.HIGHEST would avoid the limb split, but the in-kernel 6-pass
+    f32 matmul measured 4x slower than two bf16 passes on v5e.)"""
     t2d = np.asarray(table, dtype=np.int64).reshape(16, 16)
     parts = [((t2d >> (8 * k)) & 0xFF).T for k in range(n_limbs)]
     return np.concatenate(parts).astype(np.float32).astype(jnp.bfloat16)
 
 
 def _from_srgb_limbs():
-    return _table_limbs(luts.FROM_SRGB, 2)
+    """(18, 16) bf16 base+delta factorization of from_srgb.
+
+    Row r of the source table (16 consecutive entries) is stored as
+    delta[r, l] = t2d[r, l] - base[r] with base = row_min + 128, so
+    |delta| <= 134 (row span 262) -- bf16-exact; base splits into a low
+    byte row and a 256-scaled high row (multiples of 256 up to 1792,
+    bf16-exact).  One matmul then yields delta candidates AND both base
+    parts; the select runs once and the value is delta + b_lo + b_hi.
+    """
+    t2d = np.asarray(luts.FROM_SRGB, dtype=np.int64).reshape(16, 16)
+    base = t2d.min(axis=1) + 128
+    delta = (t2d - base[:, None]).T.astype(np.float32)  # (16, 16)
+    b_lo = (base & 0xFF).astype(np.float32)[None, :]
+    b_hi = ((base >> 8) << 8).astype(np.float32)[None, :]
+    return np.concatenate([delta, b_lo, b_hi]).astype(jnp.bfloat16)
 
 
 def _inv_div_p8_limbs():
@@ -105,53 +120,55 @@ def _make_kernel(plan: ScalePlan, geo):
     span_mul_x, span_mul_y = geo["span_mul_x"], geo["span_mul_y"]
     MASK = 0xFFFFFF  # 128bpp working mask (generic.c:1350 etc.)
 
-    SLAB = 8  # rows per LUT slab; transient (32, SLAB*win_c) f32 buffers
-
-    def lut_slab(idx_sl, limbs, n_limbs):
-        """table[idx] for one (SLAB, win_c) slab, two-level on MXU+VPU.
+    def lut_rows(idx_2d, limbs, n_limbs, iota):
+        """table[idx] over the whole window in one pass, two-level on
+        MXU+VPU.
 
         rows = limbs (16*n_limbs,16) @ onehot_T(hi) (16, N): rows[l, n]
-        holds the limbs of t2d[hi[n], l]; the low-index select is an
+        holds the 8-bit limbs of t2d[hi[n], l]; limbs recombine in f32
+        (entries < 2**21, f32-exact) so the low-index select runs ONCE: an
         elementwise mask + sublane reduce.  Exact: one-hots 0/1, limbs
-        <= 255 (bf16 exact), every sum has a single nonzero term.
+        <= 255 (bf16 exact), every select-sum has a single nonzero term.
+
+        (Round 1 ran this in 8-row slabs through a scratch ref inside a
+        fori_loop; the loop + scratch round-trips + per-slab iotas + a
+        per-limb select made the lookup cost ~265 VPU ops/element -- 6.9
+        of config 6's 11 ms, measured by ablation.  One whole-window pass
+        with a shared iota removes most of it.)
         """
-        n = SLAB * win_c
-        flat = idx_sl.reshape(1, n)
+        r, c = idx_2d.shape
+        n = r * c
+        flat = idx_2d.reshape(1, n)
         hi = flat >> 4
         lo = flat & 15
-        iota = jax.lax.broadcasted_iota(jnp.int32, (16, n), 0)
         oh_hi = (iota == hi).astype(jnp.bfloat16)
         rows = jnp.dot(limbs, oh_hi, preferred_element_type=jnp.float32)
-        oh_lo = iota == lo
-        val = jnp.zeros((1, n), dtype=jnp.int32)
-        for k in range(n_limbs):
-            part = jnp.sum(
-                jnp.where(oh_lo, rows[16 * k : 16 * (k + 1)], 0.0), axis=0
-            )
-            val = val + (part.astype(jnp.int32) << (8 * k))
-        return val.reshape(SLAB, win_c)
-
-    def lut_rows(idx_2d, limbs, n_limbs, scratch):
-        """Apply a 256-entry LUT over the full window via slab loop.
-
-        Slab slicing must go through the scratch *ref* (Mosaic has no
-        dynamic_slice on values); each slab is read then overwritten in
-        place.
-        """
-        scratch[...] = idx_2d
-
-        def body(si, _):
-            sl = scratch[pl.ds(si * SLAB, SLAB), :]
-            scratch[pl.ds(si * SLAB, SLAB), :] = lut_slab(sl, limbs, n_limbs)
-            return 0
-
-        jax.lax.fori_loop(0, win_r // SLAB, body, 0)
-        return scratch[...]
+        if n_limbs == 0:  # base+delta layout (18 rows): see _from_srgb_limbs
+            val = jnp.sum(jnp.where(iota == lo, rows[:16], 0.0), axis=0,
+                          keepdims=True)
+            val = val + rows[16:17] + rows[17:18]
+        else:
+            comb = rows[:16]
+            for k in range(1, n_limbs):
+                comb = comb + rows[16 * k : 16 * (k + 1)] * float(1 << (8 * k))
+            val = jnp.sum(jnp.where(iota == lo, comb, 0.0), axis=0,
+                          keepdims=True)
+        return val.astype(jnp.int32).reshape(r, c)
 
     in_premul = plan.meta_in.alpha == AlphaType.PREMUL8
+    # limb counts by value bound: PREMUL16-linear colors reach 2047*255 <
+    # 2**20 (3 limbs); P8L values <= 2047 and the alpha plane <= 65408 need
+    # 2.  The V gather sees H output: box-normalized <= 0xFFFF (2 limbs),
+    # bilinear bounded by its inputs (convexity).
+    def h_limbs(lane):
+        # the alpha plane tops at 65408 even under PREMUL16 -> 2 limbs
+        return 3 if (premul16 and lane != 3) else 2
+
+    def v_limbs(lane):
+        return 2 if (h_is_box or not premul16 or lane == 3) else 3
 
     def kernel(rs_ref, cs_ref, x_any, mh_ref, hfac_ref, mv_ref, vfac_ref,
-               limbs_ref, inv_ref, o_ref, xwin, lscratch, ascratch, sem):
+               limbs_ref, inv_ref, o_ref, xwin, sem):
         gr = pl.program_id(1)
         gc = pl.program_id(2)
         rs = pl.multiple_of(rs_ref[gr], 8)
@@ -168,12 +185,11 @@ def _make_kernel(plan: ScalePlan, geo):
         limbs = limbs_ref[...]
 
         a_vals = ((px >> (8 * alpha_byte)) & jnp.uint32(0xFF)).astype(jnp.int32)
+        lut_iota = jax.lax.broadcasted_iota(jnp.int32, (16, win_r * win_c), 0)
         if in_premul:
             # alpha-indexed inverse-division factor for unpremultiplying
             # premultiplied inputs before linearization (generic.c:488-502)
-            inv_f = lut_rows(a_vals, inv_ref[...], 3, ascratch)
-            # keep a copy: lscratch is reused per channel below
-            ascratch_vals = inv_f
+            ascratch_vals = lut_rows(a_vals, inv_ref[...], 3, lut_iota)
         for lane in range(4):
             byte_pos = in_layout.index(lane)
             if lane == 3:
@@ -185,7 +201,10 @@ def _make_kernel(plan: ScalePlan, geo):
                 if in_premul:
                     # unpremul_p8 (generic.c:227-236): v*inv>>13, v*inv < 2**29
                     v8 = ((v8 * ascratch_vals) >> 13) & 0xFF
-                l11 = lut_rows(v8, limbs, 2, lscratch)
+                if _ABLATE in ("nolut", "nofilter"):
+                    l11 = v8
+                else:
+                    l11 = lut_rows(v8, limbs, 0, lut_iota)
                 if premul16:
                     ch = l11 * a_vals  # <= 2047*255 < 2**19
                 else:
@@ -193,11 +212,16 @@ def _make_kernel(plan: ScalePlan, geo):
                     ch = (((l11 + 1) * ((a_vals << 3) + 1) - 1) >> 11) & 0x7FF
 
             # H filter (shared wide stages, pallas_bilinear)
-            y = pg._gather_mm(ch, mh, 3)
-            s = pg._h_stage_i32(y, hfac_ref, geo, span_mul_x, MASK, 0xFFFF)
-            # V filter
-            yv = pg._gather_mm(s, mv, 3, transpose=True)
-            sv = pg._v_stage_i32(yv, vfac_ref, geo, span_mul_y, MASK, 0xFFFF)
+            if _ABLATE in ("nohmm", "nofilter"):
+                s = ch[: geo["win_r"], : geo["jc_out"]]
+            else:
+                y = pg._gather_mm(ch, mh, h_limbs(lane))
+                s = pg._h_stage_i32(y, hfac_ref, geo, span_mul_x, MASK, 0xFFFF)
+            if _ABLATE in ("novmm", "nohmm", "nofilter"):
+                sv = s[: geo["t"], :]
+            else:
+                yv = pg._gather_mm(s, mv, v_limbs(lane), transpose=True)
+                sv = pg._v_stage_i32(yv, vfac_ref, geo, span_mul_y, MASK, 0xFFFF)
             o_ref[0, lane] = sv
 
     return kernel
@@ -232,7 +256,7 @@ def _built(plan: ScalePlan, batch: int):
                 lambda b, gr, gc, *_: (gr, 0, 0), memory_space=pltpu.VMEM,
             ),
             pl.BlockSpec(
-                (32, 16), lambda b, gr, gc, *_: (0, 0), memory_space=pltpu.VMEM,
+                (18, 16), lambda b, gr, gc, *_: (0, 0), memory_space=pltpu.VMEM,
             ),
             pl.BlockSpec(
                 (48, 16), lambda b, gr, gc, *_: (0, 0), memory_space=pltpu.VMEM,
@@ -244,8 +268,6 @@ def _built(plan: ScalePlan, batch: int):
         ),
         scratch_shapes=[
             pltpu.VMEM((geo["win_r"], geo["win_c"]), jnp.uint32),
-            pltpu.VMEM((geo["win_r"], geo["win_c"]), jnp.int32),
-            pltpu.VMEM((geo["win_r"], geo["win_c"]), jnp.int32),
             pltpu.SemaphoreType.DMA,
         ],
     )

@@ -47,3 +47,26 @@ def test_native_plan_validation():
     with pytest.raises(ValueError):
         native.scale(ScalePlan(8, 8, 4, 4, 0, 0, False),
                      np.zeros((8, 8, 3), dtype=np.uint8))
+
+
+def test_native_deep_ratio_overflow_band():
+    """PREMUL16/linear accumulators near 2**32: the int32 S128 lanes must
+    recover exact values via unsigned reinterpretation (mod-2**32 wrap)."""
+    import oracle
+    from smolscale_tpu.backends import native
+    from smolscale_tpu.plan import ScalePlan
+    import numpy as np
+
+    cases = [
+        (5000, 2, 1, 2, 4, 4, True),
+        (40000, 2, 1, 2, 4, 4, False),
+        (65535, 1, 1, 1, 4, 4, False),
+        (2, 65535, 2, 1, 5, 5, False),
+        (3, 8191, 1, 1, 4, 6, True),
+    ]
+    for c in cases:
+        wi, hi, wo, ho, ti, to, srgb = c
+        plan = ScalePlan(wi, hi, wo, ho, ti, to, srgb)
+        img = np.full((hi, wi, 4), 255, np.uint8)
+        ref = oracle.scale_simple(img, ti, wo, ho, to, srgb)
+        assert np.array_equal(ref, native.scale(plan, img)), c
