@@ -70,10 +70,14 @@ def scale(plan: ScalePlan, img, backend: str = "auto", post_fn=None):
     callback (SmolPostRowFunc, smolscale.h:37-39, installed via
     smol_scale_new_full): a function applied to the output pixels before
     they are returned (it receives the whole uint8 output array; rows are
-    its first axis).  For post-processing fused into the compiled program,
-    call backends.xla.scale_fn inside your own jit instead.
+    its first axis).  On the jax backend a traceable post_fn is FUSED into
+    the compiled program (no host round-trip); other backends apply it on
+    the host result.
     """
-    out = _get_backend(backend).scale(plan, img)
+    mod = _get_backend(backend)
+    if post_fn is not None and mod.__name__.endswith("xla"):
+        return mod.scale(plan, img, post_fn=post_fn)
+    out = mod.scale(plan, img)
     return post_fn(out) if post_fn is not None else out
 
 

@@ -867,14 +867,26 @@ def _adapt_24bpp(plan: ScalePlan):
     return sp, plan.meta_in.n_bytes == 3, plan.meta_out.n_bytes == 3
 
 
-def scale_fn(plan: ScalePlan, img):
+def scale_fn(plan: ScalePlan, img, post_fn=None):
     """Traceable scale: (..., H, W, nb_in) u8 -> (..., h, w, nb_out) u8.
 
     Auto-dispatches to the fused Pallas kernel on TPU when the plan
     qualifies (ops.pallas_box.applicable); otherwise the XLA op graph.
     This is the analogue of the reference's runtime backend dispatch
     (get_implementations, smolscale.c:724-814).
+
+    ``post_fn``, if given, must be a traceable function applied to the
+    uint8 output inside the same compiled program -- the fused analogue of
+    the reference's per-row user callback (SmolPostRowFunc,
+    smolscale.h:37-39, installed by smol_scale_new_full): rows are the
+    output's second-to-minor axis, and the callback composes with the
+    scale without any host round-trip.
     """
+    out = _scale_fn_impl(plan, img)
+    return post_fn(out) if post_fn is not None else out
+
+
+def _scale_fn_impl(plan: ScalePlan, img):
     from ..ops import pallas_128, pallas_bilinear, pallas_box, pallas_srgb
 
     packed = img.dtype == jnp.uint32  # (.., H, W) u32 pixel view, 4B formats
@@ -917,11 +929,11 @@ def scale_fn(plan: ScalePlan, img):
 
 
 @functools.cache
-def _jitted(plan: ScalePlan):
-    return jax.jit(functools.partial(scale_fn, plan))
+def _jitted(plan: ScalePlan, post_fn=None):
+    return jax.jit(functools.partial(scale_fn, plan, post_fn=post_fn))
 
 
-def scale(plan: ScalePlan, img) -> np.ndarray:
+def scale(plan: ScalePlan, img, post_fn=None) -> np.ndarray:
     expect = (plan.height_in, plan.width_in, plan.meta_in.n_bytes)
     if tuple(np.shape(img)[-3:]) != expect:
         raise ValueError(
@@ -936,7 +948,7 @@ def scale(plan: ScalePlan, img) -> np.ndarray:
         # which is a full tiled-layout relayout copy on TPU
         img = np.ascontiguousarray(img).view(np.uint32)[..., 0]
     img = jnp.asarray(img)
-    return np.asarray(_jitted(plan)(img))
+    return np.asarray(_jitted(plan, post_fn)(img))
 
 
 @functools.cache

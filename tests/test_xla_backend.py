@@ -86,3 +86,30 @@ def test_shape_validation():
     plan = ScalePlan(33, 17, 9, 6, 0, 0, False)
     with pytest.raises(ValueError):
         xla.scale(plan, np.zeros((17, 33, 3), dtype=np.uint8))
+
+
+def test_post_fn_fused_in_program():
+    """A traceable post callback composes inside the jitted program
+    (SmolPostRowFunc analogue, smolscale.h:37-39)."""
+    import jax
+    import jax.numpy as jnp
+
+    rng = np.random.default_rng(11)
+    plan = ScalePlan(64, 48, 30, 20, 4, 0, False)
+    img = rng.integers(0, 256, (48, 64, 4), dtype=np.uint8)
+
+    def post(out):
+        return (~out).astype(jnp.uint8)  # invert all bytes, row-wise safe
+
+    want = ~numpy_ref.scale(plan, img)
+    got = xla.scale(plan, img, post_fn=post)
+    assert np.array_equal(want, got)
+    # and through the public API, fused on the jax backend
+    import smolscale_tpu as st
+
+    got2 = np.asarray(st.scale(plan, img, backend="jax", post_fn=post))
+    assert np.array_equal(want, got2)
+    # jit-compose end to end: one program containing scale + post
+    fn = jax.jit(lambda v: xla.scale_fn(plan, v, post_fn=post))
+    got3 = np.asarray(fn(jnp.asarray(img)))
+    assert np.array_equal(want, got3)
