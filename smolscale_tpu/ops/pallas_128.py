@@ -59,7 +59,8 @@ def applicable(plan: ScalePlan) -> bool:
 def _geo(plan: ScalePlan):
     # 2-limb gathers double the geometry's matmul estimate; deep-box spans
     # inflate windows, so let the geometry search shrink tiles as needed.
-    return pg._geometry(plan, jc_out_max=128, budget_mb=6, t_max=32)
+    return pg._geometry(plan, jc_out_max=128, budget_mb=6, t_max=32,
+                        uniform_ok=True)
 
 
 def _make_kernel(plan: ScalePlan, geo):
@@ -106,10 +107,30 @@ def _make_kernel(plan: ScalePlan, geo):
                 else:
                     # premul_u_to_p8 (generic.c:238-244)
                     ch = (((v8 + 1) * (a_vals + 1) - 1) >> 8) & 0xFF
-            y = pg._gather_mm(ch, mh, h_limbs)
-            s = pg._h_stage_i32(y, hfac_ref, geo, span_mul_x, MASK, 0xFFFF)
-            yv = pg._gather_mm(s, mv, v_limbs, transpose=True)
-            sv = pg._v_stage_i32(yv, vfac_ref, geo, span_mul_y, MASK, 0xFFFF)
+            if geo["h_uniform"]:
+                # PREMUL16 compressed values <= 65535 need 3 int8 limbs;
+                # deep-box PREMUL8 values <= 255 need 2
+                s = pg._h_uniform_stage(
+                    ch, mh, geo, cs, plan.width_out, span_mul_x, 0xFFFF,
+                    3 if premul16 else 2,
+                )
+            elif geo["h_lad"] is not None:
+                s = pg._h_uniform_ladder_stage(
+                    ch, mh, geo, MASK, 3 if premul16 else 2
+                )
+            else:
+                y = pg._gather_mm(ch, mh, h_limbs)
+                s = pg._h_stage_i32(y, hfac_ref, geo, span_mul_x, MASK, 0xFFFF)
+            if geo["v_uniform"]:
+                sv = pg._v_uniform_stage(
+                    s, geo, pl.program_id(1), plan.height_out, span_mul_y,
+                    MASK, 0xFFFF,
+                )
+            elif geo["v_lad"] is not None:
+                sv = pg._v_uniform_ladder_stage(s, geo, MASK)
+            else:
+                yv = pg._gather_mm(s, mv, v_limbs, transpose=True)
+                sv = pg._v_stage_i32(yv, vfac_ref, geo, span_mul_y, MASK, 0xFFFF)
             o_ref[0, lane] = sv
 
     return kernel

@@ -72,7 +72,7 @@ def applicable(plan: ScalePlan) -> bool:
 
 @functools.cache
 def _geometry(plan: ScalePlan, jc_out_max: int = 256, budget_mb: int = 12,
-              t_max: int = 64):
+              t_max: int = 64, uniform_ok: bool = False):
     """Largest-tile geometry that fits the VMEM budget, or None.
 
     Tries the requested column-tile width and a narrower 128-lane variant:
@@ -103,7 +103,7 @@ def _geometry(plan: ScalePlan, jc_out_max: int = 256, budget_mb: int = 12,
         if h_out not in cands:
             cands.append(h_out)
         for tc in cands:
-            geo = _geometry_for_t(plan, tc, jm, budget_mb)
+            geo = _geometry_for_t(plan, tc, jm, budget_mb, uniform_ok)
             if geo is not None:
                 return geo
         return None
@@ -118,7 +118,7 @@ def _geometry(plan: ScalePlan, jc_out_max: int = 256, budget_mb: int = 12,
 
 @functools.cache
 def _geometry_for_t(plan: ScalePlan, t: int, jc_out_max: int = 256,
-                    budget_mb: int = 12):
+                    budget_mb: int = 12, uniform_ok: bool = False):
     """Static tile geometry + tables for a given row-group size, or None
     if the VMEM budget doesn't work out.
 
@@ -126,11 +126,41 @@ def _geometry_for_t(plan: ScalePlan, t: int, jc_out_max: int = 256,
     halving reduce) or a general box (segment/edge matmul + span
     normalization, the walk of interp_horizontal_boxes generic.c:1427-1556
     and scale_outrow_box generic.c:2112-2161 as static per-tile tables).
+
+    With ``uniform_ok``, integer-ratio box axes take a cheaper layout
+    (the _box_uniform identity of backends/xla.py): tile windows start
+    exactly at span boundaries, H uses a plain (win_c, jc_out) 0/1
+    span-sum int8 matrix with edge weights folded into the input, and V
+    needs no matrix at all (sublane reshape-reduce in the kernel).
     """
-    from ..backends.xla import _box_h_arrays, _box_v_arrays
+    from ..backends.xla import (
+        _box_h_arrays, _box_v_arrays, _box_uniform_applicable,
+    )
 
     h_is_box = plan.x.filter == FilterType.BOX
     v_is_box = plan.y.filter == FilterType.BOX
+    h_uniform = uniform_ok and h_is_box and _box_uniform_applicable(plan.x)
+    v_uniform = uniform_ok and v_is_box and _box_uniform_applicable(plan.y)
+    r_x = int(plan.x.strides[0]) + 1 if h_uniform else 0
+    r_y = int(plan.y.strides[0]) + 1 if v_uniform else 0
+
+    def _lad_uniform(ax):
+        """(stride, frac, first_offset) when every bilinear sample sits at
+        a constant integer stride >= 2 with a constant fraction (true for
+        power-of-two-ish downscales, e.g. 2048->256 2h: d=2, f=128), else
+        None.  d >= 2 guarantees sample pair (o, o+1) never crosses the
+        window end, so the lerp neighbor is a single lane roll."""
+        o = np.asarray(ax.offsets, dtype=np.int64)
+        f = np.asarray(ax.factors, dtype=np.int64)
+        if len(o) < 2:
+            return None
+        d = int(o[1] - o[0])
+        if d < 2 or not ((np.diff(o) == d).all() and (f == f[0]).all()):
+            return None
+        return d, int(f[0]), int(o[0])
+
+    h_lad = (_lad_uniform(plan.x) if uniform_ok and not h_is_box else None)
+    v_lad = (_lad_uniform(plan.y) if uniform_ok and not v_is_box else None)
     kh = 0 if h_is_box else plan.x.halvings
     kv = 0 if v_is_box else plan.y.halvings
     w_out, h_out = plan.width_out, plan.height_out
@@ -151,6 +181,15 @@ def _geometry_for_t(plan: ScalePlan, t: int, jc_out_max: int = 256,
     if n_rg > 1 and t % 8:
         # Mosaic: a multi-group output row-block must be 8-aligned
         return None
+    # uniform tiling needs span-aligned window starts on the DMA grid
+    if h_uniform and n_ct > 1 and (jc_out * r_x) % 128:
+        h_uniform = False
+    if v_uniform and n_rg > 1 and (t * r_y) % 8:
+        v_uniform = False
+    if h_lad is not None and n_ct > 1 and (jc * h_lad[0]) % 128:
+        h_lad = None
+    if v_lad is not None and n_rg > 1 and ((t << kv) * v_lad[0]) % 8:
+        v_lad = None
 
     xoff, xfac = plan.x.offsets, plan.x.factors
     yoff, yfac = plan.y.offsets, plan.y.factors
@@ -192,8 +231,14 @@ def _geometry_for_t(plan: ScalePlan, t: int, jc_out_max: int = 256,
             starts = new_starts
         return None
 
+    # pad dims so aligned windows always fit (fn pads the input once)
+    w_pad = _round_up(w_in, 128)
+    h_pad = _round_up(h_in, 8)
+
     col_lo_hi = []
     for g in range(n_ct):
+        if h_uniform or h_lad is not None:
+            break
         if h_is_box:
             outs = [clamp_out_col(g * jc_out + j) for j in range(jc_out)]
             lo = min(int(bh["left_idx"][j]) for j in outs)
@@ -205,16 +250,32 @@ def _geometry_for_t(plan: ScalePlan, t: int, jc_out_max: int = 256,
             lo = min(int(xoff[s]) for s in samples)
             hi = max(int(xoff[s]) for s in samples) + 2
         col_lo_hi.append((lo, hi))
-    # pad dims so aligned windows always fit (fn pads the input once)
-    w_pad = _round_up(w_in, 128)
-    h_pad = _round_up(h_in, 8)
-    cw = windows(col_lo_hi, w_pad, 128)
-    if cw is None:
-        return None
-    cstart, win_c = cw
+    if h_uniform:
+        # tile g's outputs cover inputs [g*jc_out*r_x, (g+1)*jc_out*r_x);
+        # n_ct == 1 clamps the window to the (padded) image width, with the
+        # span matrix's out-of-range columns simply left empty
+        cstart = np.arange(n_ct, dtype=np.int32) * (jc_out * r_x)
+        win_c = _round_up(jc_out * r_x, 128)
+        if n_ct == 1:
+            win_c = min(win_c, w_pad)
+        w_pad = max(w_pad, int(cstart[-1]) + win_c)
+    elif h_lad is not None:
+        # tile g's samples sit at o0 + (g*jc + s)*d; the window keeps o0 as
+        # a static local offset and must reach one lane past the last pair
+        d_x, _, o0 = h_lad
+        cstart = np.arange(n_ct, dtype=np.int32) * (jc * d_x)
+        win_c = _round_up(o0 + jc * d_x, 128)
+        w_pad = max(w_pad, int(cstart[-1]) + win_c)
+    else:
+        cw = windows(col_lo_hi, w_pad, 128)
+        if cw is None:
+            return None
+        cstart, win_c = cw
 
     row_lo_hi = []
     for g in range(n_rg):
+        if v_uniform or v_lad is not None:
+            break
         if v_is_box:
             outs = [clamp_out_row(g * t + i) for i in range(t)]
             lo = min(int(bv["first_idx"][i]) for i in outs)
@@ -226,24 +287,41 @@ def _geometry_for_t(plan: ScalePlan, t: int, jc_out_max: int = 256,
             lo = min(int(yoff[s]) for s in samples)
             hi = max(int(yoff[s]) for s in samples) + 2
         row_lo_hi.append((lo, hi))
-    rw = windows(row_lo_hi, h_pad, 8)
-    if rw is None:
-        return None
-    rstart, win_r = rw
+    if v_uniform:
+        # t <= h_out always, so t*r_y <= h_in and the slice s[:t*r_y] in
+        # _v_uniform_stage stays inside the (padded) window
+        rstart = np.arange(n_rg, dtype=np.int32) * (t * r_y)
+        win_r = _round_up(t * r_y, 8)
+        h_pad = max(h_pad, int(rstart[-1]) + win_r)
+    elif v_lad is not None:
+        d_y, _, o0 = v_lad
+        tv_ = t << kv
+        rstart = np.arange(n_rg, dtype=np.int32) * (tv_ * d_y)
+        win_r = _round_up(o0 + tv_ * d_y, 8)
+        h_pad = max(h_pad, int(rstart[-1]) + win_r)
+    else:
+        rw = windows(row_lo_hi, h_pad, 8)
+        if rw is None:
+            return None
+        rstart, win_r = rw
 
     # VMEM budget.  Block inputs are double-buffered by the pipeline; the
     # kernel body also materializes the gathered y (win_r x mh_cols i32)
     # and the h-scaled s (win_r x jc) -- omitting those undercounted badly
     # once the lerp-fold halved the matrices (scoped-vmem OOM at 17.6M on
     # a 12M estimate, found on-chip).
-    mh_cols = 3 * jc_out if h_is_box else jc
-    mv_rows = 3 * t if v_is_box else (t << kv)
+    h_uni_any = h_uniform or h_lad is not None
+    v_uni_any = v_uniform or v_lad is not None
+    mh_cols = jc_out if h_uni_any else (3 * jc_out if h_is_box else jc)
+    mh_elt = 1 if h_uni_any else 2  # int8 span matrix vs bf16 gathers
+    mv_rows = 0 if v_uni_any else (3 * t if v_is_box else (t << kv))
     budget = (
         2 * win_r * win_c * 4
-        + 2 * win_c * mh_cols * 2
+        + 2 * win_c * mh_cols * mh_elt
         + 2 * mv_rows * win_r * 2
         + win_r * mh_cols * 4
         + win_r * max(jc, jc_out) * 4 * 2
+        + (win_r * win_c * 4 if h_lad is not None else 0)  # lerped window
     )
     if budget > budget_mb * 2**20:
         return None
@@ -255,7 +333,32 @@ def _geometry_for_t(plan: ScalePlan, t: int, jc_out_max: int = 256,
     # column order k*jc_out + j so the ladder sums over a leading axis.
     # Box: (win_c, 3*jc_out) = [segments | left | right] one-hots with
     # per-output edge weights in hfac rows (0=left_w, 1=right_F).
-    if h_is_box:
+    if h_uniform:
+        # one shared 0/1 span-sum matrix (identical for every tile because
+        # starts sit on span boundaries); edge weights and the final-element
+        # drop are folded into the input by _h_uniform_stage
+        m1 = np.zeros((win_c, jc_out), dtype=np.int8)
+        for j in range(jc_out):
+            lo = j * r_x
+            if lo >= win_c:
+                break
+            m1[lo : min(lo + r_x, win_c), j] = 1
+        mh = np.broadcast_to(m1, (n_ct, win_c, jc_out)).copy()
+        hfac = np.zeros((n_ct, 1, 1), dtype=np.int32)  # unused
+    elif h_lad is not None:
+        # 0/1 ladder-sum matrix over the lerped window: col j sums the
+        # 2**kh lerped samples at lanes o0 + (j*2**kh + k)*d (identical for
+        # every tile; the lerp itself is elementwise in the kernel)
+        d_x, _, o0 = h_lad
+        m1 = np.zeros((win_c, jc_out), dtype=np.int8)
+        for j in range(jc_out):
+            for k in range(1 << kh):
+                lane = o0 + ((j << kh) + k) * d_x
+                if lane < win_c:
+                    m1[lane, j] = 1
+        mh = np.broadcast_to(m1, (n_ct, win_c, jc_out)).copy()
+        hfac = np.zeros((n_ct, 1, 1), dtype=np.int32)  # unused
+    elif h_is_box:
         mh = np.zeros((n_ct, win_c, 3 * jc_out), dtype=np.float32)
         hfac = np.zeros((n_ct, 2, jc_out), dtype=np.int32)
         for g in range(n_ct):
@@ -280,14 +383,19 @@ def _geometry_for_t(plan: ScalePlan, t: int, jc_out_max: int = 256,
                     f = int(xfac[s])
                     mh[g, o, col] = f
                     mh[g, o + 1, col] = 256 - f
-    mh = mh.astype(jnp.bfloat16)
+    if not h_uni_any:
+        mh = mh.astype(jnp.bfloat16)
 
     # V matrix per row group.  Bilinear: (t*2^kv, win_r) WEIGHTED gather
     # rows (lerp folded in, as above), order k*t + i.  Box: (3*t, win_r) =
     # [segments; first; last] with per-output weights in vfac cols (0=w1,
     # 1=w2).
     tv = t << kv
-    if v_is_box:
+    if v_uni_any:
+        # no V matrix: the kernel reduces spans with a sublane reshape
+        mv = np.zeros((n_rg, 1, 1), dtype=np.float32)
+        vfac = np.zeros((n_rg, 1, 1), dtype=np.int32)
+    elif v_is_box:
         mv = np.zeros((n_rg, 3 * t, win_r), dtype=np.float32)
         vfac = np.zeros((n_rg, t, 2), dtype=np.int32)
         for g in range(n_rg):
@@ -321,6 +429,10 @@ def _geometry_for_t(plan: ScalePlan, t: int, jc_out_max: int = 256,
         w_out_pad=n_ct * jc_out, h_out_pad=n_rg * t,
         w_pad=w_pad, h_pad=h_pad,
         h_is_box=h_is_box, v_is_box=v_is_box,
+        h_uniform=h_uniform, v_uniform=v_uniform, r_x=r_x, r_y=r_y,
+        h_last_short=bool(h_uniform and int(plan.x.strides[-1]) == r_x - 2),
+        v_last_short=bool(v_uniform and int(plan.y.strides[-1]) == r_y - 2),
+        h_lad=h_lad, v_lad=v_lad,
         span_mul_x=int(plan.x.span_mul), span_mul_y=int(plan.y.span_mul),
     )
 
@@ -357,6 +469,110 @@ def _gather_mm(x_i32, mat, n_limbs, transpose=False):
     if n_limbs >= 3:
         out = out + (mm(x_i32 >> 16) << 16)
     return out
+
+
+def _span_mm_i8(x_i32, mat_i8, n_limbs):
+    """Exact 0/1 span sums on the int8 MXU (2x the bf16 rate on v5e).
+
+    Nonnegative values split into 7-bit limbs (int8-exact); per-limb int32
+    accumulators are exact by construction, and the shifted recombination
+    is mod-2**32 exact like the bf16 path (_gather_mm).  n_limbs =
+    ceil(value_bits / 7): 2 covers < 2**14, 3 covers < 2**21.
+    """
+    def mm(v):
+        return jnp.dot(
+            v.astype(jnp.int8), mat_i8, preferred_element_type=jnp.int32
+        )
+
+    out = mm(x_i32 & 0x7F)
+    if n_limbs >= 2:
+        out = out + (mm((x_i32 >> 7) & 0x7F) << 7)
+    if n_limbs >= 3:
+        out = out + (mm(x_i32 >> 14) << 14)
+    return out
+
+
+def _h_uniform_stage(ch, mh, geo, cs, w_out, span_mul_x, norm_mask, n_limbs):
+    """Integer-ratio H box: edge weights folded into the input, one 0/1
+    span-sum matmul, span normalization.
+
+    Span j covers inputs [j*r, (j+1)*r); its first pixel carries weight
+    255 (the carry (r*255)>>8 of generic.c:1462 with F=0), identity 256
+    for global pixel 0.  (v*255)>>8 == v - ((v+255)>>8) exactly, so the
+    weight becomes an elementwise adjust that rides the plain span sum
+    (the & mask after weight256 is a no-op: adjusted values never exceed
+    their inputs, which are < 2**21 <= mask for every caller).  When the
+    last span is clamped one short (precalc_boxes_array generic.c:105-110)
+    the reference never reads the final input element: zero it.
+    """
+    r = geo["r_x"]
+    lane = jax.lax.broadcasted_iota(jnp.int32, ch.shape, 1)
+    glob = lane + cs  # cs % r == 0 by construction (span-aligned starts)
+    span_first = (lane % r == 0) & (glob > 0)
+    adj = ch - jnp.where(span_first, (ch + 255) >> 8, 0)
+    if geo["h_last_short"]:
+        adj = jnp.where(glob == w_out * r - 1, 0, adj)
+    acc = _span_mm_i8(adj, mh, n_limbs)
+    return _mul_shift_round24(acc, jnp.int32(span_mul_x)) & norm_mask
+
+
+def _h_uniform_ladder_stage(ch, mh, geo, mask, n_limbs):
+    """Constant-stride constant-fraction H bilinear ladder.
+
+    Every sample is lerp256(x[o], x[o+1], f) with the SAME f, so the lerp
+    runs elementwise over the whole window (neighbor = one lane roll; the
+    wrapped last lane is never selected because d >= 2 keeps sample pairs
+    short of the window end) and the 2**kh-sample ladder sum
+    (interp_horizontal_bilinear_Nh, generic.c:1290-1361) is a 0/1 int8
+    span matmul followed by >> kh.
+    """
+    d, f, _ = geo["h_lad"]
+    q = jnp.roll(ch, -1, axis=1)
+    lerped = fp.lerp256(ch, q, jnp.uint32(f), mask)
+    y = _span_mm_i8(lerped, mh, n_limbs)
+    kh = geo["kh"]
+    if kh:
+        y = (y >> kh) & mask
+    return y
+
+
+def _v_uniform_ladder_stage(s, geo, mask):
+    """Constant-stride constant-fraction V bilinear ladder: pure sublane
+    reshapes, no matmul.  Sample i is lerp256(row[o0+i*d], row[o0+i*d+1], f)
+    -- with d >= 2 both rows live inside sample i's own d-row group, so a
+    leading-axis reshape exposes them; the ladder then sums 2**kv
+    consecutive sample rows (scale_outrow_bilinear_Nh, generic.c:1841-1916).
+    """
+    d, f, o0 = geo["v_lad"]
+    t, kv = geo["t"], geo["kv"]
+    tv = t << kv
+    g3 = s[o0 : o0 + tv * d].reshape(tv, d, s.shape[-1])
+    lerped = fp.lerp256(g3[:, 0, :], g3[:, 1, :], jnp.uint32(f), mask)
+    if kv:
+        l3 = lerped.reshape(t, 1 << kv, s.shape[-1])
+        return (jnp.sum(l3, axis=1) >> kv) & mask
+    return lerped
+
+
+def _v_uniform_stage(s, geo, gr, h_out, span_mul_y, mask, norm_mask):
+    """Integer-ratio V box: pure sublane reshape-reduce, no matmul.
+
+    Row span i covers h-scaled rows [i*r, (i+1)*r): first row weighted
+    255/256 (256 for output row 0), w2 == 0 so the right edge vanishes,
+    and the final input row of the image is dropped when the last span is
+    clamped short (scale_outrow_box semantics, generic.c:2112-2260).
+    """
+    r, t = geo["r_y"], geo["t"]
+    g3 = s[: t * r].reshape(t, r, s.shape[-1])
+    mids = jnp.sum(g3[:, 1:, :], axis=1)
+    row = gr * t + jax.lax.broadcasted_iota(jnp.int32, (t, 1), 0)
+    first = g3[:, 0, :].astype(jnp.uint32)
+    w = jnp.where(row == 0, jnp.uint32(256), jnp.uint32(255))
+    left = ((first * w) >> 8).astype(jnp.int32) & mask
+    acc = left + mids
+    if geo["v_last_short"]:
+        acc = acc - jnp.where(row == h_out - 1, g3[:, r - 1, :], 0)
+    return _mul_shift_round24(acc, jnp.int32(span_mul_y)) & norm_mask
 
 
 def _h_stage_i32(y, hfac_ref, geo, span_mul_x, mask, norm_mask):

@@ -67,7 +67,8 @@ def _geo(plan: ScalePlan):
     # Tighter tiles than the 64bpp kernel: every gather matmul here runs 3
     # limb passes and values are 4-byte, so the real VMEM/code footprint is
     # ~3x the geometry's estimate.
-    return pg._geometry(plan, jc_out_max=128, budget_mb=4, t_max=16)
+    return pg._geometry(plan, jc_out_max=128, budget_mb=4, t_max=16,
+                        uniform_ok=True)
 
 
 def _table_limbs(table, n_limbs):
@@ -214,11 +215,27 @@ def _make_kernel(plan: ScalePlan, geo):
             # H filter (shared wide stages, pallas_bilinear)
             if _ABLATE in ("nohmm", "nofilter"):
                 s = ch[: geo["win_r"], : geo["jc_out"]]
+            elif geo["h_uniform"]:
+                # PREMUL16 values < 2**20 need 3 int8 limbs; P8L < 2**11, 2
+                s = pg._h_uniform_stage(
+                    ch, mh, geo, cs, plan.width_out, span_mul_x, 0xFFFF,
+                    3 if premul16 else 2,
+                )
+            elif geo["h_lad"] is not None:
+                s = pg._h_uniform_ladder_stage(
+                    ch, mh, geo, MASK, 3 if premul16 else 2
+                )
             else:
                 y = pg._gather_mm(ch, mh, h_limbs(lane))
                 s = pg._h_stage_i32(y, hfac_ref, geo, span_mul_x, MASK, 0xFFFF)
             if _ABLATE in ("novmm", "nohmm", "nofilter"):
                 sv = s[: geo["t"], :]
+            elif geo["v_uniform"]:
+                sv = pg._v_uniform_stage(
+                    s, geo, gr, plan.height_out, span_mul_y, MASK, 0xFFFF
+                )
+            elif geo["v_lad"] is not None:
+                sv = pg._v_uniform_ladder_stage(s, geo, MASK)
             else:
                 yv = pg._gather_mm(s, mv, v_limbs(lane), transpose=True)
                 sv = pg._v_stage_i32(yv, vfac_ref, geo, span_mul_y, MASK, 0xFFFF)

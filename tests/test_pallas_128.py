@@ -31,6 +31,8 @@ def _interp_call(*a, **k):
         (520, 300, 2, 40, 0, 0),     # deep box H (260:1) -> S128 PREMUL8
         (16, 600, 8, 2, 4, 0),       # deep box V, unassoc in -> premul
         (300, 280, 1, 1, 0, 4),      # deep box both (to 1x1)
+        (1024, 512, 128, 64, 4, 4),  # uniform 2h ladder (d=2, f=128) both
+        (2048, 160, 8, 16, 4, 4),    # uniform integer box H (256:1), V 10:1
     ],
 )
 def test_pallas_128_exact(wi, hi, wo, ho, ti, to):

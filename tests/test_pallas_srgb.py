@@ -27,13 +27,19 @@ def _interp_call(*a, **k):
         (512, 256, 96, 56, 2, 5),    # premul in -> unassoc out
         (256, 256, 200, 190, 5, 6),  # 0h, reorders
         (1100, 300, 80, 100, 4, 4),  # box H x bilinear V
+        (1024, 512, 128, 64, 4, 4),  # uniform 2h ladder (d=2, f=128) both
+        (1024, 512, 128, 64, 0, 0),  # uniform ladder, premul in (inv-div LUT)
+        (1024, 300, 128, 30, 8, 8),  # 24bpp, uniform ladder H x 10:1 box V
+        (1000, 1024, 100, 128, 4, 4),  # general H x uniform ladder V
     ],
 )
 def test_pallas_srgb_exact(wi, hi, wo, ho, ti, to):
     plan = ScalePlan(wi, hi, wo, ho, ti, to, True)
     assert pallas_srgb.applicable(plan)
     pallas_srgb._built.cache_clear()
-    img = RNG.integers(0, 256, (2, hi, wi, 4), dtype=np.uint8)
+    img = RNG.integers(
+        0, 256, (2, hi, wi, plan.meta_in.n_bytes), dtype=np.uint8
+    )
     with mock.patch.object(pl, "pallas_call", _interp_call):
         got = np.asarray(pallas_srgb.scale_fn(plan, img))
     want = np.stack([numpy_ref.scale(plan, img[i]) for i in range(2)])
