@@ -3,16 +3,12 @@
 The linear-light path (with_srgb=True, smolscale.c:844 + the 128bpp storage
 rule smolscale.c:437) is LUT-heavy: every *input* pixel's channels pass
 through the 256-entry sRGB->11-bit-linear table (smolscale.c:87-111) before
-filtering.  Gathers are near-scalar on TPU and the XLA select-tree still
-materializes intermediates, so this kernel performs the lookup on the MXU:
-
-    lut[idx]  ==  LIMBS @ onehot_T          (exact)
-
-where onehot_T is the (256, N) transposed one-hot of a flat index slab --
-built by comparing idx (1, N) against an iota over the *sublane* axis, so
-lanes stay wide -- and LIMBS is a tiny (2, 256) bf16 matrix holding the
-table's low-8 and high-3 bits (both <= 255, exact in bf16; f32 products and
-recombination exact).
+filtering.  The lookup runs on the VPU's dynamic-gather unit: Mosaic lowers
+lane-axis take_along_axis at exactly 128 lanes to tpu.DynamicGatherOp, so
+each 128-lane window slice gathers from both 128-entry table halves and
+selects on the index's top bit (~6 VPU ops per lookup; round 2's one-hot
+MXU matmul + masked-reduce pipeline needed ~80 and was the single largest
+cost in the round-2 ablation, 4.4 of 8.25 ms on config 6).
 
 Scope (config-6 class): gamma LINEAR, 24/32bpp in/out, every alpha combo
 (internal PREMUL16 when input and output are both unassociated, otherwise
@@ -71,38 +67,16 @@ def _geo(plan: ScalePlan):
                         uniform_ok=True)
 
 
-def _table_limbs(table, n_limbs):
-    """(16*n_limbs, 16) bf16: a 256-entry table factored (16,16), split into
-    8-bit limbs (each <= 255, exact in bf16), transposed so
-    rows[l, n] = sum_h [h == hi[n]] * t2d[h, l].  (A single f32 matrix at
-    Precision.HIGHEST would avoid the limb split, but the in-kernel 6-pass
-    f32 matmul measured 4x slower than two bf16 passes on v5e.)"""
-    t2d = np.asarray(table, dtype=np.int64).reshape(16, 16)
-    parts = [((t2d >> (8 * k)) & 0xFF).T for k in range(n_limbs)]
-    return np.concatenate(parts).astype(np.float32).astype(jnp.bfloat16)
-
-
-def _from_srgb_limbs():
-    """(18, 16) bf16 base+delta factorization of from_srgb.
-
-    Row r of the source table (16 consecutive entries) is stored as
-    delta[r, l] = t2d[r, l] - base[r] with base = row_min + 128, so
-    |delta| <= 134 (row span 262) -- bf16-exact; base splits into a low
-    byte row and a 256-scaled high row (multiples of 256 up to 1792,
-    bf16-exact).  One matmul then yields delta candidates AND both base
-    parts; the select runs once and the value is delta + b_lo + b_hi.
-    """
-    t2d = np.asarray(luts.FROM_SRGB, dtype=np.int64).reshape(16, 16)
-    base = t2d.min(axis=1) + 128
-    delta = (t2d - base[:, None]).T.astype(np.float32)  # (16, 16)
-    b_lo = (base & 0xFF).astype(np.float32)[None, :]
-    b_hi = ((base >> 8) << 8).astype(np.float32)[None, :]
-    return np.concatenate([delta, b_lo, b_hi]).astype(jnp.bfloat16)
-
-
-def _inv_div_p8_limbs():
-    # inv_div_p8 entries < 2**21 (smolscale.c:276-310): three 8-bit limbs
-    return _table_limbs(luts.INV_DIV_P8, 3)
+def _lut_tables():
+    """(4, 128) int32 table pack for the VPU dynamic-gather unit: rows 0/1
+    are the low/high halves of from_srgb (values <= 2047, smolscale.c:87),
+    rows 2/3 of inv_div_p8 (values < 2**21, smolscale.c:276)."""
+    t = np.zeros((4, 128), dtype=np.int32)
+    t[0] = luts.FROM_SRGB[:128]
+    t[1] = luts.FROM_SRGB[128:]
+    t[2] = luts.INV_DIV_P8[:128]
+    t[3] = luts.INV_DIV_P8[128:]
+    return t
 
 
 def _make_kernel(plan: ScalePlan, geo):
@@ -121,40 +95,27 @@ def _make_kernel(plan: ScalePlan, geo):
     span_mul_x, span_mul_y = geo["span_mul_x"], geo["span_mul_y"]
     MASK = 0xFFFFFF  # 128bpp working mask (generic.c:1350 etc.)
 
-    def lut_rows(idx_2d, limbs, n_limbs, iota):
-        """table[idx] over the whole window in one pass, two-level on
-        MXU+VPU.
+    def lut_gather(idx_2d, row_lo, row_hi):
+        """256-entry table[idx] on the VPU dynamic-gather unit.
 
-        rows = limbs (16*n_limbs,16) @ onehot_T(hi) (16, N): rows[l, n]
-        holds the 8-bit limbs of t2d[hi[n], l]; limbs recombine in f32
-        (entries < 2**21, f32-exact) so the low-index select runs ONCE: an
-        elementwise mask + sublane reduce.  Exact: one-hots 0/1, limbs
-        <= 255 (bf16 exact), every select-sum has a single nonzero term.
-
-        (Round 1 ran this in 8-row slabs through a scratch ref inside a
-        fori_loop; the loop + scratch round-trips + per-slab iotas + a
-        per-limb select made the lookup cost ~265 VPU ops/element -- 6.9
-        of config 6's 11 ms, measured by ablation.  One whole-window pass
-        with a shared iota removes most of it.)
+        Mosaic lowers lane-axis take_along_axis to tpu.DynamicGatherOp
+        only at exactly 128 lanes with equal src/idx shapes, so each
+        128-lane slice of the window gathers from both table halves and
+        selects by the index's top bit.  ~6 VPU ops/lookup, vs ~80 for
+        the round-2 one-hot-matmul + masked-reduce pipeline it replaces
+        (measured 30+ vs 19 Glookup/s standalone; no MXU traffic at all).
         """
         r, c = idx_2d.shape
-        n = r * c
-        flat = idx_2d.reshape(1, n)
-        hi = flat >> 4
-        lo = flat & 15
-        oh_hi = (iota == hi).astype(jnp.bfloat16)
-        rows = jnp.dot(limbs, oh_hi, preferred_element_type=jnp.float32)
-        if n_limbs == 0:  # base+delta layout (18 rows): see _from_srgb_limbs
-            val = jnp.sum(jnp.where(iota == lo, rows[:16], 0.0), axis=0,
-                          keepdims=True)
-            val = val + rows[16:17] + rows[17:18]
-        else:
-            comb = rows[:16]
-            for k in range(1, n_limbs):
-                comb = comb + rows[16 * k : 16 * (k + 1)] * float(1 << (8 * k))
-            val = jnp.sum(jnp.where(iota == lo, comb, 0.0), axis=0,
-                          keepdims=True)
-        return val.astype(jnp.int32).reshape(r, c)
+        src_lo = jnp.broadcast_to(row_lo, (r, 128))
+        src_hi = jnp.broadcast_to(row_hi, (r, 128))
+        parts = []
+        for k in range(c // 128):
+            sl = idx_2d[:, k * 128 : (k + 1) * 128]
+            lo7 = sl & 127
+            g_lo = jnp.take_along_axis(src_lo, lo7, axis=1)
+            g_hi = jnp.take_along_axis(src_hi, lo7, axis=1)
+            parts.append(jnp.where(sl < 128, g_lo, g_hi))
+        return jnp.concatenate(parts, axis=1) if len(parts) > 1 else parts[0]
 
     in_premul = plan.meta_in.alpha == AlphaType.PREMUL8
     # limb counts by value bound: PREMUL16-linear colors reach 2047*255 <
@@ -169,7 +130,7 @@ def _make_kernel(plan: ScalePlan, geo):
         return 2 if (h_is_box or not premul16 or lane == 3) else 3
 
     def kernel(rs_ref, cs_ref, x_any, mh_ref, hfac_ref, mv_ref, vfac_ref,
-               limbs_ref, inv_ref, o_ref, xwin, sem):
+               tbl_ref, o_ref, xwin, sem):
         gr = pl.program_id(1)
         gc = pl.program_id(2)
         rs = pl.multiple_of(rs_ref[gr], 8)
@@ -183,14 +144,13 @@ def _make_kernel(plan: ScalePlan, geo):
         px = xwin[...]
         mh = mh_ref[0]
         mv = mv_ref[0]
-        limbs = limbs_ref[...]
+        tbl = tbl_ref[...]
 
         a_vals = ((px >> (8 * alpha_byte)) & jnp.uint32(0xFF)).astype(jnp.int32)
-        lut_iota = jax.lax.broadcasted_iota(jnp.int32, (16, win_r * win_c), 0)
         if in_premul:
             # alpha-indexed inverse-division factor for unpremultiplying
             # premultiplied inputs before linearization (generic.c:488-502)
-            ascratch_vals = lut_rows(a_vals, inv_ref[...], 3, lut_iota)
+            ascratch_vals = lut_gather(a_vals, tbl[2:3], tbl[3:4])
         for lane in range(4):
             byte_pos = in_layout.index(lane)
             if lane == 3:
@@ -205,7 +165,7 @@ def _make_kernel(plan: ScalePlan, geo):
                 if _ABLATE in ("nolut", "nofilter"):
                     l11 = v8
                 else:
-                    l11 = lut_rows(v8, limbs, 0, lut_iota)
+                    l11 = lut_gather(v8, tbl[0:1], tbl[1:2])
                 if premul16:
                     ch = l11 * a_vals  # <= 2047*255 < 2**19
                 else:
@@ -273,10 +233,7 @@ def _built(plan: ScalePlan, batch: int):
                 lambda b, gr, gc, *_: (gr, 0, 0), memory_space=pltpu.VMEM,
             ),
             pl.BlockSpec(
-                (18, 16), lambda b, gr, gc, *_: (0, 0), memory_space=pltpu.VMEM,
-            ),
-            pl.BlockSpec(
-                (48, 16), lambda b, gr, gc, *_: (0, 0), memory_space=pltpu.VMEM,
+                (4, 128), lambda b, gr, gc, *_: (0, 0), memory_space=pltpu.VMEM,
             ),
         ],
         out_specs=pl.BlockSpec(
@@ -299,8 +256,7 @@ def _built(plan: ScalePlan, batch: int):
 
     h_in, w_in = plan.height_in, plan.width_in
     h_out, w_out = plan.height_out, plan.width_out
-    limbs = np.asarray(_from_srgb_limbs())
-    inv_limbs = np.asarray(_inv_div_p8_limbs())
+    tables = _lut_tables()
 
     pad_in = plan.meta_in.n_bytes == 3
 
@@ -323,7 +279,7 @@ def _built(plan: ScalePlan, batch: int):
             jnp.asarray(geo["rstart"]), jnp.asarray(geo["cstart"]), px,
             jnp.asarray(geo["mh"]), jnp.asarray(geo["hfac"]),
             jnp.asarray(geo["mv"]), jnp.asarray(geo["vfac"]),
-            jnp.asarray(limbs), jnp.asarray(inv_limbs),
+            jnp.asarray(tables),
         )
         planes = planes[:, :, :h_out, :w_out]
         return _pack(plan, planes)
