@@ -66,7 +66,7 @@ def applicable(plan: ScalePlan) -> bool:
     # landed (measured vs the XLA segment matmuls: 18.3 vs 12.5 Gpix/s at
     # 13.7:1, 14.2 vs 10.2 at 9.1:1, 24.6 vs 21.2 at 51:1; under the old
     # small-t geometry this kernel used to lose, 10.7 vs 12.7).
-    geo = _geometry(plan)
+    geo = _geometry(plan, uniform_ok=True)
     return geo is not None
 
 
@@ -651,6 +651,48 @@ def _make_kernel(plan: ScalePlan, geo):
     h_is_box, v_is_box = geo["h_is_box"], geo["v_is_box"]
     span_mul_x, span_mul_y = geo["span_mul_x"], geo["span_mul_y"]
 
+    def _h_general_64(y, hfac_ref):
+        if h_is_box:
+            # acc = (left*w1>>8) + mids + (right*F>>8); normalize
+            # (interp_horizontal_boxes + scale_64bpp, generic.c:1427-1479)
+            mids = y[:, :jc_out].astype(jnp.int32)
+            left = y[:, jc_out : 2 * jc_out].astype(jnp.int32).astype(jnp.uint32)
+            right = y[:, 2 * jc_out :].astype(jnp.int32).astype(jnp.uint32)
+            lw = hfac_ref[0, 0:1, :].astype(jnp.uint32)
+            rf = hfac_ref[0, 1:2, :].astype(jnp.uint32)
+            acc = (
+                ((left * lw >> 8) & jnp.uint32(0xFF)).astype(jnp.int32)
+                + mids
+                + ((right * rf >> 8) & jnp.uint32(0xFF)).astype(jnp.int32)
+            )
+            return _mul_shift_round24(acc, jnp.int32(span_mul_x)) & 0xFF
+        # lerp folded into the weighted matmul: y = p*F + q*(256-F)
+        s = (y.astype(jnp.int32) >> 8) & 0xFF  # (win_r, jc)
+        if kh:
+            s3 = s.reshape(win_r, 1 << kh, jc_out)
+            s = (jnp.sum(s3, axis=1) >> kh) & 0xFF
+        return s
+
+    def _v_general_64(yv, vfac_ref):
+        if v_is_box:
+            # (scale_outrow_box_64bpp, generic.c:2112-2161)
+            midsv = yv[:t].astype(jnp.int32)
+            first = yv[t : 2 * t].astype(jnp.int32).astype(jnp.uint32)
+            last = yv[2 * t :].astype(jnp.int32).astype(jnp.uint32)
+            w1 = vfac_ref[0, :, 0:1].astype(jnp.uint32)
+            w2 = vfac_ref[0, :, 1:2].astype(jnp.uint32)
+            accv = (
+                ((first * w1 >> 8) & jnp.uint32(0xFF)).astype(jnp.int32)
+                + midsv
+                + ((last * w2 >> 8) & jnp.uint32(0xFF)).astype(jnp.int32)
+            )
+            return _mul_shift_round24(accv, jnp.int32(span_mul_y)) & 0xFF
+        sv = (yv.astype(jnp.int32) >> 8) & 0xFF  # (tv, jc_out)
+        if kv:
+            sv3 = sv.reshape(1 << kv, t, jc_out)
+            sv = (jnp.sum(sv3, axis=0) >> kv) & 0xFF
+        return sv
+
     def kernel(rs_ref, cs_ref, x_any, mh_ref, hfac_ref, mv_ref, vfac_ref,
                o_ref, xwin, sem):
         b = pl.program_id(0)
@@ -674,49 +716,29 @@ def _make_kernel(plan: ScalePlan, geo):
             ch = ((px >> (8 * byte_pos)) & jnp.uint32(0xFF)).astype(jnp.int32)
             if unassoc_in and byte_pos != alpha_byte:
                 ch = (((ch + 1) * (a_vals + 1) - 1) >> 8) & 0xFF
-            y = jnp.dot(ch.astype(jnp.bfloat16), mh,
-                        preferred_element_type=jnp.float32)
-            if h_is_box:
-                # acc = (left*w1>>8) + mids + (right*F>>8); normalize
-                # (interp_horizontal_boxes + scale_64bpp, generic.c:1427-1479)
-                mids = y[:, :jc_out].astype(jnp.int32)
-                left = y[:, jc_out : 2 * jc_out].astype(jnp.int32).astype(jnp.uint32)
-                right = y[:, 2 * jc_out :].astype(jnp.int32).astype(jnp.uint32)
-                lw = hfac_ref[0, 0:1, :].astype(jnp.uint32)
-                rf = hfac_ref[0, 1:2, :].astype(jnp.uint32)
-                acc = (
-                    ((left * lw >> 8) & jnp.uint32(0xFF)).astype(jnp.int32)
-                    + mids
-                    + ((right * rf >> 8) & jnp.uint32(0xFF)).astype(jnp.int32)
+            if geo["h_uniform"]:
+                # 8-bit values: 2 int8 limbs
+                s = _h_uniform_stage(
+                    ch, mh, geo, cs, plan.width_out, span_mul_x, 0xFF, 2
                 )
-                s = _mul_shift_round24(acc, jnp.int32(span_mul_x)) & 0xFF
+            elif geo["h_lad"] is not None:
+                s = _h_uniform_ladder_stage(ch, mh, geo, 0xFF, 2)
             else:
-                # lerp folded into the weighted matmul: y = p*F + q*(256-F)
-                s = (y.astype(jnp.int32) >> 8) & 0xFF  # (win_r, jc)
-                if kh:
-                    s3 = s.reshape(win_r, 1 << kh, jc_out)
-                    s = (jnp.sum(s3, axis=1) >> kh) & 0xFF
-            yv = jnp.dot(
-                mv, s.astype(jnp.bfloat16), preferred_element_type=jnp.float32
-            )
-            if v_is_box:
-                # (scale_outrow_box_64bpp, generic.c:2112-2161)
-                midsv = yv[:t].astype(jnp.int32)
-                first = yv[t : 2 * t].astype(jnp.int32).astype(jnp.uint32)
-                last = yv[2 * t :].astype(jnp.int32).astype(jnp.uint32)
-                w1 = vfac_ref[0, :, 0:1].astype(jnp.uint32)
-                w2 = vfac_ref[0, :, 1:2].astype(jnp.uint32)
-                accv = (
-                    ((first * w1 >> 8) & jnp.uint32(0xFF)).astype(jnp.int32)
-                    + midsv
-                    + ((last * w2 >> 8) & jnp.uint32(0xFF)).astype(jnp.int32)
+                y = jnp.dot(ch.astype(jnp.bfloat16), mh,
+                            preferred_element_type=jnp.float32)
+                s = _h_general_64(y, hfac_ref)
+            if geo["v_uniform"]:
+                sv = _v_uniform_stage(
+                    s, geo, gr, plan.height_out, span_mul_y, 0xFF, 0xFF
                 )
-                sv = _mul_shift_round24(accv, jnp.int32(span_mul_y)) & 0xFF
+            elif geo["v_lad"] is not None:
+                sv = _v_uniform_ladder_stage(s, geo, 0xFF)
             else:
-                sv = (yv.astype(jnp.int32) >> 8) & 0xFF  # (tv, jc_out)
-                if kv:
-                    sv3 = sv.reshape(1 << kv, t, jc_out)
-                    sv = (jnp.sum(sv3, axis=0) >> kv) & 0xFF
+                yv = jnp.dot(
+                    mv, s.astype(jnp.bfloat16),
+                    preferred_element_type=jnp.float32,
+                )
+                sv = _v_general_64(yv, vfac_ref)
             out_byte = out_layout.index(in_layout[byte_pos])
             out_px = out_px | (sv.astype(jnp.uint32) << (8 * out_byte))
         o_ref[0] = out_px
@@ -726,7 +748,7 @@ def _make_kernel(plan: ScalePlan, geo):
 
 @functools.cache
 def _built(plan: ScalePlan, batch: int):
-    geo = _geometry(plan)
+    geo = _geometry(plan, uniform_ok=True)
     kernel = _make_kernel(plan, geo)
     t, jc_out = geo["t"], geo["jc_out"]
     grid = (batch, geo["n_rg"], geo["n_ct"])

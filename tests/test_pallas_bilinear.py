@@ -26,6 +26,10 @@ def _interp_call(*a, **k):
         (512, 256, 96, 56, 0, 1),      # 2h ladder + reorder
         (700, 500, 123, 77, 2, 3),     # 2h, tails on both axes
         (64, 64, 16, 16, 0, 0),        # 1h
+        (1024, 512, 128, 64, 0, 0),    # uniform 2h ladder (d=2, f=128) both
+        (1024, 512, 128, 64, 4, 0),    # same, unassociated input
+        (1000, 512, 100, 64, 0, 0),    # uniform box H (10:1) x uniform ladder V
+        (640, 300, 64, 100, 0, 0),     # uniform box H x general bilinear V
     ],
 )
 def test_pallas_bilinear_exact(wi, hi, wo, ho, ti, to):
