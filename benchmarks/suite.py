@@ -135,13 +135,14 @@ def main():
     from smolscale_tpu.plan import ScalePlan
 
     results = []
-    # Config 1: one-shot 2048^2 -> 256^2 box (smol_scale_simple analogue);
+    # Config 1: one-shot 2048^2 -> 256^2 (smol_scale_simple analogue;
+    # the planner picks BILINEAR_2H at exactly 8:1 -- box needs ratio > 8);
     # also batched to show farm throughput.
     results.append(bench_config(
-        "1: RGBA premul 2048^2->256^2 box, one-shot",
+        "1: RGBA premul 2048^2->256^2 (2h ladder), one-shot",
         ScalePlan(2048, 2048, 256, 256, 0, 0, False), batch=1))
     results.append(bench_config(
-        "1b: RGBA premul 2048^2->256^2 box, batch 32",
+        "1b: RGBA premul 2048^2->256^2 (2h ladder), batch 32",
         ScalePlan(2048, 2048, 256, 256, 0, 0, False), batch=32))
     # Headline: 4096^2 -> 256^2
     results.append(bench_config(
@@ -153,7 +154,7 @@ def main():
         ScalePlan(512, 512, 1024, 1024, 5, 0, False), batch=8))
     # Config 3: RGB24 4096^2 -> non-integer ratios (bilinear ladder)
     results.append(bench_config(
-        "3a: RGB24 4096^2->1371^2 (2h ladder), batch 4",
+        "3a: RGB24 4096^2->1371^2 (1h ladder), batch 4",
         ScalePlan(4096, 4096, 1371, 1371, 8, 8, False), batch=4, n_long=8))
     results.append(bench_config(
         "3b: RGB24 4096^2->3000^2 (0h), batch 2",

@@ -54,11 +54,11 @@ def make_batched_scale(plan: ScalePlan, mesh: Mesh, axis: str = "dp"):
     per-device body can be the fused Pallas kernel, which XLA's auto
     partitioner cannot split.
     """
-    from jax.experimental.shard_map import shard_map
+    from jax import shard_map
 
     local = functools.partial(xla.scale_fn, plan)
     fn = shard_map(local, mesh=mesh, in_specs=P(axis), out_specs=P(axis),
-                   check_rep=False)
+                   check_vma=False)
     return jax.jit(fn)
 
 
@@ -76,14 +76,14 @@ def make_row_sharded_scale(plan: ScalePlan, mesh: Mesh, axis: str = "rows"):
         sid = jax.lax.axis_index(axis)
         return xla.row_shard_fn(plan, tables, img_padded, sid)
 
-    from jax.experimental.shard_map import shard_map
+    from jax import shard_map
 
     sharded = shard_map(
         local,
         mesh=mesh,
         in_specs=P(),
         out_specs=P(axis),
-        check_rep=False,
+        check_vma=False,
     )
 
     @jax.jit
@@ -109,14 +109,14 @@ def make_sharded_batch_step(plan: ScalePlan, mesh: Mesh,
         sid = jax.lax.axis_index(row_axis)
         return xla.row_shard_fn(plan, tables, imgs_padded, sid)
 
-    from jax.experimental.shard_map import shard_map
+    from jax import shard_map
 
     sharded = shard_map(
         local,
         mesh=mesh,
         in_specs=P(batch_axis),
         out_specs=P(batch_axis, row_axis),
-        check_rep=False,
+        check_vma=False,
     )
 
     @jax.jit
