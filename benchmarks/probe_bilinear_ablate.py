@@ -1,0 +1,76 @@
+"""Stage ablation probe for the general 64bpp kernel (timing only; ablated
+variants produce WRONG results by construction).
+
+Default config is 3a (RGB24 4096^2 -> 1371^2, 1h ladder, stride-variable).
+Modes: full / nohmm (skip H stage) / novmm (skip V stage) / nofilter (both)
+/ nopad (feed pre-padded RGBX u32 views, isolating the 24bpp pad+bitcast).
+"""
+
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, "/root/repo")
+
+import jax
+import jax.numpy as jnp
+
+from smolscale_tpu.ops import pallas_bilinear
+from smolscale_tpu.plan import ScalePlan
+
+
+def run(mode, wi=4096, hi=4096, wo=1371, ho=1371, ti=8, to=8, B=4):
+    pallas_bilinear._ABLATE = mode if mode not in ("full", "nopad") else None
+    pallas_bilinear._built.cache_clear()
+    plan = ScalePlan(wi, hi, wo, ho, ti, to, False)
+    assert pallas_bilinear.applicable(plan)
+    rng = np.random.default_rng(0)
+    nb = plan.meta_in.n_bytes
+    imgs = rng.integers(0, 256, (B, hi, wi, nb), dtype=np.uint8)
+    if mode == "nopad" or nb == 4:
+        if nb == 3:  # pre-pad on host, upload the u32 view
+            imgs = np.concatenate(
+                [imgs, np.full((B, hi, wi, 1), 255, np.uint8)], axis=-1
+            )
+        up = imgs.reshape(B, hi, wi * 4).view(np.uint32)
+    else:
+        up = imgs
+    x = jax.device_put(jnp.asarray(up))
+    np.asarray(x[0, 0, 0])
+    fn = lambda v: pallas_bilinear.scale_fn(plan, v)
+
+    def make(k):
+        @jax.jit
+        def f(v):
+            def body(i, c):
+                return fn(v ^ c)[0, 0, 0, 0]
+            return jax.lax.fori_loop(0, k, body, jnp.uint8(0))
+        return f
+
+    f_s, f_l = make(2), make(10)
+    np.asarray(f_s(x)); np.asarray(f_l(x))
+
+    def _timed(f):
+        t0 = time.time()
+        np.asarray(f(x))
+        return time.time() - t0
+
+    ts = min(_timed(f_s) for _ in range(3))
+    tl = min(_timed(f_l) for _ in range(3))
+    per = (tl - ts) / 8
+    print(f"{mode:10s}: {per*1e3:.2f} ms/batch  {B*wi*hi/1e6/per:.0f} Mpix/s",
+          flush=True)
+    pallas_bilinear._ABLATE = None
+    pallas_bilinear._built.cache_clear()
+
+
+if __name__ == "__main__":
+    args = [a for a in sys.argv[1:] if not a.startswith("-")]
+    dims = [int(a) for a in args]
+    modes = ["full", "nopad", "nohmm", "novmm", "nofilter"]
+    for mode in modes:
+        try:
+            run(mode, *dims)
+        except Exception as e:
+            print(mode, "FAILED", repr(e)[:200], flush=True)

@@ -46,6 +46,9 @@ from ..ops import fixedpoint as fp
 from ..plan import FilterType, ScalePlan
 
 
+_ABLATE = None  # timing-only stage ablation knob (benchmarks/probe_bilinear_ablate)
+
+
 def _round_up(x, m):
     return -(-x // m) * m
 
@@ -716,7 +719,9 @@ def _make_kernel(plan: ScalePlan, geo):
             ch = ((px >> (8 * byte_pos)) & jnp.uint32(0xFF)).astype(jnp.int32)
             if unassoc_in and byte_pos != alpha_byte:
                 ch = (((ch + 1) * (a_vals + 1) - 1) >> 8) & 0xFF
-            if geo["h_uniform"]:
+            if _ABLATE in ("nohmm", "nofilter"):
+                s = ch[:, :jc_out]
+            elif geo["h_uniform"]:
                 # 8-bit values: 2 int8 limbs
                 s = _h_uniform_stage(
                     ch, mh, geo, cs, plan.width_out, span_mul_x, 0xFF, 2
@@ -727,7 +732,9 @@ def _make_kernel(plan: ScalePlan, geo):
                 y = jnp.dot(ch.astype(jnp.bfloat16), mh,
                             preferred_element_type=jnp.float32)
                 s = _h_general_64(y, hfac_ref)
-            if geo["v_uniform"]:
+            if _ABLATE in ("novmm", "nohmm", "nofilter"):
+                sv = s[:t, :]
+            elif geo["v_uniform"]:
                 sv = _v_uniform_stage(
                     s, geo, gr, plan.height_out, span_mul_y, 0xFF, 0xFF
                 )
