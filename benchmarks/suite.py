@@ -180,6 +180,14 @@ def main():
     results.append(bench_config(
         "6b: RGB24 1920x1080->400x225 sRGB linear light, batch 8",
         ScalePlan(1920, 1080, 400, 225, 8, 8, True), batch=8, n_long=8))
+    # 128bpp compressed-gamma classes (pallas_128): internal PREMUL16
+    # (unassoc in AND out, smolscale.c:751-758) and >255:1 deep box
+    results.append(bench_config(
+        "7: RGBA unassoc->unassoc 2048^2->256^2 (PREMUL16, 2h ladder), batch 8",
+        ScalePlan(2048, 2048, 256, 256, 4, 4, False), batch=8, n_long=8))
+    results.append(bench_config(
+        "7b: RGBA premul 4096^2->16^2 deep box (256:1), batch 8",
+        ScalePlan(4096, 4096, 16, 16, 0, 0, False), batch=8, n_long=8))
 
     if args.json:
         with open(args.json, "w") as f:

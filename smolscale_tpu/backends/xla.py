@@ -887,7 +887,9 @@ def scale_fn(plan: ScalePlan, img, post_fn=None):
 
 
 def _scale_fn_impl(plan: ScalePlan, img):
-    from ..ops import pallas_128, pallas_bilinear, pallas_box, pallas_srgb
+    from ..ops import (
+        pallas_128, pallas_bilinear, pallas_box, pallas_deep, pallas_srgb,
+    )
 
     packed = img.dtype == jnp.uint32  # (.., H, W) u32 pixel view, 4B formats
     use_pallas = _FORCE_PALLAS
@@ -905,6 +907,8 @@ def _scale_fn_impl(plan: ScalePlan, img):
         return pallas_srgb.scale_fn(plan, img)
     if use_pallas and pallas_128.applicable(plan):
         return pallas_128.scale_fn(plan, img)
+    if use_pallas and pallas_deep.applicable(plan):
+        return pallas_deep.scale_fn(plan, img)
     if use_pallas:
         adapted = _adapt_24bpp(plan)
         if adapted is not None:

@@ -1,0 +1,245 @@
+"""Fused Pallas kernel for deep integer-ratio box downscales.
+
+The whole-window kernels (pallas_box and the shared tile geometry of
+pallas_bilinear/srgb/128) need an output row's entire vertical span
+resident in VMEM, which fails past roughly 64:1 on wide images; the
+reference instead streams rows through a running accumulator
+(scale_outrow_box_*, generic.c:2112-2260).  This kernel is that
+accumulator as a Pallas grid: ``(batch, out_row, chunk)`` walks each
+output row's span in C-row chunks (C an 8-aligned divisor of the row
+ratio, so input blocks pipeline through plain BlockSpecs with automatic
+double buffering), H-box-scales each chunk's rows with one 0/1 int8
+span-sum matmul, accumulates the chunk's partial V sum into a VMEM
+scratch that persists across the chunk axis, and on the span's final
+chunk normalizes and emits int32 channel planes.  Packing -- including
+the 128bpp deep-box storage rule and PREMUL16 unassociated output
+(unpremul_p16, generic.c:290-299) -- reuses the shared XLA ``_pack`` on
+output-sized data.
+
+Covers the >255:1 deep-box class (128bpp storage, smolscale.c:437-446)
+and the 64..255:1 64bpp band where pallas_box's whole-span row groups
+exceed VMEM; compressed gamma only (the linear-light deep band belongs
+to pallas_srgb / the XLA fallback).
+
+Exactness: integer-ratio spans have all edge fractions 0, so the span
+walk collapses to the uniform identities of backends/xla._box_uniform --
+first pixel/row of every span weighted 255/256 ((v*255)>>8 ==
+v - ((v+255)>>8), identity 256 on the global first), the final
+element/row dropped when the last span is clamped short
+(precalc_boxes_array generic.c:105-110) -- and V accumulation is int32
+mod 2**32 (exactly the reference's 32-bit lanes), so chunking the sum
+cannot change results.  Box normalization uses the proven uint32
+mul_shift_round24.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ..formats import AlphaType, GammaType, StorageType
+from ..ops import fixedpoint as fp
+from ..plan import FilterType, ScalePlan
+from . import pallas_bilinear as pg  # _span_mm_i8, _round_up
+
+
+def _chunk_rows(plan: ScalePlan):
+    """(C, k): chunk height and chunks per span, or None.
+
+    C must divide the row ratio (so every chunk lies inside one span) and
+    be 8-aligned (Mosaic input-block tiling); ~2 MB double-buffered blocks
+    measured best for the streaming kernels.
+    """
+    r_y = int(plan.y.strides[0]) + 1
+    w_pad = pg._round_up(plan.width_in, 128)
+    cap = max(8, (2 * 2**20) // (w_pad * 4) // 8 * 8)
+    if r_y % 8:
+        return None
+    best = 0
+    for c in range(8, min(r_y, cap) + 1, 8):
+        if r_y % c == 0:
+            best = c
+    if best == 0:
+        return None
+    return best, r_y // best
+
+
+def applicable(plan: ScalePlan) -> bool:
+    from ..backends.xla import _box_uniform_applicable  # avoid cycle
+
+    return (
+        plan.gamma == GammaType.SRGB_COMPRESSED
+        and plan.internal_alpha in (AlphaType.PREMUL8, AlphaType.PREMUL16)
+        and plan.meta_in.n_bytes == 4
+        and plan.meta_out.n_bytes == 4
+        and plan.x.filter == FilterType.BOX
+        and plan.y.filter == FilterType.BOX
+        and _box_uniform_applicable(plan.x)
+        and _box_uniform_applicable(plan.y)
+        and plan.width_out >= 2
+        and plan.height_out >= 2
+        # full-output VMEM block (dynamic row stores): keep it small
+        and 4 * plan.height_out * pg._round_up(plan.width_out, 128) * 4
+        <= 2 * 2**20
+        and _chunk_rows(plan) is not None
+    )
+
+
+def _make_kernel(plan: ScalePlan, C: int, k: int, w_pad: int, w_out_pad: int):
+    in_layout = plan.meta_in.layout
+    alpha_byte = in_layout.index(3)
+    premul16 = plan.internal_alpha == AlphaType.PREMUL16
+    in_premul = plan.meta_in.alpha == AlphaType.PREMUL8
+    r_x = int(plan.x.strides[0]) + 1
+    w_out, h_out = plan.width_out, plan.height_out
+    span_mul_x = int(plan.x.span_mul)
+    span_mul_y = int(plan.y.span_mul)
+    # working masks: 8-bit lanes for 64bpp, 16-bit halves for 128bpp
+    # (values never exceed them for compressed-gamma box averages)
+    norm_mask = 0xFF if plan.storage == StorageType.S64 else 0xFFFF
+    h_last_short = int(plan.x.strides[-1]) == r_x - 2
+    r_y = int(plan.y.strides[0]) + 1
+    v_last_short = int(plan.y.strides[-1]) == r_y - 2
+    n_limbs = 3 if premul16 else 2
+
+    def kernel(x_ref, m_ref, o_ref, acc_ref):
+        oi = pl.program_id(1)
+        c = pl.program_id(2)
+        px = x_ref[0]  # (C, w_pad) u32
+        m8 = m_ref[...]
+        lane = jax.lax.broadcasted_iota(jnp.int32, (C, w_pad), 1)
+        span_first = (lane % r_x == 0) & (lane > 0)
+
+        a_vals = ((px >> (8 * alpha_byte)) & jnp.uint32(0xFF)).astype(jnp.int32)
+        for ch_lane in range(4):
+            byte_pos = in_layout.index(ch_lane)
+            if ch_lane == 3:
+                # PREMUL16 alpha rides as (a<<8)|0x80 (generic.c:616-634)
+                ch = ((a_vals << 8) | 0x80) if premul16 else a_vals
+            else:
+                v8 = ((px >> (8 * byte_pos)) & jnp.uint32(0xFF)).astype(
+                    jnp.int32
+                )
+                if premul16:
+                    ch = v8 * a_vals  # <= 65025
+                elif in_premul:
+                    ch = v8
+                else:
+                    # premul_u_to_p8 (generic.c:238-244)
+                    ch = (((v8 + 1) * (a_vals + 1) - 1) >> 8) & 0xFF
+            # H: fold the 255/256 span-first weight into the input
+            adj = ch - jnp.where(span_first, (ch + 255) >> 8, 0)
+            if h_last_short:
+                adj = jnp.where(lane == w_out * r_x - 1, 0, adj)
+            y = pg._span_mm_i8(adj, m8, n_limbs)
+            hrow = fp.mul_shift_round24(y, jnp.int32(span_mul_x)) & norm_mask
+            # V: chunk partial sum; span-first row weighted on chunk 0
+            h0 = hrow[0:1]
+            h0w = jnp.where(
+                (c == 0) & (oi > 0), h0 - ((h0 + 255) >> 8), h0
+            )
+            part = h0w + jnp.sum(hrow[1:], axis=0, keepdims=True)
+            if v_last_short:
+                part = part - jnp.where(
+                    (oi == h_out - 1) & (c == k - 1), hrow[C - 1 : C], 0
+                )
+
+            @pl.when(c == 0)
+            def _init():
+                acc_ref[ch_lane : ch_lane + 1, :] = part
+
+            @pl.when(c > 0)
+            def _accum():
+                acc_ref[ch_lane : ch_lane + 1, :] = (
+                    acc_ref[ch_lane : ch_lane + 1, :] + part
+                )
+
+            @pl.when(c == k - 1)
+            def _emit():
+                acc = acc_ref[ch_lane : ch_lane + 1, :]
+                o_ref[0, ch_lane, pl.ds(oi, 1)] = (
+                    fp.mul_shift_round24(acc, jnp.int32(span_mul_y))
+                    & norm_mask
+                )
+
+    return kernel
+
+
+def _span_matrix(plan: ScalePlan, w_pad: int, w_out_pad: int):
+    """0/1 span-sum matrix (w_pad, w_out_pad) int8; the final-element drop
+    and edge weights are folded into the kernel's input instead."""
+    r_x = int(plan.x.strides[0]) + 1
+    m = np.zeros((w_pad, w_out_pad), dtype=np.int8)
+    for j in range(plan.width_out):
+        lo = j * r_x
+        m[lo : min(lo + r_x, w_pad), j] = 1
+    return m
+
+
+@functools.cache
+def _built(plan: ScalePlan, batch: int):
+    C, k = _chunk_rows(plan)
+    w_in, h_in = plan.width_in, plan.height_in
+    w_out, h_out = plan.width_out, plan.height_out
+    w_pad = pg._round_up(w_in, 128)
+    w_out_pad = pg._round_up(w_out, 128)
+    kernel = _make_kernel(plan, C, k, w_pad, w_out_pad)
+    m = _span_matrix(plan, w_pad, w_out_pad)
+    grid = (batch, h_out, k)
+
+    call = pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct(
+            (batch, 4, h_out, w_out_pad), jnp.int32
+        ),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec(
+                (1, C, w_pad),
+                lambda b, oi, c, _k=k: (b, oi * _k + c, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(
+                (w_pad, w_out_pad), lambda b, oi, c: (0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+        ],
+        out_specs=pl.BlockSpec(
+            # full-output block per batch element (deep plans have tiny
+            # outputs); rows land via a dynamic sublane store, so the
+            # block needs no 8-divisible row tiling
+            (1, 4, h_out, w_out_pad), lambda b, oi, c: (b, 0, 0, 0),
+            memory_space=pltpu.VMEM,
+        ),
+        scratch_shapes=[pltpu.VMEM((8, w_out_pad), jnp.int32)],
+    )
+
+    def fn(imgs_u8):
+        from ..backends.xla import _pack
+
+        if imgs_u8.dtype == jnp.uint32:  # pre-packed pixel view
+            px = imgs_u8
+        else:
+            px = jax.lax.bitcast_convert_type(imgs_u8, jnp.uint32)
+        if w_pad != w_in:
+            px = jnp.pad(px, [(0, 0), (0, 0), (0, w_pad - w_in)])
+        planes = call(px, jnp.asarray(m))
+        planes = planes[:, :, :, :w_out]
+        return _pack(plan, planes)
+
+    return fn
+
+
+def scale_fn(plan: ScalePlan, imgs):
+    """(B, H, W, 4) u8 (or packed (B, H, W) u32) -> (B, h, w, nb_out) u8.
+    Caller checks applicable()."""
+    squeeze = imgs.ndim == (2 if imgs.dtype == jnp.uint32 else 3)
+    if squeeze:
+        imgs = imgs[None]
+    out = _built(plan, imgs.shape[0])(imgs)
+    return out[0] if squeeze else out

@@ -1,0 +1,54 @@
+"""Chunked-V deep-box kernel: bit-exactness in interpreter mode."""
+
+from unittest import mock
+
+import numpy as np
+import pytest
+from jax.experimental import pallas as pl
+
+from smolscale_tpu.backends import numpy_ref
+from smolscale_tpu.ops import pallas_deep
+from smolscale_tpu.plan import ScalePlan
+
+RNG = np.random.default_rng(777)
+_ORIG = pl.pallas_call
+
+
+def _interp_call(*a, **k):
+    return _ORIG(*a, **k, interpret=True)
+
+
+@pytest.mark.parametrize(
+    "wi,hi,wo,ho,ti,to",
+    [
+        (1024, 1024, 8, 8, 0, 0),   # 128:1, S64 band (pallas_box VMEM-fails)
+        (2048, 2048, 8, 8, 0, 0),   # 256:1, S128 PREMUL8 deep
+        (2048, 2048, 8, 8, 4, 4),   # 256:1, PREMUL16 deep (unassoc in+out)
+        (2048, 2048, 8, 8, 4, 0),   # unassoc in -> premul
+        (2048, 1024, 8, 8, 1, 6),   # reorders, 256:1 x 128:1
+        (1024, 4096, 8, 4, 0, 0),   # r_y=1024 -> multi-chunk accumulation
+        (1024, 4096, 8, 4, 4, 4),   # multi-chunk PREMUL16
+        (1024, 3072, 8, 4, 4, 0),   # non-pow2 chunk divisor (C=384)
+    ],
+)
+def test_pallas_deep_exact(wi, hi, wo, ho, ti, to):
+    plan = ScalePlan(wi, hi, wo, ho, ti, to, False)
+    assert pallas_deep.applicable(plan)
+    pallas_deep._built.cache_clear()
+    img = RNG.integers(0, 256, (2, hi, wi, 4), dtype=np.uint8)
+    with mock.patch.object(pl, "pallas_call", _interp_call):
+        got = np.asarray(pallas_deep.scale_fn(plan, img))
+    want = np.stack([numpy_ref.scale(plan, img[i]) for i in range(2)])
+    assert np.array_equal(want, got)
+    pallas_deep._built.cache_clear()
+
+
+def test_gate():
+    # non-integer ratios stay on the general machinery / XLA fallback
+    assert not pallas_deep.applicable(ScalePlan(4096, 4096, 12, 12, 0, 0))
+    # linear light belongs to pallas_srgb / XLA
+    assert not pallas_deep.applicable(
+        ScalePlan(2048, 2048, 8, 8, 4, 4, True)
+    )
+    # r_y without an 8-aligned divisor
+    assert not pallas_deep.applicable(ScalePlan(2048, 300, 8, 4, 0, 0))
