@@ -81,15 +81,11 @@ def _make_kernel(plan: ScalePlan, geo):
 
     def kernel(rs_ref, cs_ref, x_any, mh_ref, hfac_ref, mv_ref, vfac_ref,
                o_ref, xwin, sem):
-        rs = pl.multiple_of(rs_ref[pl.program_id(1)], 8)
         cs = pl.multiple_of(cs_ref[pl.program_id(2)], 128)
-        dma = pltpu.make_async_copy(
-            x_any.at[pl.program_id(0), pl.ds(rs, win_r), pl.ds(cs, win_c)],
-            xwin, sem,
+        px = pg._window_dma(
+            rs_ref, cs_ref, x_any, xwin, sem, win_r, win_c,
+            pl.program_id(0), pl.program_id(1), pl.program_id(2),
         )
-        dma.start()
-        dma.wait()
-        px = xwin[...]
         mh = mh_ref[0]
         mv = mv_ref[0]
 
@@ -170,8 +166,8 @@ def _built(plan: ScalePlan, batch: int):
             memory_space=pltpu.VMEM,
         ),
         scratch_shapes=[
-            pltpu.VMEM((geo["win_r"], geo["win_c"]), jnp.uint32),
-            pltpu.SemaphoreType.DMA,
+            pltpu.VMEM((2, geo["win_r"], geo["win_c"]), jnp.uint32),
+            pltpu.SemaphoreType.DMA((2,)),
         ],
     )
 

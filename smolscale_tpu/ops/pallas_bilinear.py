@@ -495,6 +495,48 @@ def _span_mm_i8(x_i32, mat_i8, n_limbs):
     return out
 
 
+def _window_dma(rs_ref, cs_ref, x_any, xwin, sem, win_r, win_c, b, gr, gc):
+    """Double-buffered irregular-window fetch for the fused kernels.
+
+    The per-tile windows start at scalar-prefetched offsets, so they can't
+    ride the BlockSpec pipeline's automatic double buffering; overlap the
+    copies by hand instead: the first grid step starts its own copy, every
+    step kicks off the NEXT step's copy into the other half of the
+    (2, win_r, win_c) scratch before waiting on its own.  Grid steps run
+    sequentially on the scalar core while the DMA engines run ahead.
+    """
+    nb = pl.num_programs(0)
+    nr = pl.num_programs(1)
+    nc = pl.num_programs(2)
+    lin = (b * nr + gr) * nc + gc
+    slot = jax.lax.rem(lin, 2)
+
+    def dma(sl, bb, rr, cc):
+        rs = pl.multiple_of(rs_ref[rr], 8)
+        cs = pl.multiple_of(cs_ref[cc], 128)
+        return pltpu.make_async_copy(
+            x_any.at[bb, pl.ds(rs, win_r), pl.ds(cs, win_c)],
+            xwin.at[sl], sem.at[sl],
+        )
+
+    @pl.when(lin == 0)
+    def _first():
+        dma(slot, b, gr, gc).start()
+
+    nxt = lin + 1
+
+    @pl.when(nxt < nb * nr * nc)
+    def _ahead():
+        c2 = jax.lax.rem(nxt, nc)
+        rem = jax.lax.div(nxt, nc)
+        r2 = jax.lax.rem(rem, nr)
+        b2 = jax.lax.div(rem, nr)
+        dma(jax.lax.rem(nxt, 2), b2, r2, c2).start()
+
+    dma(slot, b, gr, gc).wait()
+    return xwin[slot]
+
+
 def _h_uniform_stage(ch, mh, geo, cs, w_out, span_mul_x, norm_mask, n_limbs):
     """Integer-ratio H box: edge weights folded into the input, one 0/1
     span-sum matmul, span normalization.
@@ -701,15 +743,10 @@ def _make_kernel(plan: ScalePlan, geo):
         b = pl.program_id(0)
         gr = pl.program_id(1)
         gc = pl.program_id(2)
-        rs = pl.multiple_of(rs_ref[gr], 8)
         cs = pl.multiple_of(cs_ref[gc], 128)
-        dma = pltpu.make_async_copy(
-            x_any.at[b, pl.ds(rs, win_r), pl.ds(cs, win_c)],
-            xwin, sem,
+        px = _window_dma(
+            rs_ref, cs_ref, x_any, xwin, sem, win_r, win_c, b, gr, gc
         )
-        dma.start()
-        dma.wait()
-        px = xwin[...]
         mh = mh_ref[0]
         mv = mv_ref[0]
 
@@ -791,8 +828,8 @@ def _built(plan: ScalePlan, batch: int):
             memory_space=pltpu.VMEM,
         ),
         scratch_shapes=[
-            pltpu.VMEM((geo["win_r"], geo["win_c"]), jnp.uint32),
-            pltpu.SemaphoreType.DMA,
+            pltpu.VMEM((2, geo["win_r"], geo["win_c"]), jnp.uint32),
+            pltpu.SemaphoreType.DMA((2,)),
         ],
     )
 
