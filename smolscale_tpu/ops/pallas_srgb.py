@@ -68,12 +68,16 @@ def _geo(plan: ScalePlan):
 
 
 def _lut_tables():
-    """(4, 128) int32 table pack for the VPU dynamic-gather unit: rows 0/1
-    are the low/high halves of from_srgb (values <= 2047, smolscale.c:87),
-    rows 2/3 of inv_div_p8 (values < 2**21, smolscale.c:276)."""
+    """(4, 128) int32 table pack for the VPU dynamic-gather unit.
+
+    Row 0 holds BOTH from_srgb halves (11-bit values, smolscale.c:87):
+    entry l = t[l] | (t[l+128] << 16), so one gather + a top-bit shift
+    replaces two gathers + a select.  inv_div_p8 entries reach 2**21
+    (smolscale.c:276) and don't pack; rows 2/3 are its halves.
+    """
     t = np.zeros((4, 128), dtype=np.int32)
-    t[0] = luts.FROM_SRGB[:128]
-    t[1] = luts.FROM_SRGB[128:]
+    fs = np.asarray(luts.FROM_SRGB, dtype=np.int64)
+    t[0] = (fs[:128] | (fs[128:] << 16)).astype(np.int32)
     t[2] = luts.INV_DIV_P8[:128]
     t[3] = luts.INV_DIV_P8[128:]
     return t
@@ -107,14 +111,17 @@ def _make_kernel(plan: ScalePlan, geo):
         """
         r, c = idx_2d.shape
         src_lo = jnp.broadcast_to(row_lo, (r, 128))
-        src_hi = jnp.broadcast_to(row_hi, (r, 128))
+        src_hi = None if row_hi is None else jnp.broadcast_to(row_hi, (r, 128))
         parts = []
         for k in range(c // 128):
             sl = idx_2d[:, k * 128 : (k + 1) * 128]
             lo7 = sl & 127
             g_lo = jnp.take_along_axis(src_lo, lo7, axis=1)
-            g_hi = jnp.take_along_axis(src_hi, lo7, axis=1)
-            parts.append(jnp.where(sl < 128, g_lo, g_hi))
+            if row_hi is None:  # both halves packed 16/16 in one row
+                parts.append((g_lo >> ((sl >> 7) << 4)) & 0xFFFF)
+            else:
+                g_hi = jnp.take_along_axis(src_hi, lo7, axis=1)
+                parts.append(jnp.where(sl < 128, g_lo, g_hi))
         return jnp.concatenate(parts, axis=1) if len(parts) > 1 else parts[0]
 
     in_premul = plan.meta_in.alpha == AlphaType.PREMUL8
@@ -161,7 +168,7 @@ def _make_kernel(plan: ScalePlan, geo):
                 if _ABLATE in ("nolut", "nofilter"):
                     l11 = v8
                 else:
-                    l11 = lut_gather(v8, tbl[0:1], tbl[1:2])
+                    l11 = lut_gather(v8, tbl[0:1], None)
                 if premul16:
                     ch = l11 * a_vals  # <= 2047*255 < 2**19
                 else:
