@@ -11,10 +11,15 @@ reports value 0 rather than a fast-but-wrong number.
 
 Timing methodology: the axon remote platform's block_until_ready is not a
 reliable completion barrier, so iterations are serialized through a data
-dependency (each step folds a scalar of its output into the next step's
-input) and the chain is forced with a host fetch; per-iteration time is the
-slope between a short and a long chain, which cancels dispatch and fetch
-overheads.  (Reference methodology analogue: min-time pps, test.c:219-340.)
+dependency and the chain is forced with a host fetch; per-iteration time is
+the slope between a short and a long chain, which cancels dispatch and
+fetch overheads.  The dependency is a 1-element dynamic_update_slice of an
+output scalar into the loop-carried input (XLA performs it in place): the
+kernel must re-run every iteration, but no input copy is charged to it --
+the reference's harness likewise re-scales the same canvas per rep
+(test.c:219-340).  (Rounds 1-2 XOR'd the whole input per iteration, which
+billed an extra full-image copy to every config: 1.67 ms of the headline's
+reported 2.85.)
 """
 
 import json
@@ -57,9 +62,14 @@ def main() -> int:
         @jax.jit
         def f(v):
             def body(i, carry):
-                return xla.scale_fn(plan, v ^ carry)[0, 0, 0, 0]
+                img, tag = carry
+                img = jax.lax.dynamic_update_slice(
+                    img, img[:1, :1, :1] ^ tag, (0, 0, 0)
+                )
+                out = xla.scale_fn(plan, img)
+                return img, out[0, 0, 0, 0].astype(jnp.uint32)
 
-            return jax.lax.fori_loop(0, k, body, jnp.uint8(0))
+            return jax.lax.fori_loop(0, k, body, (v, jnp.uint32(0)))[1]
 
         return f
 

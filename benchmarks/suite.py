@@ -21,17 +21,31 @@ sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 
 
 def _chain_timer(step_fn, x, n_short=2, n_long=12, reps=3):
-    """Per-iteration seconds via fori_loop slope (cancels dispatch+fetch)."""
+    """Per-iteration seconds via fori_loop slope (cancels dispatch+fetch).
+
+    Iterations are serialized through a 1-element dynamic_update_slice of
+    the previous step's output scalar into the loop-carried input (XLA
+    performs it in place), so every step must recompute but no input copy
+    is billed to it -- the reference harness likewise re-scales the same
+    canvas per rep (test.c:219-340).  (Rounds 1-2 XOR'd the whole input
+    each iteration, charging an extra full-image HBM copy to every
+    config.)  ``step_fn(img)`` must return a scalar of the output.
+    """
     import jax
     import jax.numpy as jnp
+
+    nd = x.ndim
 
     def make(k):
         @jax.jit
         def f(v):
             def body(i, carry):
-                return step_fn(v, carry)
+                img, tag = carry
+                upd = img[(slice(0, 1),) * nd] ^ tag.astype(img.dtype)
+                img = jax.lax.dynamic_update_slice(img, upd, (0,) * nd)
+                return img, step_fn(img).astype(jnp.uint32)
 
-            return jax.lax.fori_loop(0, k, body, jnp.uint8(0))
+            return jax.lax.fori_loop(0, k, body, (v, jnp.uint32(0)))[1]
 
         return f
 
@@ -78,8 +92,8 @@ def bench_config(name, plan, batch, check=True, n_long=12):
         got = np.asarray(jax.jit(lambda v: xla.scale_fn(plan, v))(x[:1]))[0]
         exact = bool(np.array_equal(got, numpy_ref.scale(plan, imgs[0])))
 
-    def step(v, carry):
-        return xla.scale_fn(plan, v ^ carry)[0, 0, 0, 0]
+    def step(v):
+        return xla.scale_fn(plan, v)[0, 0, 0, 0]
 
     per = _chain_timer(step, x, n_long=n_long)
     in_px = batch * plan.width_in * plan.height_in
@@ -110,8 +124,8 @@ def bench_pyramid():
     _ = np.asarray(x[0, 0, 0])
     fn = make_pyramid_fn(512, 512, 0, sizes=(64, 128, 256))
 
-    def step(v, carry):
-        outs = fn(v ^ carry)
+    def step(v):
+        outs = fn(v)
         return outs[0][0, 0, 0, 0]
 
     per = _chain_timer(step, x, n_long=8)
@@ -217,8 +231,8 @@ def bench_row_stream():
     # (separate dispatches would measure the axon tunnel's ~80ms RTT per
     # fetch, not compute; a real streaming consumer overlaps them).
     @jax.jit
-    def all_chunks(v, seed):
-        padded = xla.pad_rows(plan, tables, v ^ seed)
+    def all_chunks(v):
+        padded = xla.pad_rows(plan, tables, v)
         outs = [
             xla.row_shard_fn(plan, tables, padded, jnp.int32(i))
             for i in range(n_chunks)
@@ -228,9 +242,13 @@ def bench_row_stream():
     def make(k):
         @jax.jit
         def f(v):
-            return jax.lax.fori_loop(
-                0, k, lambda i, c: all_chunks(v, c), jnp.uint8(0)
-            )
+            def body(i, carry):
+                img, tag = carry
+                upd = img[:1, :1, :1] ^ tag.astype(img.dtype)
+                img = jax.lax.dynamic_update_slice(img, upd, (0, 0, 0))
+                return img, all_chunks(img).astype(jnp.uint32)
+
+            return jax.lax.fori_loop(0, k, body, (v, jnp.uint32(0)))[1]
         return f
 
     f_s, f_l = make(1), make(5)
