@@ -114,8 +114,21 @@ def _geometry(plan: ScalePlan, jc_out_max: int = 256, budget_mb: int = 12,
     geo = best(jc_out_max)
     if jc_out_max > 128:
         narrow = best(128)
-        if narrow is not None and (geo is None or narrow["t"] > geo["t"]):
-            geo = narrow
+        if narrow is not None:
+            prefer_narrow = geo is None or narrow["t"] > geo["t"]
+            if geo is not None and narrow["t"] == geo["t"]:
+                # On a row-group tie: dense-matmul downscale ladders
+                # (kh >= 1) nearly halve the gather-matmul FLOPs with the
+                # narrow tile and win (3a 4.66 -> 4.01 ms); 0h and upscale
+                # configs lose to the extra window re-reads (3b 1.36 ->
+                # 2.40 ms) -- measured on v5e.
+                prefer_narrow = (
+                    geo["kh"] >= 1
+                    and not geo["h_is_box"]
+                    and geo["h_lad"] is None
+                )
+            if prefer_narrow:
+                geo = narrow
     return geo
 
 
