@@ -59,10 +59,32 @@ def applicable(plan: ScalePlan) -> bool:
     return _geo(plan) is not None
 
 
+def _dense_ladder(ax) -> bool:
+    """Bilinear axis whose samples need the dense gather matmul (stride or
+    fraction varies, so the uniform-ladder fast path can't take it)."""
+    if not ax.filter.is_bilinear:
+        return False
+    o = np.asarray(ax.offsets)
+    f = np.asarray(ax.factors)
+    if len(o) < 2:
+        return True
+    d = int(o[1] - o[0])
+    return not (d >= 2 and (np.diff(o) == d).all() and (f == f[0]).all())
+
+
 def _geo(plan: ScalePlan):
     # Tighter tiles than the 64bpp kernel: every gather matmul here runs 3
     # limb passes and values are 4-byte, so the real VMEM/code footprint is
-    # ~3x the geometry's estimate.
+    # ~3x the geometry's estimate.  Dense-ladder-x-dense-ladder plans (the
+    # 6b class) are grid-step-bound at t=16 and take a larger row group
+    # (measured 3.33 -> 2.95 ms on 1920x1080->400x225); box-bearing plans
+    # stay small -- their 3*jc_out matrices blow the 16 MB scoped-VMEM
+    # limit at larger budgets (compile-verified on chip).
+    if _dense_ladder(plan.x) and _dense_ladder(plan.y):
+        g = pg._geometry(plan, jc_out_max=128, budget_mb=6, t_max=32,
+                         uniform_ok=True)
+        if g is not None:
+            return g
     return pg._geometry(plan, jc_out_max=128, budget_mb=4, t_max=16,
                         uniform_ok=True)
 
