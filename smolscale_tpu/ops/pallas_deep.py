@@ -1,4 +1,4 @@
-"""Fused Pallas kernel for deep integer-ratio box downscales.
+"""Fused Pallas kernels for deep box downscales (integer and ragged spans).
 
 The whole-window kernels (pallas_box and the shared tile geometry of
 pallas_bilinear/srgb/128) need an output row's entire vertical span
@@ -19,7 +19,12 @@ output-sized data.
 Covers the >255:1 deep-box class (128bpp storage, smolscale.c:437-446)
 and the 64..255:1 64bpp band where pallas_box's whole-span row groups
 exceed VMEM; compressed gamma only (the linear-light deep band belongs
-to pallas_srgb / the XLA fallback).
+to pallas_srgb / the XLA fallback).  Non-integer ratios take the ragged
+variant (_built_general): chunks start at each span's 8-aligned base via
+manual double-buffered DMA, the H box runs the general [mids|left|right]
+edge-weighted matmul, and every row classifies itself against the span's
+[first, y1] bounds with the reference's per-storage edge weights (w2 for
+64bpp, w2-1 with a w2==0 skip for 128bpp, generic.c:2112-2260).
 
 Exactness: integer-ratio spans have all edge fractions 0, so the span
 walk collapses to the uniform identities of backends/xla._box_uniform --
@@ -69,9 +74,7 @@ def _chunk_rows(plan: ScalePlan):
     return best, r_y // best
 
 
-def applicable(plan: ScalePlan) -> bool:
-    from ..backends.xla import _box_uniform_applicable  # avoid cycle
-
+def _base_applicable(plan: ScalePlan) -> bool:
     return (
         plan.gamma == GammaType.SRGB_COMPRESSED
         and plan.internal_alpha in (AlphaType.PREMUL8, AlphaType.PREMUL16)
@@ -79,15 +82,46 @@ def applicable(plan: ScalePlan) -> bool:
         and plan.meta_out.n_bytes == 4
         and plan.x.filter == FilterType.BOX
         and plan.y.filter == FilterType.BOX
-        and _box_uniform_applicable(plan.x)
-        and _box_uniform_applicable(plan.y)
         and plan.width_out >= 2
         and plan.height_out >= 2
         # full-output VMEM block (dynamic row stores): keep it small
         and 4 * plan.height_out * pg._round_up(plan.width_out, 128) * 4
         <= 2 * 2**20
+    )
+
+
+def _uniform_deep(plan: ScalePlan) -> bool:
+    from ..backends.xla import _box_uniform_applicable  # avoid cycle
+
+    return (
+        _box_uniform_applicable(plan.x)
+        and _box_uniform_applicable(plan.y)
         and _chunk_rows(plan) is not None
     )
+
+
+def applicable(plan: ScalePlan) -> bool:
+    if not _base_applicable(plan):
+        return False
+    return _uniform_deep(plan) or _general_chunk(plan) is not None
+
+
+def _general_chunk(plan: ScalePlan):
+    """(C, k) for the ragged-span path: 8-aligned chunk height and the
+    chunk count covering the tallest span (chunks need not divide spans --
+    rows outside [first, y1] are weight-0 by classification)."""
+    from ..backends.xla import _box_v_arrays
+
+    w_pad = pg._round_up(plan.width_in, 128)
+    C = min(512, max(8, (2 * 2**20) // (w_pad * 4) // 8 * 8))
+    bv = _box_v_arrays(plan.y)
+    ofs = np.asarray(plan.y.offsets, dtype=np.int64)
+    rbase = (bv["first_idx"] // 8) * 8
+    span = ofs[1:] - rbase + 1  # last V read is raw ofs[i+1]
+    k = int(-(-int(span.max()) // C))
+    if k > 4096:  # absurd; keep the XLA fallback
+        return None
+    return C, k
 
 
 def _make_kernel(plan: ScalePlan, C: int, k: int, w_pad: int, w_out_pad: int):
@@ -235,11 +269,241 @@ def _built(plan: ScalePlan, batch: int):
     return fn
 
 
+def _make_general_kernel(plan: ScalePlan, C: int, k: int, w_pad: int,
+                         w_out_pad: int):
+    """Ragged-span variant: V spans are irregular (non-integer ratios), so
+    chunks start at the span's 8-aligned base (manual double-buffered DMA,
+    scalar-prefetched) and every row classifies itself against the span's
+    [first, y1] bounds with the reference's edge weights --
+    scale_outrow_box_64bpp uses w2 on the last row, the 128bpp variant
+    w2-1 with a w2 == 0 skip (generic.c:2112-2260); rows outside the span
+    (or in the zero padding past the image) contribute nothing."""
+    in_layout = plan.meta_in.layout
+    alpha_byte = in_layout.index(3)
+    premul16 = plan.internal_alpha == AlphaType.PREMUL16
+    in_premul = plan.meta_in.alpha == AlphaType.PREMUL8
+    h_out = plan.height_out
+    span_mul_x = int(plan.x.span_mul)
+    span_mul_y = int(plan.y.span_mul)
+    s64 = plan.storage == StorageType.S64
+    norm_mask = 0xFF if s64 else 0xFFFF
+    wmask_i = 0xFF if s64 else 0xFFFFFF
+    n_limbs = 3 if premul16 else 2
+
+    def kernel(s_ref, x_any, m_ref, hf_ref, o_ref, xwin, sem, acc_ref):
+        b = pl.program_id(0)
+        oi = pl.program_id(1)
+        c = pl.program_id(2)
+        nb, no, nk = pl.num_programs(0), pl.num_programs(1), pl.num_programs(2)
+        lin = (b * no + oi) * nk + c
+        slot = jax.lax.rem(lin, 2)
+
+        def dma(sl, bb, ii, cc):
+            r0 = pl.multiple_of(s_ref[ii, 0], 8) + cc * C
+            return pltpu.make_async_copy(
+                x_any.at[bb, pl.ds(r0, C), :], xwin.at[sl], sem.at[sl]
+            )
+
+        @pl.when(lin == 0)
+        def _first():
+            dma(slot, b, oi, c).start()
+
+        nxt = lin + 1
+
+        @pl.when(nxt < nb * no * nk)
+        def _ahead():
+            c2 = jax.lax.rem(nxt, nk)
+            rem = jax.lax.div(nxt, nk)
+            i2 = jax.lax.rem(rem, no)
+            b2 = jax.lax.div(rem, no)
+            dma(jax.lax.rem(nxt, 2), b2, i2, c2).start()
+
+        dma(slot, b, oi, c).wait()
+        px = xwin[slot]
+        m8 = m_ref[...]
+        wmask = jnp.uint32(wmask_i)
+        lw = hf_ref[0:1, :].astype(jnp.uint32)
+        rf = hf_ref[1:2, :].astype(jnp.uint32)
+
+        first_i = s_ref[oi, 1]
+        y1 = s_ref[oi, 2]
+        w1 = s_ref[oi, 3].astype(jnp.uint32)
+        w2 = s_ref[oi, 4]
+        rows = (
+            s_ref[oi, 0]
+            + c * C
+            + jax.lax.broadcasted_iota(jnp.int32, (C, 1), 0)
+        )
+
+        a_vals = ((px >> (8 * alpha_byte)) & jnp.uint32(0xFF)).astype(jnp.int32)
+        for ch_lane in range(4):
+            byte_pos = in_layout.index(ch_lane)
+            if ch_lane == 3:
+                ch = ((a_vals << 8) | 0x80) if premul16 else a_vals
+            else:
+                v8 = ((px >> (8 * byte_pos)) & jnp.uint32(0xFF)).astype(
+                    jnp.int32
+                )
+                if premul16:
+                    ch = v8 * a_vals
+                elif in_premul:
+                    ch = v8
+                else:
+                    ch = (((v8 + 1) * (a_vals + 1) - 1) >> 8) & 0xFF
+            # general H box: [mids | left | right] one-hot matmul + edge
+            # weights (interp_horizontal_boxes, generic.c:1427-1556)
+            y = pg._span_mm_i8(ch, m8, n_limbs)
+            mids = y[:, :w_out_pad]
+            left = y[:, w_out_pad : 2 * w_out_pad].astype(jnp.uint32)
+            right = y[:, 2 * w_out_pad :].astype(jnp.uint32)
+            acc_h = (
+                ((left * lw >> 8) & wmask).astype(jnp.int32)
+                + mids
+                + ((right * rf >> 8) & wmask).astype(jnp.int32)
+            )
+            hrow = fp.mul_shift_round24(acc_h, jnp.int32(span_mul_x)) & norm_mask
+            # V: per-row classification against the span bounds (additive,
+            # so a one-row span counts its row as first AND last)
+            hu = hrow.astype(jnp.uint32)
+            contrib = jnp.where((rows > first_i) & (rows < y1), hrow, 0)
+            contrib = contrib + jnp.where(
+                rows == first_i,
+                ((hu * w1 >> 8) & wmask).astype(jnp.int32),
+                0,
+            )
+            if s64:
+                contrib = contrib + jnp.where(
+                    rows == y1,
+                    ((hu * w2.astype(jnp.uint32) >> 8) & wmask).astype(
+                        jnp.int32
+                    ),
+                    0,
+                )
+            else:
+                w2m = jnp.maximum(w2 - 1, 0).astype(jnp.uint32)
+                contrib = contrib + jnp.where(
+                    (rows == y1) & (w2 > 0),
+                    ((hu * w2m >> 8) & wmask).astype(jnp.int32),
+                    0,
+                )
+            part = jnp.sum(contrib, axis=0, keepdims=True)
+
+            @pl.when(c == 0)
+            def _init():
+                acc_ref[ch_lane : ch_lane + 1, :] = part
+
+            @pl.when(c > 0)
+            def _accum():
+                acc_ref[ch_lane : ch_lane + 1, :] = (
+                    acc_ref[ch_lane : ch_lane + 1, :] + part
+                )
+
+            @pl.when(c == k - 1)
+            def _emit():
+                acc = acc_ref[ch_lane : ch_lane + 1, :]
+                o_ref[0, ch_lane, pl.ds(oi, 1)] = (
+                    fp.mul_shift_round24(acc, jnp.int32(span_mul_y))
+                    & norm_mask
+                )
+
+    return kernel
+
+
+@functools.cache
+def _built_general(plan: ScalePlan, batch: int):
+    from ..backends.xla import _box_h_arrays, _box_v_arrays
+
+    C, k = _general_chunk(plan)
+    w_in, h_in = plan.width_in, plan.height_in
+    w_out, h_out = plan.width_out, plan.height_out
+    w_pad = pg._round_up(w_in, 128)
+    w_out_pad = pg._round_up(w_out, 128)
+
+    bh = _box_h_arrays(plan.x)
+    m3 = np.zeros((w_pad, 3 * w_out_pad), dtype=np.int8)
+    hf = np.zeros((2, w_out_pad), dtype=np.int32)
+    for j in range(w_out):
+        ms, ml = int(bh["mid_start"][j]), int(bh["mid_len"][j])
+        m3[ms : ms + ml, j] = 1
+        m3[int(bh["left_idx"][j]), w_out_pad + j] = 1
+        m3[int(bh["right_idx"][j]), 2 * w_out_pad + j] = 1
+        hf[0, j] = int(bh["left_w"][j])
+        hf[1, j] = int(bh["fracs"][j])
+
+    bv = _box_v_arrays(plan.y)
+    ofs = np.asarray(plan.y.offsets, dtype=np.int64)
+    scal = np.zeros((h_out, 5), dtype=np.int32)
+    scal[:, 0] = (bv["first_idx"] // 8) * 8  # 8-aligned DMA base
+    scal[:, 1] = bv["first_idx"]
+    scal[:, 2] = ofs[1 : h_out + 1]  # raw y1 (padded rows read as zeros)
+    scal[:, 3] = bv["w1"]
+    scal[:, 4] = bv["w2"]
+    h_pad = max(
+        pg._round_up(h_in, 8), int(scal[:, 0].max()) + k * C
+    )
+
+    kernel = _make_general_kernel(plan, C, k, w_pad, w_out_pad)
+    grid = (batch, h_out, k)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.HBM),
+            pl.BlockSpec(
+                (w_pad, 3 * w_out_pad), lambda b, oi, c, *_: (0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(
+                (2, w_out_pad), lambda b, oi, c, *_: (0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+        ],
+        out_specs=pl.BlockSpec(
+            (1, 4, h_out, w_out_pad), lambda b, oi, c, *_: (b, 0, 0, 0),
+            memory_space=pltpu.VMEM,
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((2, C, w_pad), jnp.uint32),
+            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.VMEM((8, w_out_pad), jnp.int32),
+        ],
+    )
+
+    call = pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct(
+            (batch, 4, h_out, w_out_pad), jnp.int32
+        ),
+        grid_spec=grid_spec,
+    )
+
+    def fn(imgs_u8):
+        from ..backends.xla import _pack
+
+        if imgs_u8.dtype == jnp.uint32:
+            px = imgs_u8
+        else:
+            px = jax.lax.bitcast_convert_type(imgs_u8, jnp.uint32)
+        if w_pad != w_in or h_pad != h_in:
+            px = jnp.pad(
+                px, [(0, 0), (0, h_pad - h_in), (0, w_pad - w_in)]
+            )
+        planes = call(
+            jnp.asarray(scal), px, jnp.asarray(m3), jnp.asarray(hf)
+        )
+        planes = planes[:, :, :, :w_out]
+        return _pack(plan, planes)
+
+    return fn
+
+
 def scale_fn(plan: ScalePlan, imgs):
     """(B, H, W, 4) u8 (or packed (B, H, W) u32) -> (B, h, w, nb_out) u8.
     Caller checks applicable()."""
     squeeze = imgs.ndim == (2 if imgs.dtype == jnp.uint32 else 3)
     if squeeze:
         imgs = imgs[None]
-    out = _built(plan, imgs.shape[0])(imgs)
+    build = _built if _uniform_deep(plan) else _built_general
+    out = build(plan, imgs.shape[0])(imgs)
     return out[0] if squeeze else out

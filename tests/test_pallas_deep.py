@@ -29,6 +29,10 @@ def _interp_call(*a, **k):
         (1024, 4096, 8, 4, 0, 0),   # r_y=1024 -> multi-chunk accumulation
         (1024, 4096, 8, 4, 4, 4),   # multi-chunk PREMUL16
         (1024, 3072, 8, 4, 4, 0),   # non-pow2 chunk divisor (C=384)
+        (2000, 2000, 12, 12, 0, 0),  # ragged spans (166.7:1 non-integer)
+        (2000, 2000, 12, 12, 4, 4),  # ragged PREMUL16
+        (1000, 900, 9, 10, 4, 0),    # ragged S64 band, unassoc in
+        (513, 700, 5, 7, 2, 3),      # ragged, odd sizes, reorders
     ],
 )
 def test_pallas_deep_exact(wi, hi, wo, ho, ti, to):
@@ -44,11 +48,11 @@ def test_pallas_deep_exact(wi, hi, wo, ho, ti, to):
 
 
 def test_gate():
-    # non-integer ratios stay on the general machinery / XLA fallback
-    assert not pallas_deep.applicable(ScalePlan(4096, 4096, 12, 12, 0, 0))
     # linear light belongs to pallas_srgb / XLA
     assert not pallas_deep.applicable(
         ScalePlan(2048, 2048, 8, 8, 4, 4, True)
     )
-    # r_y without an 8-aligned divisor
-    assert not pallas_deep.applicable(ScalePlan(2048, 300, 8, 4, 0, 0))
+    # non-integer and non-8-divisible ratios take the ragged variant
+    assert pallas_deep.applicable(ScalePlan(4096, 4096, 12, 12, 0, 0))
+    assert not pallas_deep._uniform_deep(ScalePlan(4096, 4096, 12, 12, 0, 0))
+    assert not pallas_deep._uniform_deep(ScalePlan(2048, 304, 8, 4, 0, 0))
