@@ -18,8 +18,9 @@ output-sized data.
 
 Covers the >255:1 deep-box class (128bpp storage, smolscale.c:437-446)
 and the 64..255:1 64bpp band where pallas_box's whole-span row groups
-exceed VMEM; compressed gamma only (the linear-light deep band belongs
-to pallas_srgb / the XLA fallback).  Non-integer ratios take the ragged
+exceed VMEM, for both gammas: sRGB-linear plans run the same prologue as
+pallas_srgb (dynamic-gather linearization + premultiply) before the H
+box.  Non-integer ratios take the ragged
 variant (_built_general): chunks start at each span's 8-aligned base via
 manual double-buffered DMA, the H box runs the general [mids|left|right]
 edge-weighted matmul, and every row classifies itself against the span's
@@ -76,7 +77,7 @@ def _chunk_rows(plan: ScalePlan):
 
 def _base_applicable(plan: ScalePlan) -> bool:
     return (
-        plan.gamma == GammaType.SRGB_COMPRESSED
+        plan.gamma in (GammaType.SRGB_COMPRESSED, GammaType.SRGB_LINEAR)
         and plan.internal_alpha in (AlphaType.PREMUL8, AlphaType.PREMUL16)
         and plan.meta_in.n_bytes == 4
         and plan.meta_out.n_bytes == 4
@@ -124,6 +125,36 @@ def _general_chunk(plan: ScalePlan):
     return C, k
 
 
+def _unpack_plane(px, a_vals, inv_vals, ch_lane, in_layout, premul16,
+                  in_premul, linear, tbl):
+    """One channel plane from packed u32 pixels, including the linear-light
+    prologue when the plan is sRGB (mirrors pallas_srgb's kernel exactly:
+    unpremultiply via the alpha-indexed inv-div factor, linearize through
+    the dynamic-gather LUT, re-premultiply at 16 or 11 bits)."""
+    from . import pallas_srgb
+
+    byte_pos = in_layout.index(ch_lane)
+    if ch_lane == 3:
+        # PREMUL16 alpha rides as (a<<8)|0x80 (generic.c:616-634)
+        return ((a_vals << 8) | 0x80) if premul16 else a_vals
+    v8 = ((px >> (8 * byte_pos)) & jnp.uint32(0xFF)).astype(jnp.int32)
+    if linear:
+        if in_premul:
+            # unpremul_p8 (generic.c:227-236): v*inv>>13, v*inv < 2**29
+            v8 = ((v8 * inv_vals) >> 13) & 0xFF
+        l11 = pallas_srgb.lut_gather(v8, tbl[0:1], None)
+        if premul16:
+            return l11 * a_vals  # <= 2047*255 < 2**19
+        # premul_ul_to_p8l (generic.c:261-269)
+        return (((l11 + 1) * ((a_vals << 3) + 1) - 1) >> 11) & 0x7FF
+    if premul16:
+        return v8 * a_vals  # <= 65025 (generic.c:616-634)
+    if in_premul:
+        return v8
+    # premul_u_to_p8 (generic.c:238-244)
+    return (((v8 + 1) * (a_vals + 1) - 1) >> 8) & 0xFF
+
+
 def _make_kernel(plan: ScalePlan, C: int, k: int, w_pad: int, w_out_pad: int):
     in_layout = plan.meta_in.layout
     alpha_byte = in_layout.index(3)
@@ -140,32 +171,26 @@ def _make_kernel(plan: ScalePlan, C: int, k: int, w_pad: int, w_out_pad: int):
     r_y = int(plan.y.strides[0]) + 1
     v_last_short = int(plan.y.strides[-1]) == r_y - 2
     n_limbs = 3 if premul16 else 2
+    linear = plan.gamma == GammaType.SRGB_LINEAR
 
-    def kernel(x_ref, m_ref, o_ref, acc_ref):
+    def kernel(x_ref, m_ref, tbl_ref, o_ref, acc_ref):
         oi = pl.program_id(1)
         c = pl.program_id(2)
         px = x_ref[0]  # (C, w_pad) u32
         m8 = m_ref[...]
+        tbl = tbl_ref[...]
         lane = jax.lax.broadcasted_iota(jnp.int32, (C, w_pad), 1)
         span_first = (lane % r_x == 0) & (lane > 0)
 
         a_vals = ((px >> (8 * alpha_byte)) & jnp.uint32(0xFF)).astype(jnp.int32)
+        inv_vals = None
+        if linear and in_premul:
+            from . import pallas_srgb
+
+            inv_vals = pallas_srgb.lut_gather(a_vals, tbl[2:3], tbl[3:4])
         for ch_lane in range(4):
-            byte_pos = in_layout.index(ch_lane)
-            if ch_lane == 3:
-                # PREMUL16 alpha rides as (a<<8)|0x80 (generic.c:616-634)
-                ch = ((a_vals << 8) | 0x80) if premul16 else a_vals
-            else:
-                v8 = ((px >> (8 * byte_pos)) & jnp.uint32(0xFF)).astype(
-                    jnp.int32
-                )
-                if premul16:
-                    ch = v8 * a_vals  # <= 65025
-                elif in_premul:
-                    ch = v8
-                else:
-                    # premul_u_to_p8 (generic.c:238-244)
-                    ch = (((v8 + 1) * (a_vals + 1) - 1) >> 8) & 0xFF
+            ch = _unpack_plane(px, a_vals, inv_vals, ch_lane, in_layout,
+                               premul16, in_premul, linear, tbl)
             # H: fold the 255/256 span-first weight into the input
             adj = ch - jnp.where(span_first, (ch + 255) >> 8, 0)
             if h_last_short:
@@ -242,6 +267,9 @@ def _built(plan: ScalePlan, batch: int):
                 (w_pad, w_out_pad), lambda b, oi, c: (0, 0),
                 memory_space=pltpu.VMEM,
             ),
+            pl.BlockSpec(
+                (4, 128), lambda b, oi, c: (0, 0), memory_space=pltpu.VMEM,
+            ),
         ],
         out_specs=pl.BlockSpec(
             # full-output block per batch element (deep plans have tiny
@@ -262,7 +290,9 @@ def _built(plan: ScalePlan, batch: int):
             px = jax.lax.bitcast_convert_type(imgs_u8, jnp.uint32)
         if w_pad != w_in:
             px = jnp.pad(px, [(0, 0), (0, 0), (0, w_pad - w_in)])
-        planes = call(px, jnp.asarray(m))
+        from . import pallas_srgb
+
+        planes = call(px, jnp.asarray(m), jnp.asarray(pallas_srgb._lut_tables()))
         planes = planes[:, :, :, :w_out]
         return _pack(plan, planes)
 
@@ -289,8 +319,10 @@ def _make_general_kernel(plan: ScalePlan, C: int, k: int, w_pad: int,
     norm_mask = 0xFF if s64 else 0xFFFF
     wmask_i = 0xFF if s64 else 0xFFFFFF
     n_limbs = 3 if premul16 else 2
+    linear = plan.gamma == GammaType.SRGB_LINEAR
 
-    def kernel(s_ref, x_any, m_ref, hf_ref, o_ref, xwin, sem, acc_ref):
+    def kernel(s_ref, x_any, m_ref, hf_ref, tbl_ref, o_ref, xwin, sem,
+               acc_ref):
         b = pl.program_id(0)
         oi = pl.program_id(1)
         c = pl.program_id(2)
@@ -321,6 +353,7 @@ def _make_general_kernel(plan: ScalePlan, C: int, k: int, w_pad: int,
         dma(slot, b, oi, c).wait()
         px = xwin[slot]
         m8 = m_ref[...]
+        tbl = tbl_ref[...]
         wmask = jnp.uint32(wmask_i)
         lw = hf_ref[0:1, :].astype(jnp.uint32)
         rf = hf_ref[1:2, :].astype(jnp.uint32)
@@ -336,20 +369,14 @@ def _make_general_kernel(plan: ScalePlan, C: int, k: int, w_pad: int,
         )
 
         a_vals = ((px >> (8 * alpha_byte)) & jnp.uint32(0xFF)).astype(jnp.int32)
+        inv_vals = None
+        if linear and in_premul:
+            from . import pallas_srgb
+
+            inv_vals = pallas_srgb.lut_gather(a_vals, tbl[2:3], tbl[3:4])
         for ch_lane in range(4):
-            byte_pos = in_layout.index(ch_lane)
-            if ch_lane == 3:
-                ch = ((a_vals << 8) | 0x80) if premul16 else a_vals
-            else:
-                v8 = ((px >> (8 * byte_pos)) & jnp.uint32(0xFF)).astype(
-                    jnp.int32
-                )
-                if premul16:
-                    ch = v8 * a_vals
-                elif in_premul:
-                    ch = v8
-                else:
-                    ch = (((v8 + 1) * (a_vals + 1) - 1) >> 8) & 0xFF
+            ch = _unpack_plane(px, a_vals, inv_vals, ch_lane, in_layout,
+                               premul16, in_premul, linear, tbl)
             # general H box: [mids | left | right] one-hot matmul + edge
             # weights (interp_horizontal_boxes, generic.c:1427-1556)
             y = pg._span_mm_i8(ch, m8, n_limbs)
@@ -458,6 +485,10 @@ def _built_general(plan: ScalePlan, batch: int):
                 (2, w_out_pad), lambda b, oi, c, *_: (0, 0),
                 memory_space=pltpu.VMEM,
             ),
+            pl.BlockSpec(
+                (4, 128), lambda b, oi, c, *_: (0, 0),
+                memory_space=pltpu.VMEM,
+            ),
         ],
         out_specs=pl.BlockSpec(
             (1, 4, h_out, w_out_pad), lambda b, oi, c, *_: (b, 0, 0, 0),
@@ -489,8 +520,11 @@ def _built_general(plan: ScalePlan, batch: int):
             px = jnp.pad(
                 px, [(0, 0), (0, h_pad - h_in), (0, w_pad - w_in)]
             )
+        from . import pallas_srgb
+
         planes = call(
-            jnp.asarray(scal), px, jnp.asarray(m3), jnp.asarray(hf)
+            jnp.asarray(scal), px, jnp.asarray(m3), jnp.asarray(hf),
+            jnp.asarray(pallas_srgb._lut_tables()),
         )
         planes = planes[:, :, :, :w_out]
         return _pack(plan, planes)

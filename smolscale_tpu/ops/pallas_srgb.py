@@ -105,6 +105,34 @@ def _lut_tables():
     return t
 
 
+def lut_gather(idx_2d, row_lo, row_hi):
+    """256-entry table[idx] on the VPU dynamic-gather unit.
+
+    Mosaic lowers lane-axis take_along_axis to tpu.DynamicGatherOp only at
+    exactly 128 lanes with equal src/idx shapes, so each 128-lane slice of
+    the window gathers from the 128-entry table row(s).  With ``row_hi``
+    None the table's two halves are packed 16/16 into one int32 row
+    (_lut_tables) and a top-bit shift extracts the half; otherwise two
+    gathers select on the index's top bit.  ~6 VPU ops/lookup, vs ~80 for
+    the round-2 one-hot-matmul + masked-reduce pipeline it replaced
+    (measured 30+ vs 19 Glookup/s standalone; no MXU traffic at all).
+    """
+    r, c = idx_2d.shape
+    src_lo = jnp.broadcast_to(row_lo, (r, 128))
+    src_hi = None if row_hi is None else jnp.broadcast_to(row_hi, (r, 128))
+    parts = []
+    for k in range(c // 128):
+        sl = idx_2d[:, k * 128 : (k + 1) * 128]
+        lo7 = sl & 127
+        g_lo = jnp.take_along_axis(src_lo, lo7, axis=1)
+        if row_hi is None:  # both halves packed 16/16 in one row
+            parts.append((g_lo >> ((sl >> 7) << 4)) & 0xFFFF)
+        else:
+            g_hi = jnp.take_along_axis(src_hi, lo7, axis=1)
+            parts.append(jnp.where(sl < 128, g_lo, g_hi))
+    return jnp.concatenate(parts, axis=1) if len(parts) > 1 else parts[0]
+
+
 def _make_kernel(plan: ScalePlan, geo):
     in_layout = plan.meta_in.layout
     if plan.meta_in.n_bytes == 3:
@@ -120,31 +148,6 @@ def _make_kernel(plan: ScalePlan, geo):
     h_is_box, v_is_box = geo["h_is_box"], geo["v_is_box"]
     span_mul_x, span_mul_y = geo["span_mul_x"], geo["span_mul_y"]
     MASK = 0xFFFFFF  # 128bpp working mask (generic.c:1350 etc.)
-
-    def lut_gather(idx_2d, row_lo, row_hi):
-        """256-entry table[idx] on the VPU dynamic-gather unit.
-
-        Mosaic lowers lane-axis take_along_axis to tpu.DynamicGatherOp
-        only at exactly 128 lanes with equal src/idx shapes, so each
-        128-lane slice of the window gathers from both table halves and
-        selects by the index's top bit.  ~6 VPU ops/lookup, vs ~80 for
-        the round-2 one-hot-matmul + masked-reduce pipeline it replaces
-        (measured 30+ vs 19 Glookup/s standalone; no MXU traffic at all).
-        """
-        r, c = idx_2d.shape
-        src_lo = jnp.broadcast_to(row_lo, (r, 128))
-        src_hi = None if row_hi is None else jnp.broadcast_to(row_hi, (r, 128))
-        parts = []
-        for k in range(c // 128):
-            sl = idx_2d[:, k * 128 : (k + 1) * 128]
-            lo7 = sl & 127
-            g_lo = jnp.take_along_axis(src_lo, lo7, axis=1)
-            if row_hi is None:  # both halves packed 16/16 in one row
-                parts.append((g_lo >> ((sl >> 7) << 4)) & 0xFFFF)
-            else:
-                g_hi = jnp.take_along_axis(src_hi, lo7, axis=1)
-                parts.append(jnp.where(sl < 128, g_lo, g_hi))
-        return jnp.concatenate(parts, axis=1) if len(parts) > 1 else parts[0]
 
     in_premul = plan.meta_in.alpha == AlphaType.PREMUL8
     # limb counts by value bound: PREMUL16-linear colors reach 2047*255 <

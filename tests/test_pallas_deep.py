@@ -47,11 +47,30 @@ def test_pallas_deep_exact(wi, hi, wo, ho, ti, to):
     pallas_deep._built.cache_clear()
 
 
+@pytest.mark.parametrize(
+    "wi,hi,wo,ho,ti,to",
+    [
+        (1024, 1024, 8, 8, 4, 4),    # sRGB PREMUL16-linear, uniform 128:1
+        (1024, 1024, 8, 8, 4, 0),    # sRGB p8l (unassoc -> premul)
+        (1024, 1024, 8, 8, 0, 0),    # sRGB premul-in (inv-div prologue)
+        (1000, 900, 9, 10, 4, 4),    # sRGB ragged ~100:1 PREMUL16
+    ],
+)
+def test_pallas_deep_srgb_exact(wi, hi, wo, ho, ti, to):
+    plan = ScalePlan(wi, hi, wo, ho, ti, to, True)
+    assert pallas_deep.applicable(plan)
+    pallas_deep._built.cache_clear()
+    pallas_deep._built_general.cache_clear()
+    img = RNG.integers(0, 256, (2, hi, wi, 4), dtype=np.uint8)
+    with mock.patch.object(pl, "pallas_call", _interp_call):
+        got = np.asarray(pallas_deep.scale_fn(plan, img))
+    want = np.stack([numpy_ref.scale(plan, img[i]) for i in range(2)])
+    assert np.array_equal(want, got)
+
+
 def test_gate():
-    # linear light belongs to pallas_srgb / XLA
-    assert not pallas_deep.applicable(
-        ScalePlan(2048, 2048, 8, 8, 4, 4, True)
-    )
+    # deep linear light is covered too (round 3)
+    assert pallas_deep.applicable(ScalePlan(2048, 2048, 8, 8, 4, 4, True))
     # non-integer and non-8-divisible ratios take the ragged variant
     assert pallas_deep.applicable(ScalePlan(4096, 4096, 12, 12, 0, 0))
     assert not pallas_deep._uniform_deep(ScalePlan(4096, 4096, 12, 12, 0, 0))
