@@ -913,7 +913,15 @@ def _scale_fn_impl(plan: ScalePlan, img):
         adapted = _adapt_24bpp(plan)
         if adapted is not None:
             sp, pad_in, slice_out = adapted
-            if pallas_box.applicable(sp) or pallas_bilinear.applicable(sp):
+            kern = next(
+                (
+                    kk
+                    for kk in (pallas_box, pallas_bilinear)
+                    if kk.applicable(sp)
+                ),
+                None,
+            )
+            if kern is not None:
                 x = img
                 if pad_in:
                     # alpha byte = 255: the reference unpacks 24bpp with
@@ -923,7 +931,6 @@ def _scale_fn_impl(plan: ScalePlan, img):
                     pad = [(0, 0)] * img.ndim
                     pad[-1] = (0, 1)
                     x = jnp.pad(img, pad, constant_values=255)
-                kern = pallas_box if pallas_box.applicable(sp) else pallas_bilinear
                 out = kern.scale_fn(sp, x)
                 return out[..., :3] if slice_out else out
     planes = _unpack(plan, img)

@@ -54,6 +54,17 @@ from ..plan import FilterType, ScalePlan
 from . import pallas_bilinear as pg  # _span_mm_i8, _round_up
 
 
+def _chunk_budget(plan: ScalePlan) -> int:
+    """Per-chunk VMEM budget.  The linear-light prologue's dynamic-gather
+    slices hold several (C, w_pad)-sized temporaries live at once; past
+    ~0.5 MB chunks the Mosaic compiler runs out of scoped VMEM on wide
+    images (crash-verified at 3542..7561 px wide), so linear plans take
+    smaller, more numerous chunks."""
+    from ..formats import GammaType as _G
+
+    return (2**19 if plan.gamma == _G.SRGB_LINEAR else 2 * 2**20)
+
+
 def _chunk_rows(plan: ScalePlan):
     """(C, k): chunk height and chunks per span, or None.
 
@@ -63,7 +74,7 @@ def _chunk_rows(plan: ScalePlan):
     """
     r_y = int(plan.y.strides[0]) + 1
     w_pad = pg._round_up(plan.width_in, 128)
-    cap = max(8, (2 * 2**20) // (w_pad * 4) // 8 * 8)
+    cap = max(8, _chunk_budget(plan) // (w_pad * 4) // 8 * 8)
     if r_y % 8:
         return None
     best = 0
@@ -79,8 +90,8 @@ def _base_applicable(plan: ScalePlan) -> bool:
     return (
         plan.gamma in (GammaType.SRGB_COMPRESSED, GammaType.SRGB_LINEAR)
         and plan.internal_alpha in (AlphaType.PREMUL8, AlphaType.PREMUL16)
-        and plan.meta_in.n_bytes == 4
-        and plan.meta_out.n_bytes == 4
+        and plan.meta_in.n_bytes in (3, 4)
+        and plan.meta_out.n_bytes in (3, 4)
         and plan.x.filter == FilterType.BOX
         and plan.y.filter == FilterType.BOX
         and plan.width_out >= 2
@@ -114,7 +125,7 @@ def _general_chunk(plan: ScalePlan):
     from ..backends.xla import _box_v_arrays
 
     w_pad = pg._round_up(plan.width_in, 128)
-    C = min(512, max(8, (2 * 2**20) // (w_pad * 4) // 8 * 8))
+    C = min(512, max(8, _chunk_budget(plan) // (w_pad * 4) // 8 * 8))
     bv = _box_v_arrays(plan.y)
     ofs = np.asarray(plan.y.offsets, dtype=np.int64)
     rbase = (bv["first_idx"] // 8) * 8
@@ -157,6 +168,10 @@ def _unpack_plane(px, a_vals, inv_vals, ch_lane, in_layout, premul16,
 
 def _make_kernel(plan: ScalePlan, C: int, k: int, w_pad: int, w_out_pad: int):
     in_layout = plan.meta_in.layout
+    if plan.meta_in.n_bytes == 3:
+        # 24bpp input arrives padded with a synthesized 255 alpha
+        # (unpack_pixel_123_*, generic.c:353-358)
+        in_layout = in_layout + (3,)
     alpha_byte = in_layout.index(3)
     premul16 = plan.internal_alpha == AlphaType.PREMUL16
     in_premul = plan.meta_in.alpha == AlphaType.PREMUL8
@@ -281,12 +296,17 @@ def _built(plan: ScalePlan, batch: int):
         scratch_shapes=[pltpu.VMEM((8, w_out_pad), jnp.int32)],
     )
 
+    pad_in = plan.meta_in.n_bytes == 3
+
     def fn(imgs_u8):
         from ..backends.xla import _pack
 
         if imgs_u8.dtype == jnp.uint32:  # pre-packed pixel view
             px = imgs_u8
         else:
+            if pad_in:
+                pad = [(0, 0)] * (imgs_u8.ndim - 1) + [(0, 1)]
+                imgs_u8 = jnp.pad(imgs_u8, pad, constant_values=255)
             px = jax.lax.bitcast_convert_type(imgs_u8, jnp.uint32)
         if w_pad != w_in:
             px = jnp.pad(px, [(0, 0), (0, 0), (0, w_pad - w_in)])
@@ -309,6 +329,8 @@ def _make_general_kernel(plan: ScalePlan, C: int, k: int, w_pad: int,
     w2-1 with a w2 == 0 skip (generic.c:2112-2260); rows outside the span
     (or in the zero padding past the image) contribute nothing."""
     in_layout = plan.meta_in.layout
+    if plan.meta_in.n_bytes == 3:
+        in_layout = in_layout + (3,)
     alpha_byte = in_layout.index(3)
     premul16 = plan.internal_alpha == AlphaType.PREMUL16
     in_premul = plan.meta_in.alpha == AlphaType.PREMUL8
@@ -509,12 +531,17 @@ def _built_general(plan: ScalePlan, batch: int):
         grid_spec=grid_spec,
     )
 
+    pad_in = plan.meta_in.n_bytes == 3
+
     def fn(imgs_u8):
         from ..backends.xla import _pack
 
         if imgs_u8.dtype == jnp.uint32:
             px = imgs_u8
         else:
+            if pad_in:
+                pad = [(0, 0)] * (imgs_u8.ndim - 1) + [(0, 1)]
+                imgs_u8 = jnp.pad(imgs_u8, pad, constant_values=255)
             px = jax.lax.bitcast_convert_type(imgs_u8, jnp.uint32)
         if w_pad != w_in or h_pad != h_in:
             px = jnp.pad(

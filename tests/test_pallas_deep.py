@@ -54,6 +54,9 @@ def test_pallas_deep_exact(wi, hi, wo, ho, ti, to):
         (1024, 1024, 8, 8, 4, 0),    # sRGB p8l (unassoc -> premul)
         (1024, 1024, 8, 8, 0, 0),    # sRGB premul-in (inv-div prologue)
         (1000, 900, 9, 10, 4, 4),    # sRGB ragged ~100:1 PREMUL16
+        (1198, 475, 13, 2, 0, 9),    # 24bpp OUT: pins the pack-variant
+                                     # asymmetry the 32bpp surrogate broke
+        (1198, 900, 5, 7, 8, 4),     # 24bpp IN (synthesized alpha)
     ],
 )
 def test_pallas_deep_srgb_exact(wi, hi, wo, ho, ti, to):
@@ -61,7 +64,9 @@ def test_pallas_deep_srgb_exact(wi, hi, wo, ho, ti, to):
     assert pallas_deep.applicable(plan)
     pallas_deep._built.cache_clear()
     pallas_deep._built_general.cache_clear()
-    img = RNG.integers(0, 256, (2, hi, wi, 4), dtype=np.uint8)
+    img = RNG.integers(
+        0, 256, (2, hi, wi, plan.meta_in.n_bytes), dtype=np.uint8
+    )
     with mock.patch.object(pl, "pallas_call", _interp_call):
         got = np.asarray(pallas_deep.scale_fn(plan, img))
     want = np.stack([numpy_ref.scale(plan, img[i]) for i in range(2)])
