@@ -48,15 +48,17 @@ def main() -> int:
     rng = np.random.default_rng(0)
     imgs = rng.integers(0, 256, (B, H, W, 4), dtype=np.uint8)
 
-    # correctness gate
-    got = xla.scale(plan, imgs[0])
-    want = numpy_ref.scale(plan, imgs[0])
-    exact = bool(np.array_equal(got, want))
-
     # upload the (free) host u32 pixel view: the on-device u8->u32 bitcast
     # is a full tiled-layout relayout copy (~0.9 ms on this 512 MB batch)
     x = jax.device_put(jnp.asarray(imgs.reshape(B, H, W * 4).view(np.uint32)))
     _ = np.asarray(x[0, 0, 0])
+
+    # correctness gate THROUGH THE TIMED ENTRY: same packed-u32 pixel-view
+    # path that the chain below runs, so a packed-path-only regression
+    # zeroes the reported value
+    got = np.asarray(jax.jit(lambda v: xla.scale_fn(plan, v))(x[:1]))[0]
+    want = numpy_ref.scale(plan, imgs[0])
+    exact = bool(np.array_equal(got, want))
 
     def make(k):
         @jax.jit

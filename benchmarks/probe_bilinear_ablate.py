@@ -7,7 +7,6 @@ Modes: full / nohmm (skip H stage) / novmm (skip V stage) / nofilter (both)
 """
 
 import sys
-import time
 
 import numpy as np
 
@@ -18,6 +17,7 @@ import jax.numpy as jnp
 
 from smolscale_tpu.ops import pallas_bilinear
 from smolscale_tpu.plan import ScalePlan
+from smolscale_tpu.utils.timing import chain_timer
 
 
 def run(mode, wi=4096, hi=4096, wo=1371, ho=1371, ti=8, to=8, B=4):
@@ -38,29 +38,15 @@ def run(mode, wi=4096, hi=4096, wo=1371, ho=1371, ti=8, to=8, B=4):
         up = imgs
     x = jax.device_put(jnp.asarray(up))
     np.asarray(x[0, 0, 0])
-    fn = lambda v: pallas_bilinear.scale_fn(plan, v)
 
-    def make(k):
-        @jax.jit
-        def f(v):
-            def body(i, c):
-                return fn(v ^ c)[0, 0, 0, 0]
-            return jax.lax.fori_loop(0, k, body, jnp.uint8(0))
-        return f
-
-    f_s, f_l = make(2), make(10)
-    np.asarray(f_s(x)); np.asarray(f_l(x))
-
-    def _timed(f):
-        t0 = time.time()
-        np.asarray(f(x))
-        return time.time() - t0
-
-    ts = min(_timed(f_s) for _ in range(3))
-    tl = min(_timed(f_l) for _ in range(3))
-    per = (tl - ts) / 8
-    print(f"{mode:10s}: {per*1e3:.2f} ms/batch  {B*wi*hi/1e6/per:.0f} Mpix/s",
-          flush=True)
+    # same 1-element DUS chaining as suite.py/bench.py (a whole-input XOR
+    # would bill an extra full-image HBM copy per iteration)
+    res = chain_timer(
+        lambda v: pallas_bilinear.scale_fn(plan, v)[0, 0, 0, 0], x, n_long=10
+    )
+    per = res.per
+    print(f"{mode:10s}: {per*1e3:.2f} ms/batch  {B*wi*hi/1e6/per:.0f} Mpix/s"
+          f"  ({res.confidence})", flush=True)
     pallas_bilinear._ABLATE = None
     pallas_bilinear._built.cache_clear()
 

@@ -26,7 +26,7 @@ from jax.experimental.pallas import tpu as pltpu
 sys.path.insert(0, "/root/repo")
 
 from smolscale_tpu.ops import fixedpoint as fp
-from smolscale_tpu.ops.pallas_box import _span_matrices, _pick_rows_t
+from smolscale_tpu.ops.pallas_box import _span_matrix, _pick_rows_t
 from smolscale_tpu.plan import ScalePlan
 
 W = H = 4096
@@ -50,7 +50,7 @@ def make_bf16(plan, rows_t, dtype):
     ry = plan.y.dim_in // plan.y.dim_out
     span_mul_x = int(plan.x.span_mul)
     span_mul_y = int(plan.y.span_mul)
-    m_np = np.asarray(_span_matrices(plan.x), dtype=np.float32)
+    m_np = np.asarray(_span_matrix(plan.x), dtype=np.float32)
     rx = w_in // w_out
 
     def kernel(x_ref, m_ref, o_ref):

@@ -21,51 +21,16 @@ sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 
 
 def _chain_timer(step_fn, x, n_short=2, n_long=12, reps=3):
-    """Per-iteration seconds via fori_loop slope (cancels dispatch+fetch).
+    """Shared chain-slope timer (see smolscale_tpu/utils/timing.py).
 
-    Iterations are serialized through a 1-element dynamic_update_slice of
-    the previous step's output scalar into the loop-carried input (XLA
-    performs it in place), so every step must recompute but no input copy
-    is billed to it -- the reference harness likewise re-scales the same
-    canvas per rep (test.c:219-340).  (Rounds 1-2 XOR'd the whole input
-    each iteration, charging an extra full-image HBM copy to every
-    config.)  ``step_fn(img)`` must return a scalar of the output.
+    The chain's trip count is traced, so the auto-scaling loop (grow the
+    long chain until the slope clears the jitter floor and two estimates
+    agree within 10%) costs one compile total.  Returns a ChainResult
+    with a confidence figure for the published table.
     """
-    import jax
-    import jax.numpy as jnp
+    from smolscale_tpu.utils.timing import chain_timer
 
-    nd = x.ndim
-
-    def make(k):
-        @jax.jit
-        def f(v):
-            def body(i, carry):
-                img, tag = carry
-                upd = img[(slice(0, 1),) * nd] ^ tag.astype(img.dtype)
-                img = jax.lax.dynamic_update_slice(img, upd, (0,) * nd)
-                return img, step_fn(img).astype(jnp.uint32)
-
-            return jax.lax.fori_loop(0, k, body, (v, jnp.uint32(0)))[1]
-
-        return f
-
-    f_s, f_l = make(n_short), make(n_long)
-    np.asarray(f_s(x))
-    np.asarray(f_l(x))
-
-    def t(f):
-        t0 = time.time()
-        np.asarray(f(x))
-        return time.time() - t0
-
-    ts = min(t(f_s) for _ in range(reps))
-    tl = min(t(f_l) for _ in range(reps))
-    per = (tl - ts) / (n_long - n_short)
-    if per <= 0:
-        # sub-ms configs: tunnel jitter can exceed the chain delta; fall
-        # back to the long chain's amortized time (upper bound on per-iter)
-        per = tl / n_long
-    return per
+    return chain_timer(step_fn, x, n_short=n_short, n_long=n_long, reps=reps)
 
 
 def bench_config(name, plan, batch, check=True, n_long=12):
@@ -95,7 +60,8 @@ def bench_config(name, plan, batch, check=True, n_long=12):
     def step(v):
         return xla.scale_fn(plan, v)[0, 0, 0, 0]
 
-    per = _chain_timer(step, x, n_long=n_long)
+    res = _chain_timer(step, x, n_long=n_long)
+    per = res.per
     in_px = batch * plan.width_in * plan.height_in
     out_px = batch * plan.width_out * plan.height_out
     rec = {
@@ -106,6 +72,8 @@ def bench_config(name, plan, batch, check=True, n_long=12):
         "pps_mpix_s": round((in_px + out_px) / 1e6 / per, 1),  # reference metric
         "img_s": round(batch / per, 1),
         "bit_exact": exact,
+        "confidence": res.confidence,
+        "n_chain": res.n_long,
     }
     print(json.dumps(rec), flush=True)
     return rec
@@ -128,7 +96,8 @@ def bench_pyramid():
         outs = fn(v)
         return outs[0][0, 0, 0, 0]
 
-    per = _chain_timer(step, x, n_long=8)
+    res = _chain_timer(step, x, n_long=8)
+    per = res.per
     rec = {
         "config": "5: thumbnail farm 512^2 -> (64,128,256) pyramid",
         "batch": B,
@@ -136,6 +105,8 @@ def bench_pyramid():
         "in_mpix_s": round(B * 512 * 512 / 1e6 / per, 1),
         "img_s": round(B / per, 1),
         "pyramids_s": round(B / per, 1),
+        "confidence": res.confidence,
+        "n_chain": res.n_long,
     }
     print(json.dumps(rec), flush=True)
     return rec
@@ -239,32 +210,14 @@ def bench_row_stream():
         ]
         return jnp.concatenate(outs, axis=0)[0, 0, 0]
 
-    def make(k):
-        @jax.jit
-        def f(v):
-            def body(i, carry):
-                img, tag = carry
-                upd = img[:1, :1, :1] ^ tag.astype(img.dtype)
-                img = jax.lax.dynamic_update_slice(img, upd, (0, 0, 0))
-                return img, all_chunks(img).astype(jnp.uint32)
-
-            return jax.lax.fori_loop(0, k, body, (v, jnp.uint32(0)))[1]
-        return f
-
-    f_s, f_l = make(1), make(5)
-    np.asarray(f_s(x))
-    np.asarray(f_l(x))
-
-    def t(f):
-        t0 = time.time()
-        np.asarray(f(x))
-        return time.time() - t0
-
-    per = (min(t(f_l) for _ in range(3)) - min(t(f_s) for _ in range(3))) / 4
+    res = _chain_timer(all_chunks, x, n_short=1, n_long=5)
+    per = res.per
     rec = {
         "config": "4: 8192^2->1024^2 streamed in 16 row chunks",
         "ms_total": round(per * 1000, 1),
         "in_mpix_s": round(8192 * 8192 / 1e6 / per, 1),
+        "confidence": res.confidence,
+        "n_chain": res.n_long,
     }
     print(json.dumps(rec), flush=True)
     return rec

@@ -60,9 +60,7 @@ def _chunk_budget(plan: ScalePlan) -> int:
     ~0.5 MB chunks the Mosaic compiler runs out of scoped VMEM on wide
     images (crash-verified at 3542..7561 px wide), so linear plans take
     smaller, more numerous chunks."""
-    from ..formats import GammaType as _G
-
-    return (2**19 if plan.gamma == _G.SRGB_LINEAR else 2 * 2**20)
+    return (2**19 if plan.gamma == GammaType.SRGB_LINEAR else 2 * 2**20)
 
 
 def _chunk_rows(plan: ScalePlan):

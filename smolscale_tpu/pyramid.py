@@ -29,12 +29,11 @@ def _pyramid_jit(plans: tuple, axis: str | None, mesh=None):
         return tuple(xla.scale_fn(p, imgs) for p in plans)
 
     if mesh is not None and axis is not None:
-        from jax.experimental.shard_map import shard_map
         from jax.sharding import PartitionSpec as P
 
-        fn = shard_map(
+        fn = jax.shard_map(
             fn, mesh=mesh, in_specs=P(axis),
-            out_specs=tuple(P(axis) for _ in plans), check_rep=False,
+            out_specs=tuple(P(axis) for _ in plans), check_vma=False,
         )
     return jax.jit(fn)
 
