@@ -312,6 +312,236 @@ struct Worker {
   }
 };
 
+// ---- elementwise row helpers (the V stage's hot loops) --------------------
+// uint16_t arithmetic in C promotes to int, so the plain loops vectorize at
+// 32-bit lane width at best; these AVX2 forms keep 16 u16 lanes per op.
+// Exactness: identical to the reference arithmetic mod 2**16 -- lerp's low
+// 8 bits live in bits 8..15 of (p-q)*F regardless of sign (same argument as
+// the H kernel above), weight products are <= 255*256 < 2**16, and ladder /
+// box accumulators stay <= 65280.
+#if defined(__AVX2__)
+static inline void row_lerp_u16(const uint16_t *top, const uint16_t *bot,
+                                uint16_t f, uint16_t *dst, int n) {
+  const __m256i vf = _mm256_set1_epi16((short)f);
+  const __m256i m8 = _mm256_set1_epi16(0xff);
+  int x = 0;
+  for (; x + 16 <= n; x += 16) {
+    const __m256i p = _mm256_loadu_si256((const __m256i *)(top + x));
+    const __m256i q = _mm256_loadu_si256((const __m256i *)(bot + x));
+    const __m256i r = _mm256_add_epi16(
+        _mm256_srli_epi16(_mm256_mullo_epi16(_mm256_sub_epi16(p, q), vf), 8),
+        q);
+    _mm256_storeu_si256((__m256i *)(dst + x), _mm256_and_si256(r, m8));
+  }
+  for (; x < n; x++)
+    dst[x] = (uint16_t)((((int32_t)(uint16_t)(top[x] - bot[x]) * f) >> 8) +
+                        bot[x]) & 0xff;
+}
+static inline void row_lerp_acc_u16(const uint16_t *top, const uint16_t *bot,
+                                    uint16_t f, uint16_t *acc, int n) {
+  const __m256i vf = _mm256_set1_epi16((short)f);
+  const __m256i m8 = _mm256_set1_epi16(0xff);
+  int x = 0;
+  for (; x + 16 <= n; x += 16) {
+    const __m256i p = _mm256_loadu_si256((const __m256i *)(top + x));
+    const __m256i q = _mm256_loadu_si256((const __m256i *)(bot + x));
+    const __m256i r = _mm256_add_epi16(
+        _mm256_srli_epi16(_mm256_mullo_epi16(_mm256_sub_epi16(p, q), vf), 8),
+        q);
+    const __m256i a = _mm256_loadu_si256((const __m256i *)(acc + x));
+    _mm256_storeu_si256((__m256i *)(acc + x),
+                        _mm256_add_epi16(a, _mm256_and_si256(r, m8)));
+  }
+  for (; x < n; x++)
+    acc[x] += (uint16_t)((((int32_t)(uint16_t)(top[x] - bot[x]) * f) >> 8) +
+                         bot[x]) & 0xff;
+}
+static inline void row_weight_u16(const uint16_t *src, uint16_t wgt,
+                                  uint16_t *dst, int n) {
+  const __m256i vw = _mm256_set1_epi16((short)wgt);
+  const __m256i m8 = _mm256_set1_epi16(0xff);
+  int x = 0;
+  for (; x + 16 <= n; x += 16) {
+    const __m256i v = _mm256_loadu_si256((const __m256i *)(src + x));
+    _mm256_storeu_si256(
+        (__m256i *)(dst + x),
+        _mm256_and_si256(_mm256_srli_epi16(_mm256_mullo_epi16(v, vw), 8), m8));
+  }
+  for (; x < n; x++) dst[x] = (uint16_t)((src[x] * wgt) >> 8) & 0xff;
+}
+static inline void row_weight_acc_u16(const uint16_t *src, uint16_t wgt,
+                                      uint16_t *acc, int n) {
+  const __m256i vw = _mm256_set1_epi16((short)wgt);
+  const __m256i m8 = _mm256_set1_epi16(0xff);
+  int x = 0;
+  for (; x + 16 <= n; x += 16) {
+    const __m256i v = _mm256_loadu_si256((const __m256i *)(src + x));
+    const __m256i a = _mm256_loadu_si256((const __m256i *)(acc + x));
+    _mm256_storeu_si256(
+        (__m256i *)(acc + x),
+        _mm256_add_epi16(a, _mm256_and_si256(
+            _mm256_srli_epi16(_mm256_mullo_epi16(v, vw), 8), m8)));
+  }
+  for (; x < n; x++) acc[x] += (uint16_t)((src[x] * wgt) >> 8) & 0xff;
+}
+static inline void row_add_u16(const uint16_t *src, uint16_t *acc, int n) {
+  int x = 0;
+  for (; x + 16 <= n; x += 16)
+    _mm256_storeu_si256(
+        (__m256i *)(acc + x),
+        _mm256_add_epi16(_mm256_loadu_si256((const __m256i *)(acc + x)),
+                         _mm256_loadu_si256((const __m256i *)(src + x))));
+  for (; x < n; x++) acc[x] += src[x];
+}
+static inline void row_shift_mask_u16(const uint16_t *acc, int sh,
+                                      uint16_t *dst, int n) {
+  const __m256i m8 = _mm256_set1_epi16(0xff);
+  int x = 0;
+  for (; x + 16 <= n; x += 16)
+    _mm256_storeu_si256(
+        (__m256i *)(dst + x),
+        _mm256_and_si256(
+            _mm256_srli_epi16(
+                _mm256_loadu_si256((const __m256i *)(acc + x)), sh),
+            m8));
+  for (; x < n; x++) dst[x] = (uint16_t)(acc[x] >> sh) & 0xff;
+}
+
+// 4-lane scale_span: ((acc * mul + 2**23) >> 24) & mask with the exact
+// int64 product (acc < 2**32 via unsigned reinterpretation, mul < 2**24,
+// product < 2**56 -- mul_epu32's u32*u32->u64 covers it).
+static inline __m128i scale_span_vec4(__m128i acc_u32, uint32_t mul,
+                                      uint32_t mask) {
+  const __m128i vm = _mm_set1_epi32((int)mul);
+  const __m128i bias = _mm_set1_epi64x(1ll << 23);
+  __m128i lo = _mm_mul_epu32(acc_u32, vm);                     // lanes 0,2
+  __m128i hi = _mm_mul_epu32(_mm_srli_si128(acc_u32, 4), vm);  // lanes 1,3
+  lo = _mm_srli_epi64(_mm_add_epi64(lo, bias), 24);
+  hi = _mm_srli_epi64(_mm_add_epi64(hi, bias), 24);
+  const __m128i r = _mm_unpacklo_epi32(
+      _mm_shuffle_epi32(lo, _MM_SHUFFLE(3, 1, 2, 0)),
+      _mm_shuffle_epi32(hi, _MM_SHUFFLE(3, 1, 2, 0)));
+  return _mm_and_si128(r, _mm_set1_epi32((int)mask));
+}
+
+// whole-row scale_span finales (box V stage)
+static inline void row_scale_span_u16(const uint16_t *acc, uint32_t mul,
+                                      uint16_t *dst, int n) {
+  int x = 0;
+  for (; x + 8 <= n; x += 8) {
+    const __m128i a = _mm_loadu_si128((const __m128i *)(acc + x));
+    const __m128i r0 = scale_span_vec4(_mm_cvtepu16_epi32(a), mul, 0xff);
+    const __m128i r1 = scale_span_vec4(
+        _mm_cvtepu16_epi32(_mm_srli_si128(a, 8)), mul, 0xff);
+    _mm_storeu_si128((__m128i *)(dst + x), _mm_packus_epi32(r0, r1));
+  }
+  for (; x < n; x++)
+    dst[x] = (uint16_t)scale_span((int64_t)acc[x], mul, S64);
+}
+static inline void row_scale_span_i32(const int32_t *acc, uint32_t mul,
+                                      int32_t *dst, int n) {
+  int x = 0;
+  for (; x + 4 <= n; x += 4)
+    _mm_storeu_si128(
+        (__m128i *)(dst + x),
+        scale_span_vec4(_mm_loadu_si128((const __m128i *)(acc + x)), mul,
+                        0xffff));
+  for (; x < n; x++)
+    dst[x] = (int32_t)scale_span(zext(acc[x]), mul, S128);
+}
+
+// int32 (S128) V-stage forms.  Same arithmetic as the scalar int32 loops:
+// mullo wraps mod 2**32 exactly like the (documented-exact) int32 scalar
+// products, shifts are arithmetic, masks applied per element.
+static inline void row_lerp_i32(const int32_t *top, const int32_t *bot,
+                                int32_t f, int32_t mask, int32_t *dst,
+                                int n) {
+  const __m256i vf = _mm256_set1_epi32(f);
+  const __m256i mm = _mm256_set1_epi32(mask);
+  int x = 0;
+  for (; x + 8 <= n; x += 8) {
+    const __m256i p = _mm256_loadu_si256((const __m256i *)(top + x));
+    const __m256i q = _mm256_loadu_si256((const __m256i *)(bot + x));
+    const __m256i r = _mm256_add_epi32(
+        _mm256_srai_epi32(_mm256_mullo_epi32(_mm256_sub_epi32(p, q), vf), 8),
+        q);
+    _mm256_storeu_si256((__m256i *)(dst + x), _mm256_and_si256(r, mm));
+  }
+  for (; x < n; x++)
+    dst[x] = ((((top[x] - bot[x]) * f) >> 8) + bot[x]) & mask;
+}
+static inline void row_lerp_acc_i32(const int32_t *top, const int32_t *bot,
+                                    int32_t f, int32_t mask, int32_t *acc,
+                                    int n) {
+  const __m256i vf = _mm256_set1_epi32(f);
+  const __m256i mm = _mm256_set1_epi32(mask);
+  int x = 0;
+  for (; x + 8 <= n; x += 8) {
+    const __m256i p = _mm256_loadu_si256((const __m256i *)(top + x));
+    const __m256i q = _mm256_loadu_si256((const __m256i *)(bot + x));
+    const __m256i r = _mm256_add_epi32(
+        _mm256_srai_epi32(_mm256_mullo_epi32(_mm256_sub_epi32(p, q), vf), 8),
+        q);
+    const __m256i a = _mm256_loadu_si256((const __m256i *)(acc + x));
+    _mm256_storeu_si256((__m256i *)(acc + x),
+                        _mm256_add_epi32(a, _mm256_and_si256(r, mm)));
+  }
+  for (; x < n; x++)
+    acc[x] += ((((top[x] - bot[x]) * f) >> 8) + bot[x]) & mask;
+}
+static inline void row_weight_i32(const int32_t *src, int32_t wgt,
+                                  int32_t mask, int32_t *dst, int n) {
+  const __m256i vw = _mm256_set1_epi32(wgt);
+  const __m256i mm = _mm256_set1_epi32(mask);
+  int x = 0;
+  for (; x + 8 <= n; x += 8) {
+    const __m256i v = _mm256_loadu_si256((const __m256i *)(src + x));
+    _mm256_storeu_si256(
+        (__m256i *)(dst + x),
+        _mm256_and_si256(
+            _mm256_srai_epi32(_mm256_mullo_epi32(v, vw), 8), mm));
+  }
+  for (; x < n; x++) dst[x] = ((src[x] * wgt) >> 8) & mask;
+}
+static inline void row_weight_acc_i32(const int32_t *src, int32_t wgt,
+                                      int32_t mask, int32_t *acc, int n) {
+  const __m256i vw = _mm256_set1_epi32(wgt);
+  const __m256i mm = _mm256_set1_epi32(mask);
+  int x = 0;
+  for (; x + 8 <= n; x += 8) {
+    const __m256i v = _mm256_loadu_si256((const __m256i *)(src + x));
+    const __m256i a = _mm256_loadu_si256((const __m256i *)(acc + x));
+    _mm256_storeu_si256(
+        (__m256i *)(acc + x),
+        _mm256_add_epi32(a, _mm256_and_si256(
+            _mm256_srai_epi32(_mm256_mullo_epi32(v, vw), 8), mm)));
+  }
+  for (; x < n; x++) acc[x] += ((src[x] * wgt) >> 8) & mask;
+}
+static inline void row_add_i32(const int32_t *src, int32_t *acc, int n) {
+  int x = 0;
+  for (; x + 8 <= n; x += 8)
+    _mm256_storeu_si256(
+        (__m256i *)(acc + x),
+        _mm256_add_epi32(_mm256_loadu_si256((const __m256i *)(acc + x)),
+                         _mm256_loadu_si256((const __m256i *)(src + x))));
+  for (; x < n; x++) acc[x] += src[x];
+}
+static inline void row_shift_mask_i32(const int32_t *acc, int sh,
+                                      int32_t mask, int32_t *dst, int n) {
+  const __m256i mm = _mm256_set1_epi32(mask);
+  int x = 0;
+  for (; x + 8 <= n; x += 8)
+    _mm256_storeu_si256(
+        (__m256i *)(dst + x),
+        _mm256_and_si256(
+            _mm256_srai_epi32(
+                _mm256_loadu_si256((const __m256i *)(acc + x)), sh),
+            mm));
+  for (; x < n; x++) dst[x] = (acc[x] >> sh) & mask;
+}
+#endif  // __AVX2__
+
 // Row layout: pixel-major, 4 contiguous lanes per position (the CPU-native
 // analogue of the upstream's packed u64; fixed 4-wide inner ops vectorize).
 template <typename T>
@@ -372,6 +602,42 @@ static void unpack_row(const Plan *p, const uint8_t *src, T *dst) {
     return;
   }
 #if defined(__AVX2__)
+  if (p->ialpha == A_PREMUL8 && p->gamma == G_COMPRESSED && nb == 3 &&
+      sizeof(T) == 2) {
+    // 24bpp input (rgb/bgr, no alpha -> premul8 with a=255): 4 px per
+    // iteration, one 16-byte load covers 12 input bytes; shuffle expands
+    // to u16 lanes in channel order, alpha lanes OR'd to 255
+    uint16_t *d = (uint16_t *)dst;
+    const int l0 = p->lin[0], l1 = p->lin[1], l2 = p->lin[2];
+    char inv[4];
+    inv[l0] = 0; inv[l1] = 1; inv[l2] = 2;
+    inv[3] = -1;
+    const __m128i s_lo = _mm_setr_epi8(
+        inv[0], -1, inv[1], -1, inv[2], -1, -1, -1,
+        (char)(3 + inv[0]), -1, (char)(3 + inv[1]), -1,
+        (char)(3 + inv[2]), -1, -1, -1);
+    const __m128i s_hi = _mm_setr_epi8(
+        (char)(6 + inv[0]), -1, (char)(6 + inv[1]), -1,
+        (char)(6 + inv[2]), -1, -1, -1,
+        (char)(9 + inv[0]), -1, (char)(9 + inv[1]), -1,
+        (char)(9 + inv[2]), -1, -1, -1);
+    const __m128i amask = _mm_setr_epi16(0, 0, 0, 0xff, 0, 0, 0, 0xff);
+    int i = 0;
+    for (; i + 4 <= w && 3 * i + 16 <= 3 * w; i += 4) {
+      const __m128i v = _mm_loadu_si128((const __m128i *)(src + 3 * i));
+      _mm_storeu_si128((__m128i *)(d + 4 * i),
+                       _mm_or_si128(_mm_shuffle_epi8(v, s_lo), amask));
+      _mm_storeu_si128((__m128i *)(d + 4 * i + 8),
+                       _mm_or_si128(_mm_shuffle_epi8(v, s_hi), amask));
+    }
+    for (; i < w; i++) {
+      d[4 * i + l0] = src[3 * i + 0];
+      d[4 * i + l1] = src[3 * i + 1];
+      d[4 * i + l2] = src[3 * i + 2];
+      d[4 * i + 3] = 255;
+    }
+    return;
+  }
   if (p->ialpha == A_PREMUL16 && p->gamma == G_COMPRESSED && nb == 4 &&
       sizeof(T) == 4) {
     // u16-lane premultiply: c*a <= 65025 and (a<<8)|0x80 <= 65408 are both
@@ -489,7 +755,29 @@ static void hfilter_row(const Plan *p, const T *unp, T *dst) {
         uint16_t *d = (uint16_t *)dst;
         const __m128i m8 = _mm_set1_epi16(0xff);
         if (n == 0) {
-          for (int j = 0; j < w_out; j++) {
+          // 2 output px per iteration in one 256-bit lerp (each 128-bit
+          // half holds one sample's endpoint pair)
+          const __m256i m8w = _mm256_set1_epi16(0xff);
+          int j = 0;
+          for (; j + 2 <= w_out; j += 2) {
+            const __m256i v = _mm256_set_m128i(
+                _mm_loadu_si128((const __m128i *)(u + 4 * ax.off[j + 1])),
+                _mm_loadu_si128((const __m128i *)(u + 4 * ax.off[j])));
+            const __m256i q = _mm256_unpackhi_epi64(v, v);
+            const __m256i f = _mm256_set_m128i(
+                _mm_set1_epi16((short)ax.fac[j + 1]),
+                _mm_set1_epi16((short)ax.fac[j]));
+            __m256i r = _mm256_add_epi16(
+                _mm256_srli_epi16(
+                    _mm256_mullo_epi16(_mm256_sub_epi16(v, q), f), 8),
+                q);
+            r = _mm256_and_si256(r, m8w);
+            _mm_storel_epi64((__m128i *)(d + 4 * j),
+                             _mm256_castsi256_si128(r));
+            _mm_storel_epi64((__m128i *)(d + 4 * j + 4),
+                             _mm256_extracti128_si256(r, 1));
+          }
+          for (; j < w_out; j++) {
             const __m128i v =
                 _mm_loadu_si128((const __m128i *)(u + 4 * ax.off[j]));
             const __m128i q = _mm_unpackhi_epi64(v, v);
@@ -501,29 +789,40 @@ static void hfilter_row(const Plan *p, const T *unp, T *dst) {
             _mm_storel_epi64((__m128i *)(d + 4 * j), r);
           }
         } else {
+          // ladder: 2 samples per 256-bit lerp (sample count 2**n is even),
+          // halves folded into the 4-lane sum at the end
+          const __m256i m8w = _mm256_set1_epi16(0xff);
           int k = 0;
           for (int j = 0; j < w_out; j++) {
-            __m128i acc = _mm_setzero_si128();
-            for (int s = 0; s < (1 << n); s++, k++) {
-              const __m128i v =
-                  _mm_loadu_si128((const __m128i *)(u + 4 * ax.off[k]));
-              const __m128i q = _mm_unpackhi_epi64(v, v);
-              const __m128i f = _mm_set1_epi16((short)ax.fac[k]);
-              __m128i r = _mm_add_epi16(
-                  _mm_srli_epi16(_mm_mullo_epi16(_mm_sub_epi16(v, q), f), 8),
+            __m256i acc2 = _mm256_setzero_si256();
+            for (int s = 0; s < (1 << n); s += 2, k += 2) {
+              const __m256i v = _mm256_set_m128i(
+                  _mm_loadu_si128((const __m128i *)(u + 4 * ax.off[k + 1])),
+                  _mm_loadu_si128((const __m128i *)(u + 4 * ax.off[k])));
+              const __m256i q = _mm256_unpackhi_epi64(v, v);
+              const __m256i f = _mm256_set_m128i(
+                  _mm_set1_epi16((short)ax.fac[k + 1]),
+                  _mm_set1_epi16((short)ax.fac[k]));
+              const __m256i r = _mm256_add_epi16(
+                  _mm256_srli_epi16(
+                      _mm256_mullo_epi16(_mm256_sub_epi16(v, q), f), 8),
                   q);
-              acc = _mm_add_epi16(acc, _mm_and_si128(r, m8));
+              acc2 = _mm256_add_epi16(acc2, _mm256_and_si256(r, m8w));
             }
+            __m128i acc = _mm_add_epi16(_mm256_castsi256_si128(acc2),
+                                        _mm256_extracti128_si256(acc2, 1));
             acc = _mm_and_si128(_mm_srli_epi16(acc, n), m8);
             _mm_storel_epi64((__m128i *)(d + 4 * j), acc);
           }
         }
         break;
       }
-      if (sizeof(T) == 4 && mask == 0xff) {
+      if (sizeof(T) == 4) {
+        // S128 rows: lerp products fit int32 (<= 2**27, see Worker note);
+        // arithmetic >>8 + mask matches the scalar int32 semantics exactly
         const int32_t *u = (const int32_t *)unp;
         int32_t *d = (int32_t *)dst;
-        const __m256i m8 = _mm256_set1_epi32(0xff);
+        const __m256i m8 = _mm256_set1_epi32((int32_t)mask);
         if (n == 0) {
           for (int j = 0; j < w_out; j++) {
             const __m256i v =
@@ -634,11 +933,63 @@ static void hfilter_row(const Plan *p, const T *unp, T *dst) {
                 acc,
                 _mm_and_si128(_mm_srli_epi16(_mm_mullo_epi16(r, f), 8), m8));
           }
-          alignas(16) uint16_t a4[8];
-          _mm_store_si128((__m128i *)a4, acc);
-          for (int c = 0; c < 4; c++)
-            d[4 * j + c] =
-                (uint16_t)scale_span(a4[c], ax.span_mul, p->storage);
+          const __m128i r = scale_span_vec4(_mm_cvtepu16_epi32(acc),
+                                            (uint32_t)ax.span_mul, 0xff);
+          _mm_storel_epi64((__m128i *)(d + 4 * j), _mm_packus_epi32(r, r));
+        }
+        break;
+      }
+      if (sizeof(T) == 4) {
+        // S128 span walk: same structure on int32 lanes (exact mod 2**32;
+        // weight products use mullo + arithmetic shift like the scalar
+        // int32 forms), per-span normalization via the u64-product vector
+        const int32_t *u = (const int32_t *)unp;
+        int32_t *d = (int32_t *)dst;
+        const __m128i mm = _mm_set1_epi32((int32_t)mask);
+        int pos = 1;
+        __m128i left = _mm_and_si128(
+            _mm_loadu_si128((const __m128i *)u), mm);  // weight 256 identity
+        for (int j = 0; j < w_out; j++) {
+          const bool last = j == w_out - 1;
+          __m128i acc = left;
+          int nspan = ax.stride[j];
+          int sp = 0;
+          for (; sp + 2 <= nspan; sp += 2, pos += 2) {
+            const __m256i two =
+                _mm256_loadu_si256((const __m256i *)(u + 4 * pos));
+            acc = _mm_add_epi32(
+                acc, _mm_add_epi32(_mm256_castsi256_si128(two),
+                                   _mm256_extracti128_si256(two, 1)));
+          }
+          if (sp < nspan) {
+            acc = _mm_add_epi32(
+                acc, _mm_loadu_si128((const __m128i *)(u + 4 * pos)));
+            pos++;
+          }
+          const __m128i f = _mm_set1_epi32(ax.fac[j]);
+          if (!last) {
+            const __m128i r =
+                _mm_loadu_si128((const __m128i *)(u + 4 * pos));
+            pos++;
+            acc = _mm_add_epi32(
+                acc, _mm_and_si128(
+                    _mm_srai_epi32(_mm_mullo_epi32(r, f), 8), mm));
+            // left = (r*255 - r*f) >> 8 & mask
+            const __m128i r255 = _mm_mullo_epi32(r, _mm_set1_epi32(255));
+            left = _mm_and_si128(
+                _mm_srai_epi32(
+                    _mm_sub_epi32(r255, _mm_mullo_epi32(r, f)), 8),
+                mm);
+          } else if (ax.fac[j] > 0) {
+            const __m128i r =
+                _mm_loadu_si128((const __m128i *)(u + 4 * pos));
+            acc = _mm_add_epi32(
+                acc, _mm_and_si128(
+                    _mm_srai_epi32(_mm_mullo_epi32(r, f), 8), mm));
+          }
+          _mm_storeu_si128(
+              (__m128i *)(d + 4 * j),
+              scale_span_vec4(acc, (uint32_t)ax.span_mul, 0xffff));
         }
         break;
       }
@@ -701,6 +1052,33 @@ static void pack_row(const Plan *p, const T *planes, uint8_t *dst) {
       nb == 4) {
     const int l0 = p->lout[0], l1 = p->lout[1], l2 = p->lout[2],
               l3 = p->lout[3];
+#if defined(__AVX2__)
+    if (sizeof(T) == 2) {
+      // 4 px/iter: narrow 16 u16 lanes (values <= 255) to bytes, then one
+      // shuffle applies the output channel permutation
+      const uint16_t *u = (const uint16_t *)planes;
+      const __m128i shuf = _mm_setr_epi8(
+          (char)l0, (char)l1, (char)l2, (char)l3,
+          (char)(4 + l0), (char)(4 + l1), (char)(4 + l2), (char)(4 + l3),
+          (char)(8 + l0), (char)(8 + l1), (char)(8 + l2), (char)(8 + l3),
+          (char)(12 + l0), (char)(12 + l1), (char)(12 + l2), (char)(12 + l3));
+      int i = 0;
+      for (; i + 4 <= w; i += 4) {
+        const __m128i a = _mm_loadu_si128((const __m128i *)(u + 4 * i));
+        const __m128i b = _mm_loadu_si128((const __m128i *)(u + 4 * i + 8));
+        const __m128i bytes = _mm_packus_epi16(a, b);
+        _mm_storeu_si128((__m128i *)(dst + 4 * i),
+                         _mm_shuffle_epi8(bytes, shuf));
+      }
+      for (; i < w; i++) {
+        dst[4 * i + 0] = (uint8_t)(u[4 * i + l0] & 0xff);
+        dst[4 * i + 1] = (uint8_t)(u[4 * i + l1] & 0xff);
+        dst[4 * i + 2] = (uint8_t)(u[4 * i + l2] & 0xff);
+        dst[4 * i + 3] = (uint8_t)(u[4 * i + l3] & 0xff);
+      }
+      return;
+    }
+#endif
     for (int i = 0; i < w; i++) {
       dst[4 * i + 0] = (uint8_t)(planes[4 * i + l0] & 0xff);
       dst[4 * i + 1] = (uint8_t)(planes[4 * i + l1] & 0xff);
@@ -709,6 +1087,122 @@ static void pack_row(const Plan *p, const T *planes, uint8_t *dst) {
     }
     return;
   }
+#if defined(__AVX2__)
+  if (p->gamma == G_COMPRESSED && nb == 4 &&
+      ((sizeof(T) == 2 && p->ialpha == A_PREMUL8 && !out_premul) ||
+       (sizeof(T) == 4 && p->ialpha == A_PREMUL16))) {
+    // unpremultiply on 8 i32 lanes, 4 px per iteration.  PREMUL8:
+    // (v * kInvDivP8[a]) >> 13, products <= 255 * 0x181fff < 2**31.
+    // PREMUL16: (v * kInvDivP16[a]) >> 16 with v <= 65408 and entries
+    // <= 2**16, products < 2**32 exactly (the table was sized for this,
+    // generic.c's inverted_div_lut contract), so a 32-bit mullo + logical
+    // shift is exact; alpha rides in lane 3 as a (P8) / (a<<8)|0x80 (P16).
+    const bool p16 = p->ialpha == A_PREMUL16;
+    const uint32_t *invtab = p16 ? kInvDivP16 : kInvDivP8;
+    const int sh = p16 ? 16 : 13;
+    const int l0 = p->lout[0], l1 = p->lout[1], l2 = p->lout[2],
+              l3 = p->lout[3];
+    // combined pixel order after the two packs: [px0, px2, px1, px3]
+    static const char kPos[4] = {0, 8, 4, 12};
+    const __m128i shuf = _mm_setr_epi8(
+        (char)(kPos[0] + l0), (char)(kPos[0] + l1), (char)(kPos[0] + l2),
+        (char)(kPos[0] + l3),
+        (char)(kPos[1] + l0), (char)(kPos[1] + l1), (char)(kPos[1] + l2),
+        (char)(kPos[1] + l3),
+        (char)(kPos[2] + l0), (char)(kPos[2] + l1), (char)(kPos[2] + l2),
+        (char)(kPos[2] + l3),
+        (char)(kPos[3] + l0), (char)(kPos[3] + l1), (char)(kPos[3] + l2),
+        (char)(kPos[3] + l3));
+    const __m256i m8 = _mm256_set1_epi32(0xff);
+    int i = 0;
+    for (; i + 4 <= w; i += 4) {
+      __m256i v01, v23;
+      int a[4];
+      if (sizeof(T) == 2) {
+        const uint16_t *u = (const uint16_t *)planes;
+        v01 = _mm256_cvtepu16_epi32(
+            _mm_loadu_si128((const __m128i *)(u + 4 * i)));
+        v23 = _mm256_cvtepu16_epi32(
+            _mm_loadu_si128((const __m128i *)(u + 4 * i + 8)));
+        a[0] = u[4 * i + 3] & 0xff;  a[1] = u[4 * i + 7] & 0xff;
+        a[2] = u[4 * i + 11] & 0xff; a[3] = u[4 * i + 15] & 0xff;
+      } else {
+        const int32_t *u = (const int32_t *)planes;
+        v01 = _mm256_loadu_si256((const __m256i *)(u + 4 * i));
+        v23 = _mm256_loadu_si256((const __m256i *)(u + 4 * i + 8));
+        a[0] = (u[4 * i + 3] >> 8) & 0xff;  a[1] = (u[4 * i + 7] >> 8) & 0xff;
+        a[2] = (u[4 * i + 11] >> 8) & 0xff; a[3] = (u[4 * i + 15] >> 8) & 0xff;
+      }
+      const __m256i inv01 = _mm256_setr_epi32(
+          (int)invtab[a[0]], (int)invtab[a[0]], (int)invtab[a[0]], 0,
+          (int)invtab[a[1]], (int)invtab[a[1]], (int)invtab[a[1]], 0);
+      const __m256i inv23 = _mm256_setr_epi32(
+          (int)invtab[a[2]], (int)invtab[a[2]], (int)invtab[a[2]], 0,
+          (int)invtab[a[3]], (int)invtab[a[3]], (int)invtab[a[3]], 0);
+      const __m256i al01 = _mm256_setr_epi32(0, 0, 0, a[0], 0, 0, 0, a[1]);
+      const __m256i al23 = _mm256_setr_epi32(0, 0, 0, a[2], 0, 0, 0, a[3]);
+      __m256i r01 = _mm256_or_si256(
+          _mm256_and_si256(
+              _mm256_srli_epi32(_mm256_mullo_epi32(v01, inv01), sh), m8),
+          al01);
+      __m256i r23 = _mm256_or_si256(
+          _mm256_and_si256(
+              _mm256_srli_epi32(_mm256_mullo_epi32(v23, inv23), sh), m8),
+          al23);
+      // i32 -> u16 -> u8 (values <= 255, no saturation), then one shuffle
+      // applies pixel reorder + output channel layout
+      const __m256i y = _mm256_packus_epi32(r01, r23);   // [px0,px2|px1,px3]
+      const __m256i b = _mm256_packus_epi16(y, y);
+      const __m128i combined = _mm_unpacklo_epi64(
+          _mm256_castsi256_si128(b), _mm256_extracti128_si256(b, 1));
+      _mm_storeu_si128((__m128i *)(dst + 4 * i),
+                       _mm_shuffle_epi8(combined, shuf));
+    }
+    for (; i < w; i++) {
+      const T *px = planes + 4 * i;
+      int64_t c[4];
+      if (p16) {
+        const int64_t av = (px[3] >> 8) & 0xff;
+        for (int k = 0; k < 3; k++) c[k] = unpremul_p16(px[k], av);
+        c[3] = av;
+      } else {
+        const int64_t av = px[3] & 0xff;
+        for (int k = 0; k < 3; k++) c[k] = unpremul_p8(px[k], av);
+        c[3] = av;
+      }
+      for (int bq = 0; bq < 4; bq++)
+        dst[i * 4 + bq] = (uint8_t)(c[p->lout[bq]] & 0xff);
+    }
+    return;
+  }
+  if (sizeof(T) == 2 && p->ialpha == A_PREMUL8 && p->gamma == G_COMPRESSED &&
+      out_premul && nb == 3) {
+    // 24bpp output of premul values: bytes through the same packus +
+    // permutation shuffle, 12 bytes per 4 px; the 4 garbage bytes beyond
+    // each store are overwritten by the next iteration (tail is scalar)
+    const uint16_t *u = (const uint16_t *)planes;
+    const int l0 = p->lout[0], l1 = p->lout[1], l2 = p->lout[2];
+    const __m128i shuf = _mm_setr_epi8(
+        (char)l0, (char)l1, (char)l2,
+        (char)(4 + l0), (char)(4 + l1), (char)(4 + l2),
+        (char)(8 + l0), (char)(8 + l1), (char)(8 + l2),
+        (char)(12 + l0), (char)(12 + l1), (char)(12 + l2), -1, -1, -1, -1);
+    int i = 0;
+    for (; i + 4 <= w && 3 * i + 16 <= 3 * w; i += 4) {
+      const __m128i a = _mm_loadu_si128((const __m128i *)(u + 4 * i));
+      const __m128i b = _mm_loadu_si128((const __m128i *)(u + 4 * i + 8));
+      const __m128i bytes = _mm_packus_epi16(a, b);
+      _mm_storeu_si128((__m128i *)(dst + 3 * i),
+                       _mm_shuffle_epi8(bytes, shuf));
+    }
+    for (; i < w; i++) {
+      dst[3 * i + 0] = (uint8_t)(u[4 * i + l0] & 0xff);
+      dst[3 * i + 1] = (uint8_t)(u[4 * i + l1] & 0xff);
+      dst[3 * i + 2] = (uint8_t)(u[4 * i + l2] & 0xff);
+    }
+    return;
+  }
+#endif
   for (int i = 0; i < w; i++) {
     const T *px = planes + 4 * i;
     int64_t c[4], a;
@@ -764,6 +1258,55 @@ static void scale_outrow(Worker<T> *w, const uint8_t *pixels_in,
     case F_BILIN: {
       const int n = ay.halvings;
       T *accum = w->acc.data();
+#if defined(__AVX2__)
+      if constexpr (sizeof(T) == 2) {
+        if (n == 0) {  // single sample: lerp straight into tmp
+          const int o = ay.off[i];
+          const T *top = get_hrow(w, pixels_in, rowstride_in, o);
+          const T *bot = get_hrow(w, pixels_in, rowstride_in, o + 1);
+          row_lerp_u16((const uint16_t *)top, (const uint16_t *)bot,
+                       (uint16_t)ay.fac[i], (uint16_t *)tmp, n4);
+        } else {
+          std::memset(accum, 0, sizeof(T) * n4);
+          for (int s = 0; s < (1 << n); s++) {
+            const int k = (i << n) + s;
+            const int o = ay.off[k];
+            const T *top = get_hrow(w, pixels_in, rowstride_in, o);
+            const T *bot = get_hrow(w, pixels_in, rowstride_in, o + 1);
+            row_lerp_acc_u16((const uint16_t *)top, (const uint16_t *)bot,
+                             (uint16_t)ay.fac[k], (uint16_t *)accum, n4);
+          }
+          row_shift_mask_u16((const uint16_t *)accum, n, (uint16_t *)tmp, n4);
+        }
+        pack_row(p, tmp, row_out);
+        return;
+      }
+      if constexpr (sizeof(T) == 4) {
+        if (n == 0) {
+          const int o = ay.off[i];
+          const T *top = get_hrow(w, pixels_in, rowstride_in, o);
+          const T *bot = get_hrow(w, pixels_in, rowstride_in, o + 1);
+          row_lerp_i32((const int32_t *)top, (const int32_t *)bot,
+                       (int32_t)ay.fac[i], (int32_t)mask, (int32_t *)tmp,
+                       n4);
+        } else {
+          std::memset(accum, 0, sizeof(T) * n4);
+          for (int s = 0; s < (1 << n); s++) {
+            const int k = (i << n) + s;
+            const int o = ay.off[k];
+            const T *top = get_hrow(w, pixels_in, rowstride_in, o);
+            const T *bot = get_hrow(w, pixels_in, rowstride_in, o + 1);
+            row_lerp_acc_i32((const int32_t *)top, (const int32_t *)bot,
+                             (int32_t)ay.fac[k], (int32_t)mask,
+                             (int32_t *)accum, n4);
+          }
+          row_shift_mask_i32((const int32_t *)accum, n, (int32_t)mask,
+                             (int32_t *)tmp, n4);
+        }
+        pack_row(p, tmp, row_out);
+        return;
+      }
+#endif
       std::memset(accum, 0, sizeof(T) * n4);
       for (int s = 0; s < (1 << n); s++) {
         int k = (i << n) + s;
@@ -783,6 +1326,47 @@ static void scale_outrow(Worker<T> *w, const uint8_t *pixels_in,
       int64_t w1 = (i == 0) ? 256 : 255 - ay.fac[i - 1];
       int64_t w2 = ay.fac[i];
       T *accum = w->acc.data();
+#if defined(__AVX2__)
+      if constexpr (sizeof(T) == 2) {
+        // S64 box: u16-exact (spans <= 255 keep sums <= 65280)
+        const T *first = get_hrow(w, pixels_in, rowstride_in, y0);
+        row_weight_u16((const uint16_t *)first, (uint16_t)w1,
+                       (uint16_t *)accum, n4);
+        if (w2 || y1 < p->h_in) {
+          const T *last = get_hrow(w, pixels_in, rowstride_in, y1);
+          row_weight_acc_u16((const uint16_t *)last, (uint16_t)w2,
+                             (uint16_t *)accum, n4);
+        }
+        for (int yy = y0 + 1; yy < y1; yy++) {
+          const T *mid = get_hrow(w, pixels_in, rowstride_in, yy);
+          row_add_u16((const uint16_t *)mid, (uint16_t *)accum, n4);
+        }
+        row_scale_span_u16((const uint16_t *)accum, (uint32_t)ay.span_mul,
+                           (uint16_t *)tmp, n4);
+        pack_row(p, tmp, row_out);
+        return;
+      }
+      if constexpr (sizeof(T) == 4) {
+        // S128 box: all intermediates exact mod 2**32 (Worker note)
+        const T *first = get_hrow(w, pixels_in, rowstride_in, y0);
+        row_weight_i32((const int32_t *)first, (int32_t)w1, (int32_t)mask,
+                       (int32_t *)accum, n4);
+        for (int yy = y0 + 1; yy < y1; yy++) {
+          const T *mid = get_hrow(w, pixels_in, rowstride_in, yy);
+          row_add_i32((const int32_t *)mid, (int32_t *)accum, n4);
+        }
+        if (w2 > 0) {
+          // last row weighted w2-1 (generic.c:2240-2253)
+          const T *last = get_hrow(w, pixels_in, rowstride_in, y1);
+          row_weight_acc_i32((const int32_t *)last, (int32_t)(w2 - 1),
+                             (int32_t)mask, (int32_t *)accum, n4);
+        }
+        row_scale_span_i32((const int32_t *)accum, (uint32_t)ay.span_mul,
+                           (int32_t *)tmp, n4);
+        pack_row(p, tmp, row_out);
+        return;
+      }
+#endif
       {
         const T *first = get_hrow(w, pixels_in, rowstride_in, y0);
         // T-typed weights vectorize (S64: values <= 255, products < 2**16;
