@@ -7,8 +7,11 @@ lowering, not the interpreter.  Found in round 1: an illegal (non-8-aligned,
 multi-group) output row block for tiny outputs (fixed in
 ops/pallas_bilinear._geometry / ops/pallas_box._pick_rows_t).
 
-Usage: python benchmarks/fuzz_tpu.py [N] [seed] [--edges]
+Usage: python benchmarks/fuzz_tpu.py [N] [seed] [--edges] [--mixed]
   --edges weights toward tiny dims, deep up/downscales, 1x1 outputs.
+  --mixed targets COPY/ONE mixed-axis plans (box-x-copy, ladder-x-one,
+          copy-x-box, ...): one axis is forced to COPY (dim_out == dim_in)
+          or ONE (dim_in == 1) while the other sweeps the filter space.
 """
 
 import sys
@@ -28,6 +31,7 @@ def main():
 
     args = [a for a in sys.argv[1:] if not a.startswith("--")]
     edges = "--edges" in sys.argv
+    mixed = "--mixed" in sys.argv
     n = int(args[0]) if args else 24
     seed = int(args[1]) if len(args) > 1 else 20260816
     rng = np.random.default_rng(seed)
@@ -35,7 +39,18 @@ def main():
 
     fails = []
     for i in range(n):
-        if edges:
+        if mixed:
+            # free axis: anything from deep box to upscale ladder
+            fd_in = int(rng.integers(8, 2048))
+            fd_out = int(rng.integers(1, max(2, fd_in * 2)))
+            triv_kind = int(rng.integers(0, 2))  # 0 = COPY, 1 = ONE
+            td_in = 1 if triv_kind else int(rng.integers(1, 1024))
+            td_out = int(rng.integers(1, 512)) if triv_kind else td_in
+            if rng.integers(0, 2):  # trivial axis horizontal or vertical
+                wi, wo, hi, ho = td_in, td_out, fd_in, fd_out
+            else:
+                wi, wo, hi, ho = fd_in, fd_out, td_in, td_out
+        elif edges:
             mode = int(rng.integers(0, 3))
             if mode == 0:  # tiny everything
                 wi, hi = int(rng.integers(1, 64)), int(rng.integers(1, 64))

@@ -173,6 +173,11 @@ def main():
     results.append(bench_config(
         "7b: RGBA premul 4096^2->16^2 deep box (256:1), batch 8",
         ScalePlan(4096, 4096, 16, 16, 0, 0, False), batch=8, n_long=8))
+    # Mixed COPY axis (round-3: fused copy-x-box strip thumbnails;
+    # previously fell to the XLA op-graph path)
+    results.append(bench_config(
+        "8: RGBA premul 4096^2->4096x256 strip (copy H x box V), batch 8",
+        ScalePlan(4096, 4096, 4096, 256, 0, 0, False), batch=8, n_long=8))
 
     if args.json:
         with open(args.json, "w") as f:

@@ -105,21 +105,55 @@ def _native_plan(plan: ScalePlan) -> _NativePlan:
 
 
 def _prep(plan: ScalePlan, img: np.ndarray):
+    """Validate input; pass strided row views straight through.
+
+    The C engine takes a rowstride (smol_scale_simple's rowstride_in,
+    smolscale.h:47-52), so a subimage view of a larger canvas — any uint8
+    array whose pixels are contiguous within a row — is scaled zero-copy.
+    Other layouts (negative strides, channel slices) are copied.
+    """
     expect = (plan.height_in, plan.width_in, plan.meta_in.n_bytes)
     if img.shape != expect:
         raise ValueError(f"input shape {img.shape} != {expect}")
+    nb = plan.meta_in.n_bytes
+    if (
+        img.dtype == np.uint8
+        and img.strides[1] == nb
+        and img.strides[2] == 1
+        and img.strides[0] >= plan.width_in * nb
+    ):
+        return img, img.strides[0]
     flat = np.ascontiguousarray(img, dtype=np.uint8)
     return flat, plan.width_in * plan.meta_in.n_bytes
 
 
-def scale(plan: ScalePlan, img: np.ndarray, n_threads: int = 1) -> np.ndarray:
+def _prep_out(plan: ScalePlan, out, n_rows: int):
+    """Caller-provided output buffer (smol_scale_batch_full's outrows_dest
+    + rowstride_out): validated strided view, or a fresh dense array."""
+    nb = plan.meta_out.n_bytes
+    if out is None:
+        out = np.empty((n_rows, plan.width_out, nb), dtype=np.uint8)
+        return out, plan.width_out * nb
+    if out.shape != (n_rows, plan.width_out, nb) or out.dtype != np.uint8:
+        raise ValueError(
+            f"out must be uint8 {(n_rows, plan.width_out, nb)}, "
+            f"got {out.dtype} {out.shape}"
+        )
+    if not (
+        out.strides[1] == nb
+        and out.strides[2] == 1
+        and out.strides[0] >= plan.width_out * nb
+    ):
+        raise ValueError("out rows must be pixel-contiguous (row views ok)")
+    return out, out.strides[0]
+
+
+def scale(plan: ScalePlan, img: np.ndarray, n_threads: int = 1,
+          out: np.ndarray | None = None) -> np.ndarray:
     lib = _get_lib()
     nplan = _native_plan(plan)
     flat, stride_in = _prep(plan, img)
-    out = np.empty(
-        (plan.height_out, plan.width_out, plan.meta_out.n_bytes), dtype=np.uint8
-    )
-    stride_out = plan.width_out * plan.meta_out.n_bytes
+    out, stride_out = _prep_out(plan, out, plan.height_out)
     if n_threads == 1:
         lib.sst_scale(
             nplan.ptr, flat.ctypes.data_as(ctypes.c_void_p), stride_in,
@@ -134,7 +168,8 @@ def scale(plan: ScalePlan, img: np.ndarray, n_threads: int = 1) -> np.ndarray:
 
 
 def scale_rows(
-    plan: ScalePlan, img: np.ndarray, first_out_row: int, n_out_rows: int
+    plan: ScalePlan, img: np.ndarray, first_out_row: int, n_out_rows: int,
+    out: np.ndarray | None = None,
 ) -> np.ndarray:
     # The C engine walks [first, first+n) straight into the precalc arrays;
     # enforce the row-range contract here (the xla/numpy backends clamp).
@@ -152,10 +187,7 @@ def scale_rows(
     lib = _get_lib()
     nplan = _native_plan(plan)
     flat, stride_in = _prep(plan, img)
-    out = np.empty(
-        (n_out_rows, plan.width_out, plan.meta_out.n_bytes), dtype=np.uint8
-    )
-    stride_out = plan.width_out * plan.meta_out.n_bytes
+    out, stride_out = _prep_out(plan, out, n_out_rows)
     lib.sst_scale_rows(
         nplan.ptr, flat.ctypes.data_as(ctypes.c_void_p), stride_in,
         out.ctypes.data_as(ctypes.c_void_p), stride_out,

@@ -963,7 +963,7 @@ def scale(plan: ScalePlan, img, post_fn=None) -> np.ndarray:
 
 
 @functools.cache
-def _jitted_rows(plan: ScalePlan, n: int):
+def _jitted_rows(plan: ScalePlan, n: int, post_fn=None):
     # Windowed execution: only the input rows this range depends on are
     # unpacked and filtered (the smol_scale_batch recompute-at-edges
     # trade-off, smolscale.c:512-530).  The first row is traced, so
@@ -972,16 +972,20 @@ def _jitted_rows(plan: ScalePlan, n: int):
 
     def fn(img, first):
         padded = pad_rows(plan, tables, img)
-        return row_range_fn(plan, tables, padded, first)
+        out = row_range_fn(plan, tables, padded, first)
+        return post_fn(out) if post_fn is not None else out
 
     return jax.jit(fn)
 
 
-def scale_rows(plan: ScalePlan, img, first_out_row: int, n_out_rows: int) -> np.ndarray:
+def scale_rows(plan: ScalePlan, img, first_out_row: int, n_out_rows: int,
+               post_fn=None) -> np.ndarray:
+    """post_fn, if given, is fused into the chunk's compiled program (the
+    per-row-range streaming analogue of SmolPostRowFunc)."""
     first, n = int(first_out_row), int(n_out_rows)
     if first < 0 or n < 1 or first + n > plan.height_out:
         raise ValueError(
             f"row range [{first}, {first + n}) outside [0, {plan.height_out})"
         )
     img = jnp.asarray(img)
-    return np.asarray(_jitted_rows(plan, n)(img, jnp.int32(first)))
+    return np.asarray(_jitted_rows(plan, n, post_fn)(img, jnp.int32(first)))

@@ -114,6 +114,15 @@ def _make_kernel(plan: ScalePlan, geo):
                 s = pg._h_uniform_ladder_stage(
                     ch, mh, geo, MASK, 3 if premul16 else 2
                 )
+            elif geo["h_lmap"]:
+                s = pg._h_lerpmap_stage(
+                    ch, mh, hfac_ref, geo, MASK, 3 if premul16 else 2
+                )
+            elif geo["h_is_box"]:
+                s = pg._h_box_fold_stage(
+                    ch, mh, hfac_ref, geo, span_mul_x, MASK, 0xFFFF,
+                    3 if premul16 else 2,
+                )
             else:
                 y = pg._gather_mm(ch, mh, h_limbs)
                 s = pg._h_stage_i32(y, hfac_ref, geo, span_mul_x, MASK, 0xFFFF)
@@ -124,6 +133,16 @@ def _make_kernel(plan: ScalePlan, geo):
                 )
             elif geo["v_lad"] is not None:
                 sv = pg._v_uniform_ladder_stage(s, geo, MASK)
+            elif geo["v_lmap"]:
+                sv = pg._v_lerpmap_stage(
+                    s, mv, vfac_ref, geo, MASK,
+                    3 if (premul16 or geo["h_is_box"]) else 2,
+                )
+            elif geo["v_is_box"]:
+                sv = pg._v_box_fold_stage(
+                    s, mv, vfac_ref, geo, span_mul_y, MASK, 0xFFFF,
+                    3 if (premul16 or geo["h_is_box"]) else 2,
+                )
             else:
                 yv = pg._gather_mm(s, mv, v_limbs, transpose=True)
                 sv = pg._v_stage_i32(yv, vfac_ref, geo, span_mul_y, MASK, 0xFFFF)

@@ -53,14 +53,23 @@ def _round_up(x, m):
     return -(-x // m) * m
 
 
+def _axis_ok(f: FilterType) -> bool:
+    # COPY/ONE are first-class axes (interp_horizontal_one/copy
+    # generic.c:1558-1611, scale_outrow_one/copy generic.c:2262-2318):
+    # mixed plans like box-x-copy / ladder-x-one / copy-x-box run fused
+    # instead of falling to the XLA op-graph path.
+    return f.is_bilinear or f in (FilterType.BOX, FilterType.COPY,
+                                  FilterType.ONE)
+
+
 def applicable(plan: ScalePlan) -> bool:
     if not (
         plan.storage == StorageType.S64
         and plan.internal_alpha == AlphaType.PREMUL8
         and plan.meta_in.n_bytes == 4
         and plan.meta_out.n_bytes == 4
-        and (plan.x.filter.is_bilinear or plan.x.filter == FilterType.BOX)
-        and (plan.y.filter.is_bilinear or plan.y.filter == FilterType.BOX)
+        and _axis_ok(plan.x.filter)
+        and _axis_ok(plan.y.filter)
     ):
         return False
     # Box-x-box: integer-ratio plans are intercepted first by the faster
@@ -88,8 +97,13 @@ def _geometry(plan: ScalePlan, jc_out_max: int = 256, budget_mb: int = 12,
     """
     h_in, h_out = plan.height_in, plan.height_out
     v_is_box = plan.y.filter == FilterType.BOX
-    kv = 0 if v_is_box else plan.y.halvings
-    est = -(-h_in // h_out) + 2 if v_is_box else (1 << kv) + 1
+    kv = 0 if not plan.y.filter.is_bilinear else plan.y.halvings
+    if v_is_box:
+        est = -(-h_in // h_out) + 2
+    elif plan.y.filter in (FilterType.COPY, FilterType.ONE):
+        est = 1
+    else:
+        est = (1 << kv) + 1
     t0 = max(1, min(t_max, 512 // est))
 
     def best(jm):
@@ -126,7 +140,8 @@ def _geometry(plan: ScalePlan, jc_out_max: int = 256, budget_mb: int = 12,
                     geo["kh"] >= 1
                     and not geo["h_is_box"]
                     and geo["h_lad"] is None
-                )
+                    and not geo["h_lmap"]  # lmap FLOPs don't scale with
+                )                          # tile width; keep the wide tile
             if prefer_narrow:
                 geo = narrow
     return geo
@@ -155,6 +170,12 @@ def _geometry_for_t(plan: ScalePlan, t: int, jc_out_max: int = 256,
 
     h_is_box = plan.x.filter == FilterType.BOX
     v_is_box = plan.y.filter == FilterType.BOX
+    h_copy = plan.x.filter == FilterType.COPY
+    h_one = plan.x.filter == FilterType.ONE
+    v_copy = plan.y.filter == FilterType.COPY
+    v_one = plan.y.filter == FilterType.ONE
+    h_triv = h_copy or h_one
+    v_triv = v_copy or v_one
     h_uniform = uniform_ok and h_is_box and _box_uniform_applicable(plan.x)
     v_uniform = uniform_ok and v_is_box and _box_uniform_applicable(plan.y)
     r_x = int(plan.x.strides[0]) + 1 if h_uniform else 0
@@ -175,10 +196,12 @@ def _geometry_for_t(plan: ScalePlan, t: int, jc_out_max: int = 256,
             return None
         return d, int(f[0]), int(o[0])
 
-    h_lad = (_lad_uniform(plan.x) if uniform_ok and not h_is_box else None)
-    v_lad = (_lad_uniform(plan.y) if uniform_ok and not v_is_box else None)
-    kh = 0 if h_is_box else plan.x.halvings
-    kv = 0 if v_is_box else plan.y.halvings
+    h_lad = (_lad_uniform(plan.x)
+             if uniform_ok and plan.x.filter.is_bilinear else None)
+    v_lad = (_lad_uniform(plan.y)
+             if uniform_ok and plan.y.filter.is_bilinear else None)
+    kh = plan.x.halvings if plan.x.filter.is_bilinear else 0
+    kv = plan.y.halvings if plan.y.filter.is_bilinear else 0
     w_out, h_out = plan.width_out, plan.height_out
     w_in, h_in = plan.width_in, plan.height_in
 
@@ -253,7 +276,7 @@ def _geometry_for_t(plan: ScalePlan, t: int, jc_out_max: int = 256,
 
     col_lo_hi = []
     for g in range(n_ct):
-        if h_uniform or h_lad is not None:
+        if h_uniform or h_lad is not None or h_triv:
             break
         if h_is_box:
             outs = [clamp_out_col(g * jc_out + j) for j in range(jc_out)]
@@ -282,6 +305,18 @@ def _geometry_for_t(plan: ScalePlan, t: int, jc_out_max: int = 256,
         cstart = np.arange(n_ct, dtype=np.int32) * (jc * d_x)
         win_c = _round_up(o0 + jc * d_x, 128)
         w_pad = max(w_pad, int(cstart[-1]) + win_c)
+    elif h_copy:
+        # identity axis: tile g's outputs are exactly inputs
+        # [g*jc_out, (g+1)*jc_out) (interp_horizontal_copy)
+        if n_ct > 1 and jc_out % 128:
+            return None
+        cstart = np.arange(n_ct, dtype=np.int32) * jc_out
+        win_c = _round_up(jc_out, 128)
+        w_pad = max(w_pad, int(cstart[-1]) + win_c)
+    elif h_one:
+        # single input column broadcast (interp_horizontal_one)
+        cstart = np.zeros(n_ct, dtype=np.int32)
+        win_c = 128
     else:
         cw = windows(col_lo_hi, w_pad, 128)
         if cw is None:
@@ -290,7 +325,7 @@ def _geometry_for_t(plan: ScalePlan, t: int, jc_out_max: int = 256,
 
     row_lo_hi = []
     for g in range(n_rg):
-        if v_uniform or v_lad is not None:
+        if v_uniform or v_lad is not None or v_triv:
             break
         if v_is_box:
             outs = [clamp_out_row(g * t + i) for i in range(t)]
@@ -315,29 +350,92 @@ def _geometry_for_t(plan: ScalePlan, t: int, jc_out_max: int = 256,
         rstart = np.arange(n_rg, dtype=np.int32) * (tv_ * d_y)
         win_r = _round_up(o0 + tv_ * d_y, 8)
         h_pad = max(h_pad, int(rstart[-1]) + win_r)
+    elif v_copy:
+        # identity axis: row group g covers input rows [g*t, (g+1)*t)
+        # (scale_outrow_copy)
+        rstart = np.arange(n_rg, dtype=np.int32) * t
+        win_r = _round_up(t, 8)
+        h_pad = max(h_pad, int(rstart[-1]) + win_r)
+    elif v_one:
+        # single input row broadcast (scale_outrow_one)
+        rstart = np.zeros(n_rg, dtype=np.int32)
+        win_r = 8
     else:
         rw = windows(row_lo_hi, h_pad, 8)
         if rw is None:
             return None
         rstart, win_r = rw
 
+    # Lerp-first ladder decomposition for non-uniform DOWNSCALE ladders
+    # (per-sample stride d > 1 => offsets strictly increase, so each window
+    # lane is the p-endpoint of at most one distinct (offset, fraction)
+    # sample): the varying-fraction lerp becomes one elementwise pass
+    # against a static per-lane factor map, and the gather + halving-ladder
+    # sum collapses to a small-count int8 matmul with jc_out columns --
+    # 2**kh x fewer matrix columns than the dense weighted gather, at the
+    # int8 MXU rate.  Upscales (repeated offsets with different fractions)
+    # conflict and return None -> dense bf16 fallback.
+    def _lerp_map(ax, k, n_tiles, out_tile, starts, win, dim_out_real):
+        o = np.asarray(ax.offsets, dtype=np.int64)
+        f = np.asarray(ax.factors, dtype=np.int64)
+        fmap = np.zeros((n_tiles, win), dtype=np.int32)
+        mat = np.zeros((n_tiles, win, out_tile), dtype=np.int8)
+        for g in range(n_tiles):
+            base = int(starts[g])
+            used: dict = {}
+            for j in range(out_tile):
+                if g * out_tile + j >= dim_out_real:
+                    break  # pad columns stay zero
+                for kk in range(1 << k):
+                    s = ((g * out_tile + j) << k) + kk
+                    lane = int(o[s]) - base
+                    fs = int(f[s])
+                    if used.setdefault(lane, fs) != fs:
+                        return None  # two fractions want one lane
+                    fmap[g, lane] = fs
+                    mat[g, lane, j] += 1  # clamped tails repeat a sample
+        return fmap, mat
+
+    # kh == 0 gains nothing (the count matrix matches the dense matrix's
+    # column count and the lerp pass is pure overhead -- measured 19.3 ->
+    # 17.5 G on 3b); ladders with kh >= 1 shrink the matmul 2**kh-fold.
+    h_lmap = v_lmap = None
+    if (plan.x.filter.is_bilinear and kh >= 1 and h_lad is None
+            and not h_triv and not h_is_box):
+        h_lmap = _lerp_map(plan.x, kh, n_ct, jc_out, cstart, win_c, w_out)
+    if (plan.y.filter.is_bilinear and kv >= 1 and v_lad is None
+            and not v_triv and not v_is_box):
+        v_lmap = _lerp_map(plan.y, kv, n_rg, t, rstart, win_r, h_out)
+
     # VMEM budget.  Block inputs are double-buffered by the pipeline; the
     # kernel body also materializes the gathered y (win_r x mh_cols i32)
     # and the h-scaled s (win_r x jc) -- omitting those undercounted badly
     # once the lerp-fold halved the matrices (scoped-vmem OOM at 17.6M on
     # a 12M estimate, found on-chip).
-    h_uni_any = h_uniform or h_lad is not None
-    v_uni_any = v_uniform or v_lad is not None
-    mh_cols = jc_out if h_uni_any else (3 * jc_out if h_is_box else jc)
-    mh_elt = 1 if h_uni_any else 2  # int8 span matrix vs bf16 gathers
-    mv_rows = 0 if v_uni_any else (3 * t if v_is_box else (t << kv))
+    h_uni_any = (h_uniform or h_lad is not None or h_triv
+                 or h_lmap is not None)
+    v_uni_any = (v_uniform or v_lad is not None or v_triv
+                 or v_lmap is not None)
+    mh_cols = jc_out if h_uni_any else (2 * jc_out if h_is_box else jc)
+    mh_elt = 1 if (h_uni_any or h_is_box) else 2  # int8 vs bf16 gathers
+    mv_rows = 0 if v_uni_any else (2 * t if v_is_box else (t << kv))
+    mv_elt = 1 if v_is_box else 2
     budget = (
         2 * win_r * win_c * 4
         + 2 * win_c * mh_cols * mh_elt
-        + 2 * mv_rows * win_r * 2
+        + 2 * mv_rows * win_r * mv_elt
         + win_r * mh_cols * 4
         + win_r * max(jc, jc_out) * 4 * 2
-        + (win_r * win_c * 4 if h_lad is not None else 0)  # lerped window
+        + (win_r * win_c * 4
+           if (h_lad is not None or h_lmap is not None) else 0)  # lerped win
+        + (win_c * jc_out if h_lmap is not None else 0)    # int8 count mat
+        + (win_r * (128 + t) if v_lmap is not None else 0)  # fmap + mat
+        + (2 * win_c * 4 * 8 if h_is_box and not h_uniform else 0)  # lw/rf
+        + (win_r * 128 * 4 if v_is_box and not v_uniform else 0)    # w maps
+        # the H box fold materializes two weighted copies of the window
+        # (adj, zr) -- undercounting them OOM'd scoped vmem at 16.43M on
+        # a 12M estimate (3d, found on-chip)
+        + (2 * win_r * win_c * 4 if h_is_box and not h_uniform else 0)
     )
     if budget > budget_mb * 2**20:
         return None
@@ -374,19 +472,45 @@ def _geometry_for_t(plan: ScalePlan, t: int, jc_out_max: int = 256,
                     m1[lane, j] = 1
         mh = np.broadcast_to(m1, (n_ct, win_c, jc_out)).copy()
         hfac = np.zeros((n_ct, 1, 1), dtype=np.int32)  # unused
+    elif h_triv:
+        # no matrix: COPY slices the window, ONE broadcasts lane 0
+        mh = np.zeros((n_ct, 1, 1), dtype=np.int8)
+        hfac = np.zeros((n_ct, 1, 1), dtype=np.int32)
+    elif h_lmap is not None:
+        # lerp-first: int8 count matrix (win_c, jc_out); the per-lane
+        # factor map rides the hfac slot (8 sublanes for block alignment)
+        fmap, mat = h_lmap
+        mh = mat
+        hfac = np.broadcast_to(
+            fmap[:, None, :], (n_ct, 8, win_c)
+        ).copy().astype(np.int32)
     elif h_is_box:
-        mh = np.zeros((n_ct, win_c, 3 * jc_out), dtype=np.float32)
-        hfac = np.zeros((n_ct, 2, jc_out), dtype=np.int32)
+        # Edge-folded general box (round-3): per-lane weight maps replace
+        # the [left|right] one-hot blocks.  A lane is the left edge of at
+        # most one span and the right edge of at most one (edge positions
+        # strictly increase; interiors never coincide with edges since
+        # mid_start = left+1, mid_end = right), so lw rides an elementwise
+        # weight pass with identity 256 on interior lanes ((v*256)>>8 == v)
+        # and rf a second pass with default 0.  Matrix block A covers
+        # {left} + mids per column, block R the right one-hots: two int8
+        # span matmuls of jc_out columns each vs one bf16 matmul of
+        # 3*jc_out -- 1.5x fewer MXU-equivalent FLOPs, same arithmetic
+        # (interp_horizontal_boxes, generic.c:1427-1556).
+        mh = np.zeros((n_ct, win_c, 2 * jc_out), dtype=np.int8)
+        hfac = np.zeros((n_ct, 8, win_c), dtype=np.int32)
+        hfac[:, 0, :] = 256  # lw map identity
         for g in range(n_ct):
             for j in range(jc_out):
                 oj = clamp_out_col(g * jc_out + j)
                 base = int(cstart[g])
                 ms, ml = int(bh["mid_start"][oj]), int(bh["mid_len"][oj])
-                mh[g, ms - base : ms - base + ml, j] = 1.0
-                mh[g, int(bh["left_idx"][oj]) - base, jc_out + j] = 1.0
-                mh[g, int(bh["right_idx"][oj]) - base, 2 * jc_out + j] = 1.0
-                hfac[g, 0, j] = int(bh["left_w"][oj])
-                hfac[g, 1, j] = int(bh["fracs"][oj])
+                li = int(bh["left_idx"][oj]) - base
+                ri = int(bh["right_idx"][oj]) - base
+                mh[g, ms - base : ms - base + ml, j] = 1
+                mh[g, li, j] = 1
+                mh[g, ri, jc_out + j] = 1
+                hfac[g, 0, li] = int(bh["left_w"][oj])
+                hfac[g, 1, ri] = int(bh["fracs"][oj])
     else:
         mh = np.zeros((n_ct, win_c, jc), dtype=np.float32)
         hfac = np.zeros((n_ct, 2, jc), dtype=np.int32)  # unused for ladders
@@ -399,7 +523,7 @@ def _geometry_for_t(plan: ScalePlan, t: int, jc_out_max: int = 256,
                     f = int(xfac[s])
                     mh[g, o, col] = f
                     mh[g, o + 1, col] = 256 - f
-    if not h_uni_any:
+    if mh.dtype == np.float32:  # dense weighted gathers only; int8 stays
         mh = mh.astype(jnp.bfloat16)
 
     # V matrix per row group.  Bilinear: (t*2^kv, win_r) WEIGHTED gather
@@ -407,23 +531,41 @@ def _geometry_for_t(plan: ScalePlan, t: int, jc_out_max: int = 256,
     # [segments; first; last] with per-output weights in vfac cols (0=w1,
     # 1=w2).
     tv = t << kv
-    if v_uni_any:
+    if v_lmap is not None:
+        # lerp-first V: int8 count matrix (t, win_r); per-row factor map
+        # rides the vfac slot as (win_r, 128) lanes-broadcast
+        fmap_v, mat_v = v_lmap
+        mv = np.transpose(mat_v, (0, 2, 1)).copy()  # (n_rg, t, win_r) int8
+        vfac = np.broadcast_to(
+            fmap_v[:, :, None], (n_rg, win_r, 128)
+        ).copy().astype(np.int32)
+    elif v_uni_any:
         # no V matrix: the kernel reduces spans with a sublane reshape
         mv = np.zeros((n_rg, 1, 1), dtype=np.float32)
         vfac = np.zeros((n_rg, 1, 1), dtype=np.int32)
     elif v_is_box:
-        mv = np.zeros((n_rg, 3 * t, win_r), dtype=np.float32)
-        vfac = np.zeros((n_rg, t, 2), dtype=np.int32)
+        # Edge-folded V box (same trick as H): per-row weight maps in the
+        # vfac lanes (lane 0 = w1 map, identity 256; lane 1 = w2 map,
+        # default 0 -- for 128bpp storage the w2-1-with-skip rule
+        # (generic.c:2240-2253) folds to max(w2-1, 0)), block A rows =
+        # {first} + mids, block R = last one-hots.
+        s128 = plan.storage == StorageType.S128
+        mv = np.zeros((n_rg, 2 * t, win_r), dtype=np.int8)
+        vfac = np.zeros((n_rg, win_r, 128), dtype=np.int32)
+        vfac[:, :, 0] = 256  # w1 map identity
         for g in range(n_rg):
             for i in range(t):
                 oi = clamp_out_row(g * t + i)
                 base = int(rstart[g])
                 ms, ml = int(bv["mid_start"][oi]), int(bv["mid_len"][oi])
-                mv[g, i, ms - base : ms - base + ml] = 1.0
-                mv[g, t + i, int(bv["first_idx"][oi]) - base] = 1.0
-                mv[g, 2 * t + i, int(bv["last_idx"][oi]) - base] = 1.0
-                vfac[g, i, 0] = int(bv["w1"][oi])
-                vfac[g, i, 1] = int(bv["w2"][oi])
+                fi = int(bv["first_idx"][oi]) - base
+                la = int(bv["last_idx"][oi]) - base
+                mv[g, i, ms - base : ms - base + ml] = 1
+                mv[g, i, fi] = 1
+                mv[g, t + i, la] = 1
+                vfac[g, fi, 0] = int(bv["w1"][oi])
+                w2 = int(bv["w2"][oi])
+                vfac[g, la, 1] = max(w2 - 1, 0) if s128 else w2
     else:
         mv = np.zeros((n_rg, tv, win_r), dtype=np.float32)
         vfac = np.zeros((n_rg, tv, 2), dtype=np.int32)  # unused for ladders
@@ -436,7 +578,8 @@ def _geometry_for_t(plan: ScalePlan, t: int, jc_out_max: int = 256,
                     f = int(yfac[s])
                     mv[g, row, o] = f
                     mv[g, row, o + 1] = 256 - f
-    mv = mv.astype(jnp.bfloat16)
+    if mv.dtype == np.float32:  # dense weighted gathers only; int8 stays
+        mv = mv.astype(jnp.bfloat16)
 
     return dict(
         kh=kh, kv=kv, jc_out=jc_out, jc=jc, t=t, n_ct=n_ct, n_rg=n_rg,
@@ -445,10 +588,12 @@ def _geometry_for_t(plan: ScalePlan, t: int, jc_out_max: int = 256,
         w_out_pad=n_ct * jc_out, h_out_pad=n_rg * t,
         w_pad=w_pad, h_pad=h_pad,
         h_is_box=h_is_box, v_is_box=v_is_box,
+        h_copy=h_copy, h_one=h_one, v_copy=v_copy, v_one=v_one,
         h_uniform=h_uniform, v_uniform=v_uniform, r_x=r_x, r_y=r_y,
         h_last_short=bool(h_uniform and int(plan.x.strides[-1]) == r_x - 2),
         v_last_short=bool(v_uniform and int(plan.y.strides[-1]) == r_y - 2),
         h_lad=h_lad, v_lad=v_lad,
+        h_lmap=h_lmap is not None, v_lmap=v_lmap is not None,
         span_mul_x=int(plan.x.span_mul), span_mul_y=int(plan.y.span_mul),
     )
 
@@ -487,18 +632,21 @@ def _gather_mm(x_i32, mat, n_limbs, transpose=False):
     return out
 
 
-def _span_mm_i8(x_i32, mat_i8, n_limbs):
-    """Exact 0/1 span sums on the int8 MXU (2x the bf16 rate on v5e).
+def _span_mm_i8(x_i32, mat_i8, n_limbs, transpose=False):
+    """Exact small-count span sums on the int8 MXU (2x the bf16 rate on
+    v5e).
 
     Nonnegative values split into 7-bit limbs (int8-exact); per-limb int32
-    accumulators are exact by construction, and the shifted recombination
-    is mod-2**32 exact like the bf16 path (_gather_mm).  n_limbs =
-    ceil(value_bits / 7): 2 covers < 2**14, 3 covers < 2**21.
+    accumulators are exact by construction (counts <= 64 per column keep
+    limb sums < 2**20), and the shifted recombination is mod-2**32 exact
+    like the bf16 path (_gather_mm).  n_limbs = ceil(value_bits / 7):
+    2 covers < 2**14, 3 covers < 2**21.  ``transpose`` computes mat @ x.
     """
     def mm(v):
-        return jnp.dot(
-            v.astype(jnp.int8), mat_i8, preferred_element_type=jnp.int32
-        )
+        vb = v.astype(jnp.int8)
+        if transpose:
+            return jnp.dot(mat_i8, vb, preferred_element_type=jnp.int32)
+        return jnp.dot(vb, mat_i8, preferred_element_type=jnp.int32)
 
     out = mm(x_i32 & 0x7F)
     if n_limbs >= 2:
@@ -506,6 +654,63 @@ def _span_mm_i8(x_i32, mat_i8, n_limbs):
     if n_limbs >= 3:
         out = out + (mm(x_i32 >> 14) << 14)
     return out
+
+
+def _h_lerpmap_stage(ch, mh_i8, hfac_ref, geo, mask, n_limbs):
+    """Lerp-first non-uniform H ladder: one elementwise lerp against the
+    static per-lane factor map (each lane is the p-endpoint of at most one
+    distinct sample -- offsets strictly increase for downscale ladders),
+    then the gather + 2**kh-sample ladder sum as a single int8 count-matrix
+    matmul with jc_out columns (vs the dense weighted gather's jc)."""
+    f = hfac_ref[0, 0:1, :]  # (1, win_c), broadcasts over rows
+    q = jnp.roll(ch, -1, axis=1)
+    lerped = fp.lerp256(ch, q, f, mask)
+    y = _span_mm_i8(lerped, mh_i8, n_limbs)
+    kh = geo["kh"]
+    return ((y >> kh) & mask) if kh else y
+
+
+def _v_lerpmap_stage(s, mv_i8, vfac_ref, geo, mask, n_limbs):
+    """Lerp-first non-uniform V ladder (sublane roll + per-row factor map,
+    then the int8 count-matrix ladder matmul)."""
+    f = vfac_ref[0][:, 0:1]  # (win_r, 1), broadcasts over lanes
+    q = jnp.roll(s, -1, axis=0)
+    lerped = fp.lerp256(s, q, f, mask)
+    y = _span_mm_i8(lerped, mv_i8, n_limbs, transpose=True)
+    kv = geo["kv"]
+    return ((y >> kv) & mask) if kv else y
+
+
+def _h_box_fold_stage(ch, mh_i8, hfac_ref, geo, span_mul_x, wmask,
+                      norm_mask, n_limbs):
+    """Edge-folded general H box: elementwise lw/rf weight passes (identity
+    256 on interior lanes, default 0 for rf) + two int8 span matmuls
+    ({left}+mids block, right one-hot block), then span normalization --
+    byte-identical to interp_horizontal_boxes + scale (generic.c:1427-1556,
+    1231-1261) since (v*256)>>8 == v and each lane holds at most one
+    left-role and one right-role weight."""
+    jc_out = geo["jc_out"]
+    lw = hfac_ref[0, 0:1, :]
+    rf = hfac_ref[0, 1:2, :]
+    adj = fp.weight256(ch, lw, wmask)
+    zr = fp.weight256(ch, rf, wmask)
+    y = (_span_mm_i8(adj, mh_i8[:, :jc_out], n_limbs)
+         + _span_mm_i8(zr, mh_i8[:, jc_out:], n_limbs))
+    return _mul_shift_round24(y, jnp.int32(span_mul_x)) & norm_mask
+
+
+def _v_box_fold_stage(s, mv_i8, vfac_ref, geo, span_mul_y, wmask,
+                      norm_mask, n_limbs):
+    """Edge-folded general V box (w1/w2 maps in vfac lanes 0/1; the 128bpp
+    w2-1-with-skip rule is pre-folded into the map by the geometry)."""
+    t = geo["t"]
+    w1 = vfac_ref[0][:, 0:1]
+    w2 = vfac_ref[0][:, 1:2]
+    adj = fp.weight256(s, w1, wmask)
+    zr = fp.weight256(s, w2, wmask)
+    yv = (_span_mm_i8(adj, mv_i8[:t], n_limbs, transpose=True)
+          + _span_mm_i8(zr, mv_i8[t:], n_limbs, transpose=True))
+    return _mul_shift_round24(yv, jnp.int32(span_mul_y)) & norm_mask
 
 
 def _window_dma(rs_ref, cs_ref, x_any, xwin, sem, win_r, win_c, b, gr, gc):
@@ -634,28 +839,12 @@ def _v_uniform_stage(s, geo, gr, h_out, span_mul_y, mask, norm_mask):
 
 
 def _h_stage_i32(y, hfac_ref, geo, span_mul_x, mask, norm_mask):
-    """Horizontal stage on gathered int32 samples.
-
-    Box: acc = (left*w1>>8 & mask) + mids + (right*F>>8 & mask), then
-    (acc*span_mul + 2**23) >> 24 & norm_mask (interp_horizontal_boxes +
-    scale_128bpp_half, generic.c:1427-1556, 1247-1261).  Bilinear: packed
-    lerp + halving-ladder sublane reduce (generic.c:1290-1361).
-    """
-    jc, jc_out, kh = geo["jc"], geo["jc_out"], geo["kh"]
+    """Horizontal dense-ladder stage on gathered int32 samples: packed
+    lerp (folded into the weighted gather matmul, y = p*F + q*(256-F)) +
+    halving-ladder sublane reduce (generic.c:1290-1361).  Box plans take
+    _h_box_fold_stage instead."""
+    jc_out, kh = geo["jc_out"], geo["kh"]
     win_r = geo["win_r"]
-    if geo["h_is_box"]:
-        mids = y[:, :jc_out]
-        left = y[:, jc_out : 2 * jc_out].astype(jnp.uint32)
-        right = y[:, 2 * jc_out :].astype(jnp.uint32)
-        lw = hfac_ref[0, 0:1, :].astype(jnp.uint32)
-        rf = hfac_ref[0, 1:2, :].astype(jnp.uint32)
-        acc = (
-            ((left * lw >> 8) & jnp.uint32(mask)).astype(jnp.int32)
-            + mids
-            + ((right * rf >> 8) & jnp.uint32(mask)).astype(jnp.int32)
-        )
-        return _mul_shift_round24(acc, jnp.int32(span_mul_x)) & norm_mask
-    # lerp folded into the weighted gather matmul: y = p*F + q*(256-F)
     s = (y >> 8) & mask
     if kh:
         s3 = s.reshape(win_r, 1 << kh, jc_out)
@@ -664,32 +853,11 @@ def _h_stage_i32(y, hfac_ref, geo, span_mul_x, mask, norm_mask):
 
 
 def _v_stage_i32(yv, vfac_ref, geo, span_mul_y, mask, norm_mask):
-    """Vertical stage on gathered int32 samples (128bpp rules).
-
-    Box: last row weighted by w2-1 and skipped when w2 == 0
-    (scale_outrow_box_128bpp, generic.c:2198-2260).  Bilinear: lerp +
-    ladder (scale_outrow_bilinear_Nh, generic.c:1841-1916).
-    """
+    """Vertical dense-ladder stage (lerp + ladder,
+    scale_outrow_bilinear_Nh, generic.c:1841-1916).  Box plans take
+    _v_box_fold_stage instead."""
     t, kv = geo["t"], geo["kv"]
-    tv = t << kv
     jc_out = geo["jc_out"]
-    if geo["v_is_box"]:
-        midsv = yv[:t]
-        first = yv[t : 2 * t].astype(jnp.uint32)
-        last = yv[2 * t :].astype(jnp.uint32)
-        w1 = vfac_ref[0, :, 0:1].astype(jnp.uint32)
-        w2 = vfac_ref[0, :, 1:2].astype(jnp.uint32)
-        w2m = jnp.maximum(w2 - 1, 0) * (w2 > 0).astype(jnp.uint32)
-        accv = (
-            ((first * w1 >> 8) & jnp.uint32(mask)).astype(jnp.int32)
-            + midsv
-            + jnp.where(
-                (w2 > 0).astype(jnp.int32) > 0,
-                ((last * w2m >> 8) & jnp.uint32(mask)).astype(jnp.int32),
-                0,
-            )
-        )
-        return _mul_shift_round24(accv, jnp.int32(span_mul_y)) & norm_mask
     sv = (yv >> 8) & mask
     if kv:
         sv3 = sv.reshape(1 << kv, t, jc_out)
@@ -710,21 +878,9 @@ def _make_kernel(plan: ScalePlan, geo):
     span_mul_x, span_mul_y = geo["span_mul_x"], geo["span_mul_y"]
 
     def _h_general_64(y, hfac_ref):
-        if h_is_box:
-            # acc = (left*w1>>8) + mids + (right*F>>8); normalize
-            # (interp_horizontal_boxes + scale_64bpp, generic.c:1427-1479)
-            mids = y[:, :jc_out].astype(jnp.int32)
-            left = y[:, jc_out : 2 * jc_out].astype(jnp.int32).astype(jnp.uint32)
-            right = y[:, 2 * jc_out :].astype(jnp.int32).astype(jnp.uint32)
-            lw = hfac_ref[0, 0:1, :].astype(jnp.uint32)
-            rf = hfac_ref[0, 1:2, :].astype(jnp.uint32)
-            acc = (
-                ((left * lw >> 8) & jnp.uint32(0xFF)).astype(jnp.int32)
-                + mids
-                + ((right * rf >> 8) & jnp.uint32(0xFF)).astype(jnp.int32)
-            )
-            return _mul_shift_round24(acc, jnp.int32(span_mul_x)) & 0xFF
-        # lerp folded into the weighted matmul: y = p*F + q*(256-F)
+        # dense ladder (upscales/repeated offsets): lerp folded into the
+        # weighted matmul, y = p*F + q*(256-F); box plans take the
+        # edge-folded int8 stage instead
         s = (y.astype(jnp.int32) >> 8) & 0xFF  # (win_r, jc)
         if kh:
             s3 = s.reshape(win_r, 1 << kh, jc_out)
@@ -732,19 +888,6 @@ def _make_kernel(plan: ScalePlan, geo):
         return s
 
     def _v_general_64(yv, vfac_ref):
-        if v_is_box:
-            # (scale_outrow_box_64bpp, generic.c:2112-2161)
-            midsv = yv[:t].astype(jnp.int32)
-            first = yv[t : 2 * t].astype(jnp.int32).astype(jnp.uint32)
-            last = yv[2 * t :].astype(jnp.int32).astype(jnp.uint32)
-            w1 = vfac_ref[0, :, 0:1].astype(jnp.uint32)
-            w2 = vfac_ref[0, :, 1:2].astype(jnp.uint32)
-            accv = (
-                ((first * w1 >> 8) & jnp.uint32(0xFF)).astype(jnp.int32)
-                + midsv
-                + ((last * w2 >> 8) & jnp.uint32(0xFF)).astype(jnp.int32)
-            )
-            return _mul_shift_round24(accv, jnp.int32(span_mul_y)) & 0xFF
         sv = (yv.astype(jnp.int32) >> 8) & 0xFF  # (tv, jc_out)
         if kv:
             sv3 = sv.reshape(1 << kv, t, jc_out)
@@ -771,6 +914,13 @@ def _make_kernel(plan: ScalePlan, geo):
                 ch = (((ch + 1) * (a_vals + 1) - 1) >> 8) & 0xFF
             if _ABLATE in ("nohmm", "nofilter"):
                 s = ch[:, :jc_out]
+            elif geo["h_copy"]:
+                # identity (interp_horizontal_copy, generic.c:1583-1611)
+                s = ch[:, :jc_out]
+            elif geo["h_one"]:
+                # first-pixel broadcast (interp_horizontal_one,
+                # generic.c:1558-1581)
+                s = jnp.broadcast_to(ch[:, 0:1], (win_r, jc_out))
             elif geo["h_uniform"]:
                 # 8-bit values: 2 int8 limbs
                 s = _h_uniform_stage(
@@ -778,18 +928,36 @@ def _make_kernel(plan: ScalePlan, geo):
                 )
             elif geo["h_lad"] is not None:
                 s = _h_uniform_ladder_stage(ch, mh, geo, 0xFF, 2)
+            elif geo["h_lmap"]:
+                s = _h_lerpmap_stage(ch, mh, hfac_ref, geo, 0xFF, 2)
+            elif h_is_box:
+                s = _h_box_fold_stage(
+                    ch, mh, hfac_ref, geo, span_mul_x, 0xFF, 0xFF, 2
+                )
             else:
                 y = jnp.dot(ch.astype(jnp.bfloat16), mh,
                             preferred_element_type=jnp.float32)
                 s = _h_general_64(y, hfac_ref)
             if _ABLATE in ("novmm", "nohmm", "nofilter"):
                 sv = s[:t, :]
+            elif geo["v_copy"]:
+                # identity rows (scale_outrow_copy, generic.c:2296-2318)
+                sv = s[:t, :]
+            elif geo["v_one"]:
+                # first-row broadcast (scale_outrow_one, generic.c:2262-2294)
+                sv = jnp.broadcast_to(s[0:1, :], (t, s.shape[-1]))
             elif geo["v_uniform"]:
                 sv = _v_uniform_stage(
                     s, geo, gr, plan.height_out, span_mul_y, 0xFF, 0xFF
                 )
             elif geo["v_lad"] is not None:
                 sv = _v_uniform_ladder_stage(s, geo, 0xFF)
+            elif geo["v_lmap"]:
+                sv = _v_lerpmap_stage(s, mv, vfac_ref, geo, 0xFF, 2)
+            elif v_is_box:
+                sv = _v_box_fold_stage(
+                    s, mv, vfac_ref, geo, span_mul_y, 0xFF, 0xFF, 2
+                )
             else:
                 yv = jnp.dot(
                     mv, s.astype(jnp.bfloat16),

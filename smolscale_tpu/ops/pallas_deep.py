@@ -375,8 +375,8 @@ def _make_general_kernel(plan: ScalePlan, C: int, k: int, w_pad: int,
         m8 = m_ref[...]
         tbl = tbl_ref[...]
         wmask = jnp.uint32(wmask_i)
-        lw = hf_ref[0:1, :].astype(jnp.uint32)
-        rf = hf_ref[1:2, :].astype(jnp.uint32)
+        lw = hf_ref[0:1, :]
+        rf = hf_ref[1:2, :]
 
         first_i = s_ref[oi, 1]
         y1 = s_ref[oi, 2]
@@ -397,18 +397,14 @@ def _make_general_kernel(plan: ScalePlan, C: int, k: int, w_pad: int,
         for ch_lane in range(4):
             ch = _unpack_plane(px, a_vals, inv_vals, ch_lane, in_layout,
                                premul16, in_premul, linear, tbl)
-            # general H box: [mids | left | right] one-hot matmul + edge
-            # weights (interp_horizontal_boxes, generic.c:1427-1556)
-            y = pg._span_mm_i8(ch, m8, n_limbs)
-            mids = y[:, :w_out_pad]
-            left = y[:, w_out_pad : 2 * w_out_pad].astype(jnp.uint32)
-            right = y[:, 2 * w_out_pad :].astype(jnp.uint32)
-            acc_h = (
-                ((left * lw >> 8) & wmask).astype(jnp.int32)
-                + mids
-                + ((right * rf >> 8) & wmask).astype(jnp.int32)
-            )
-            hrow = fp.mul_shift_round24(acc_h, jnp.int32(span_mul_x)) & norm_mask
+            # edge-folded general H box (interp_horizontal_boxes,
+            # generic.c:1427-1556): elementwise lw/rf passes + two int8
+            # span matmuls ({left}+mids, right one-hots)
+            adj = fp.weight256(ch, lw, wmask_i)
+            zr = fp.weight256(ch, rf, wmask_i)
+            y = (pg._span_mm_i8(adj, m8[:, :w_out_pad], n_limbs)
+                 + pg._span_mm_i8(zr, m8[:, w_out_pad:], n_limbs))
+            hrow = fp.mul_shift_round24(y, jnp.int32(span_mul_x)) & norm_mask
             # V: per-row classification against the span bounds (additive,
             # so a one-row span counts its row as first AND last)
             hu = hrow.astype(jnp.uint32)
@@ -466,16 +462,22 @@ def _built_general(plan: ScalePlan, batch: int):
     w_pad = pg._round_up(w_in, 128)
     w_out_pad = pg._round_up(w_out, 128)
 
+    # Edge-folded ragged H (see pallas_bilinear._h_box_fold_stage): block A
+    # = {left}+mids, block R = right one-hots; per-lane lw (identity 256) /
+    # rf (default 0) weight maps -- two w_out_pad-column int8 matmuls
+    # instead of one 3*w_out_pad matmul.
     bh = _box_h_arrays(plan.x)
-    m3 = np.zeros((w_pad, 3 * w_out_pad), dtype=np.int8)
-    hf = np.zeros((2, w_out_pad), dtype=np.int32)
+    m3 = np.zeros((w_pad, 2 * w_out_pad), dtype=np.int8)
+    hf = np.zeros((2, w_pad), dtype=np.int32)
+    hf[0, :] = 256
     for j in range(w_out):
         ms, ml = int(bh["mid_start"][j]), int(bh["mid_len"][j])
+        li, ri = int(bh["left_idx"][j]), int(bh["right_idx"][j])
         m3[ms : ms + ml, j] = 1
-        m3[int(bh["left_idx"][j]), w_out_pad + j] = 1
-        m3[int(bh["right_idx"][j]), 2 * w_out_pad + j] = 1
-        hf[0, j] = int(bh["left_w"][j])
-        hf[1, j] = int(bh["fracs"][j])
+        m3[li, j] = 1
+        m3[ri, w_out_pad + j] = 1
+        hf[0, li] = int(bh["left_w"][j])
+        hf[1, ri] = int(bh["fracs"][j])
 
     bv = _box_v_arrays(plan.y)
     ofs = np.asarray(plan.y.offsets, dtype=np.int64)
@@ -498,11 +500,11 @@ def _built_general(plan: ScalePlan, batch: int):
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.HBM),
             pl.BlockSpec(
-                (w_pad, 3 * w_out_pad), lambda b, oi, c, *_: (0, 0),
+                (w_pad, 2 * w_out_pad), lambda b, oi, c, *_: (0, 0),
                 memory_space=pltpu.VMEM,
             ),
             pl.BlockSpec(
-                (2, w_out_pad), lambda b, oi, c, *_: (0, 0),
+                (2, w_pad), lambda b, oi, c, *_: (0, 0),
                 memory_space=pltpu.VMEM,
             ),
             pl.BlockSpec(
