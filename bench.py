@@ -24,15 +24,8 @@ reported 2.85.)
 
 import json
 import sys
-import time
 
 import numpy as np
-
-
-def _timed(f, x) -> float:
-    t0 = time.time()
-    np.asarray(f(x))
-    return time.time() - t0
 
 
 def main() -> int:
@@ -60,28 +53,17 @@ def main() -> int:
     want = numpy_ref.scale(plan, imgs[0])
     exact = bool(np.array_equal(got, want))
 
-    def make(k):
-        @jax.jit
-        def f(v):
-            def body(i, carry):
-                img, tag = carry
-                img = jax.lax.dynamic_update_slice(
-                    img, img[:1, :1, :1] ^ tag, (0, 0, 0)
-                )
-                out = xla.scale_fn(plan, img)
-                return img, out[0, 0, 0, 0].astype(jnp.uint32)
+    # shared auto-scaling chain timer (smolscale_tpu/utils/timing.py):
+    # the traced trip count makes growing the chain free, so the long
+    # chain auto-extends until two slope estimates agree within 5% --
+    # sub-ms headline runs stop swinging with tunnel jitter
+    from smolscale_tpu.utils.timing import chain_timer
 
-            return jax.lax.fori_loop(0, k, body, (v, jnp.uint32(0)))[1]
-
-        return f
-
-    n_short, n_long = 2, 22
-    f_short, f_long = make(n_short), make(n_long)
-    np.asarray(f_short(x))  # compile + warm
-    np.asarray(f_long(x))
-    t_short = min(_timed(f_short, x) for _ in range(3))
-    t_long = min(_timed(f_long, x) for _ in range(3))
-    per = (t_long - t_short) / (n_long - n_short)
+    res = chain_timer(
+        lambda v: xla.scale_fn(plan, v)[0, 0, 0, 0], x,
+        n_long=22, target_rel=0.05, min_delta=15e-3,
+    )
+    per = res.per
     mpix_s = B * W * H / 1e6 / per
 
     value = round(mpix_s if exact else 0.0, 1)

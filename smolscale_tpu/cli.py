@@ -92,22 +92,44 @@ def cmd_check(args) -> int:
             failures += 1
             print(f"FAIL {wi}x{hi}->{wo}x{ho}: {out[-1,-1]} ref {ref[-1,-1]} want {color}")
 
+    cases: list = []
+
+    def one_rec(wi, hi, wo, ho, color):
+        cases.append((wi, hi, wo, ho, tuple(int(c) for c in color)))
+        one(wi, hi, wo, ho, color)
+
     for ci in color_is:
         # canvas pixel (i<<24)|((i+1)<<16)|((i+2)<<8)|(i+3), LE byte order
         color = np.array([ci + 3, ci + 2, ci + 1, ci], dtype=np.uint8)
         for s in sizes:
-            one(s, 1, 1, 1, color)        # Width i -> 1
-            one(1, s, 1, 1, color)        # Height i -> 1
-            one(65535, 1, s, 1, color)    # Width 65535 -> i
-            one(1, 65535, 1, s, color)    # Height 65535 -> i
+            one_rec(s, 1, 1, 1, color)        # Width i -> 1
+            one_rec(1, s, 1, 1, color)        # Height i -> 1
+            one_rec(65535, 1, s, 1, color)    # Width 65535 -> i
+            one_rec(1, 65535, 1, s, color)    # Height 65535 -> i
         # long test: i -> j grid (strided to the upstream step size)
         step = 655 if not full else (65534 // 100)
         for i in range(1, 65536, step):
             for j in ([1, i // 2 + 1, i] if not full else range(1, i + 1)):
                 j = max(1, min(j, 65535))
-                one(i, 1, j, 1, color)
-                one(1, i, 1, j, color)
+                one_rec(i, 1, j, 1, color)
+                one_rec(1, i, 1, j, color)
         print(f"color {ci}: {total - failures}/{total} ok", flush=True)
+    # compiled-path spot check: re-run a deterministic sample of the sweep
+    # through the jit/Pallas dispatch (the shipped check otherwise never
+    # touches the compiled path; full coverage would compile one program
+    # per size pair and take hours)
+    n_sample = getattr(args, "compiled_sample", 0)
+    if n_sample and backend == "numpy":
+        rng = np.random.default_rng(20260817)
+        idx = rng.choice(len(cases), size=min(n_sample, len(cases)),
+                         replace=False)
+        backend = "jax"
+        base_fail = failures
+        for i in idx:
+            wi, hi, wo, ho, color = cases[int(i)]
+            one(wi, hi, wo, ho, np.array(color, dtype=np.uint8))
+        print(f"compiled sample: {len(idx) - (failures - base_fail)}"
+              f"/{len(idx)} ok", flush=True)
     print(f"check: {total - failures}/{total} ok")
     return 1 if failures else 0
 
@@ -241,6 +263,10 @@ def main(argv=None) -> int:
                     help="run the complete upstream plan (all sizes; hours)")
     ck.add_argument("--colors", type=int, default=4,
                     help="number of canvas colors (upstream: 64)")
+    ck.add_argument("--compiled-sample", type=int, default=12,
+                    dest="compiled_sample",
+                    help="re-verify N sampled size pairs through the "
+                         "jit/Pallas dispatch (0 disables)")
 
     b = sub.add_parser("benchmark")
     b.add_argument("--width", type=int, default=1920)

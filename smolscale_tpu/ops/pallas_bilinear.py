@@ -656,6 +656,35 @@ def _span_mm_i8(x_i32, mat_i8, n_limbs, transpose=False):
     return out
 
 
+def _span_bias_factor(n_limbs8: int) -> int:
+    """Static multiplier for the biased-limb correction: 128 * sum(2**8l)."""
+    return 128 * sum(1 << (8 * l) for l in range(n_limbs8))
+
+
+def _span_mm_i8b(x_i32, mat_i8, corr, n_limbs8):
+    """Biased 8-bit-limb span sums on the int8 MXU.
+
+    Each 8-bit limb [0, 255] is biased by -128 into the signed int8 range,
+    so 8-bit limbs replace the unbiased path's 7-bit ones (one matmul for
+    byte values, two for 16-bit, vs two/three).  The bias is linear:
+    sum((x_i - 128) * m_i) = true_sum - 128 * colsum, so adding the static
+    per-column correction ``corr`` = _span_bias_factor(n) * colsum restores
+    exactness (per-limb int32 sums <= 128*nnz < 2**20 are exact; the
+    shifted recombination is mod-2**32 exact as in _span_mm_i8).
+    """
+    def mm(v):
+        return jnp.dot(
+            v.astype(jnp.int8), mat_i8, preferred_element_type=jnp.int32
+        )
+
+    out = mm((x_i32 & 0xFF) - 128)
+    if n_limbs8 >= 2:
+        out = out + (mm(((x_i32 >> 8) & 0xFF) - 128) << 8)
+    if n_limbs8 >= 3:
+        out = out + (mm(((x_i32 >> 16) & 0xFF) - 128) << 16)
+    return out + corr
+
+
 def _h_lerpmap_stage(ch, mh_i8, hfac_ref, geo, mask, n_limbs):
     """Lerp-first non-uniform H ladder: one elementwise lerp against the
     static per-lane factor map (each lane is the p-endpoint of at most one

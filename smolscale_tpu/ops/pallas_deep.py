@@ -53,6 +53,8 @@ from ..ops import fixedpoint as fp
 from ..plan import FilterType, ScalePlan
 from . import pallas_bilinear as pg  # _span_mm_i8, _round_up
 
+_ABLATE = None  # timing-only knob: "nohmm" | "noclass" | "nounpack"
+
 
 def _chunk_budget(plan: ScalePlan) -> int:
     """Per-chunk VMEM budget.  The linear-light prologue's dynamic-gather
@@ -117,21 +119,35 @@ def applicable(plan: ScalePlan) -> bool:
 
 
 def _general_chunk(plan: ScalePlan):
-    """(C, k) for the ragged-span path: 8-aligned chunk height and the
-    chunk count covering the tallest span (chunks need not divide spans --
-    rows outside [first, y1] are weight-0 by classification)."""
+    """(C, k) for the ragged-span path: chunk height and the chunk count
+    covering the tallest span from its C-aligned base (chunks need not
+    divide spans -- rows outside [first, y1] are weight-0 by
+    classification; C-aligned bases let the BlockSpec pipeline fetch
+    chunks as plain blocks)."""
     from ..backends.xla import _box_v_arrays
 
     w_pad = pg._round_up(plan.width_in, 128)
-    C = min(512, max(8, _chunk_budget(plan) // (w_pad * 4) // 8 * 8))
+    cap = min(512, max(8, _chunk_budget(plan) // (w_pad * 4) // 8 * 8))
     bv = _box_v_arrays(plan.y)
     ofs = np.asarray(plan.y.offsets, dtype=np.int64)
-    rbase = (bv["first_idx"] // 8) * 8
-    span = ofs[1:] - rbase + 1  # last V read is raw ofs[i+1]
-    k = int(-(-int(span.max()) // C))
-    if k > 4096:  # absurd; keep the XLA fallback
+
+    # C-aligned bases waste up to C-1 rows per span; pick the C (multiple
+    # of 8 up to the VMEM cap) minimizing fetched rows plus a per-step
+    # overhead charge (~64 row-equivalents per grid step keeps tiny C from
+    # exploding the step count), ties to the larger C
+    best = None
+    for C in range(8, cap + 1, 8):
+        rbase = (bv["first_idx"] // C) * C
+        span = ofs[1:] - rbase + 1  # last V read is raw ofs[i+1]
+        k = int(-(-int(span.max()) // C))
+        if k > 4096:
+            continue
+        key = (k * (C + 64), -C)
+        if best is None or key < best[0]:
+            best = (key, C, k)
+    if best is None:
         return None
-    return C, k
+    return best[1], best[2]
 
 
 def _unpack_plane(px, a_vals, inv_vals, ch_lane, in_layout, premul16,
@@ -317,15 +333,44 @@ def _built(plan: ScalePlan, batch: int):
     return fn
 
 
+def _accum_emit(acc_ref, o_ref, ch_lane, part, c, oi, k, span_mul_y,
+                norm_mask):
+    """Chunk partial-sum accumulate + final span-normalized row emit."""
+
+    @pl.when(c == 0)
+    def _init():
+        acc_ref[ch_lane : ch_lane + 1, :] = part
+
+    @pl.when(c > 0)
+    def _accum():
+        acc_ref[ch_lane : ch_lane + 1, :] = (
+            acc_ref[ch_lane : ch_lane + 1, :] + part
+        )
+
+    @pl.when(c == k - 1)
+    def _emit():
+        acc = acc_ref[ch_lane : ch_lane + 1, :]
+        o_ref[0, ch_lane, pl.ds(oi, 1)] = (
+            fp.mul_shift_round24(acc, jnp.int32(span_mul_y)) & norm_mask
+        )
+
+
 def _make_general_kernel(plan: ScalePlan, C: int, k: int, w_pad: int,
                          w_out_pad: int):
     """Ragged-span variant: V spans are irregular (non-integer ratios), so
-    chunks start at the span's 8-aligned base (manual double-buffered DMA,
-    scalar-prefetched) and every row classifies itself against the span's
+    chunks start at the span's C-aligned base (BlockSpec-pipelined via the
+    scalar-prefetched block index, so the pipeline double-buffers the
+    fetches) and every row classifies itself against the span's
     [first, y1] bounds with the reference's edge weights --
     scale_outrow_box_64bpp uses w2 on the last row, the 128bpp variant
     w2-1 with a w2 == 0 skip (generic.c:2112-2260); rows outside the span
-    (or in the zero padding past the image) contribute nothing."""
+    (or in the zero padding past the image) contribute nothing.
+
+    H runs edge-folded with biased 8-bit-limb int8 matmuls
+    (pallas_bilinear._span_mm_i8b): block A = {left-weighted}+mids on the
+    lw-folded input, block R = right one-hots on the raw input with the
+    per-output fractional weight applied AFTER the gather (saves a full
+    window-sized weight pass)."""
     in_layout = plan.meta_in.layout
     if plan.meta_in.n_bytes == 3:
         in_layout = in_layout + (3,)
@@ -338,52 +383,41 @@ def _make_general_kernel(plan: ScalePlan, C: int, k: int, w_pad: int,
     s64 = plan.storage == StorageType.S64
     norm_mask = 0xFF if s64 else 0xFFFF
     wmask_i = 0xFF if s64 else 0xFFFFFF
-    n_limbs = 3 if premul16 else 2
     linear = plan.gamma == GammaType.SRGB_LINEAR
+    # biased 8-bit limbs: byte values (compressed P8) take 1, 16-bit
+    # (PREMUL16 compressed) and 11-bit (P8L linear) take 2, PREMUL16
+    # linear (< 2**19) takes 3
+    if premul16:
+        nl8 = 3 if linear else 2
+    else:
+        nl8 = 2 if linear else 1
+    # raw-px path: compressed-gamma premultiplied(-class) input needs no
+    # per-channel transform, so the biased matmul limb IS the packed
+    # channel byte -- one 4-pass limb prep feeds all three matmuls
+    # ({left}+mids / left / right one-hots) and BOTH edges are corrected
+    # after the gather; the whole unpack + input-weight stage disappears
+    raw = (not linear) and (not premul16) and in_premul
 
-    def kernel(s_ref, x_any, m_ref, hf_ref, tbl_ref, o_ref, xwin, sem,
-               acc_ref):
-        b = pl.program_id(0)
+    def kernel(s_ref, x_ref, m_ref, hf_ref, tbl_ref, o_ref, acc_ref):
         oi = pl.program_id(1)
         c = pl.program_id(2)
-        nb, no, nk = pl.num_programs(0), pl.num_programs(1), pl.num_programs(2)
-        lin = (b * no + oi) * nk + c
-        slot = jax.lax.rem(lin, 2)
-
-        def dma(sl, bb, ii, cc):
-            r0 = pl.multiple_of(s_ref[ii, 0], 8) + cc * C
-            return pltpu.make_async_copy(
-                x_any.at[bb, pl.ds(r0, C), :], xwin.at[sl], sem.at[sl]
-            )
-
-        @pl.when(lin == 0)
-        def _first():
-            dma(slot, b, oi, c).start()
-
-        nxt = lin + 1
-
-        @pl.when(nxt < nb * no * nk)
-        def _ahead():
-            c2 = jax.lax.rem(nxt, nk)
-            rem = jax.lax.div(nxt, nk)
-            i2 = jax.lax.rem(rem, no)
-            b2 = jax.lax.div(rem, no)
-            dma(jax.lax.rem(nxt, 2), b2, i2, c2).start()
-
-        dma(slot, b, oi, c).wait()
-        px = xwin[slot]
+        px = x_ref[0]
         m8 = m_ref[...]
         tbl = tbl_ref[...]
         wmask = jnp.uint32(wmask_i)
         lw = hf_ref[0:1, :]
-        rf = hf_ref[1:2, :]
+        rf = hf_ref[1:2, :w_out_pad].astype(jnp.uint32)
+        corr_a = hf_ref[2:3, :w_out_pad]
+        corr_r = hf_ref[3:4, :w_out_pad]
+        lw_out = hf_ref[4:5, :w_out_pad].astype(jnp.uint32)
+        corr_l = hf_ref[5:6, :w_out_pad]
 
         first_i = s_ref[oi, 1]
         y1 = s_ref[oi, 2]
         w1 = s_ref[oi, 3].astype(jnp.uint32)
         w2 = s_ref[oi, 4]
         rows = (
-            s_ref[oi, 0]
+            s_ref[oi, 5] * C
             + c * C
             + jax.lax.broadcasted_iota(jnp.int32, (C, 1), 0)
         )
@@ -395,16 +429,60 @@ def _make_general_kernel(plan: ScalePlan, C: int, k: int, w_pad: int,
 
             inv_vals = pallas_srgb.lut_gather(a_vals, tbl[2:3], tbl[3:4])
         for ch_lane in range(4):
-            ch = _unpack_plane(px, a_vals, inv_vals, ch_lane, in_layout,
-                               premul16, in_premul, linear, tbl)
-            # edge-folded general H box (interp_horizontal_boxes,
-            # generic.c:1427-1556): elementwise lw/rf passes + two int8
-            # span matmuls ({left}+mids, right one-hots)
-            adj = fp.weight256(ch, lw, wmask_i)
-            zr = fp.weight256(ch, rf, wmask_i)
-            y = (pg._span_mm_i8(adj, m8[:, :w_out_pad], n_limbs)
-                 + pg._span_mm_i8(zr, m8[:, w_out_pad:], n_limbs))
-            hrow = fp.mul_shift_round24(y, jnp.int32(span_mul_x)) & norm_mask
+            if raw and _ABLATE is None:
+                byte_pos = in_layout.index(ch_lane)
+                biased = (
+                    ((px >> (8 * byte_pos)) & jnp.uint32(0xFF)).astype(
+                        jnp.int32
+                    )
+                    - 128
+                ).astype(jnp.int8)
+
+                def mm(mat):
+                    return jnp.dot(
+                        biased, mat, preferred_element_type=jnp.int32
+                    )
+
+                y_a = mm(m8[:, :w_out_pad]) + corr_a
+                y_l = mm(m8[:, w_out_pad : 2 * w_out_pad]) + corr_l
+                y_r = mm(m8[:, 2 * w_out_pad :]) + corr_r
+                y = (
+                    y_a
+                    - y_l
+                    + ((y_l.astype(jnp.uint32) * lw_out >> 8) & wmask
+                       ).astype(jnp.int32)
+                    + ((y_r.astype(jnp.uint32) * rf >> 8) & wmask
+                       ).astype(jnp.int32)
+                )
+                hrow = fp.mul_shift_round24(y, jnp.int32(span_mul_x)) & norm_mask
+            else:
+                if _ABLATE == "nounpack":
+                    ch = px.astype(jnp.int32) & 0xFF
+                else:
+                    ch = _unpack_plane(px, a_vals, inv_vals, ch_lane,
+                                       in_layout, premul16, in_premul,
+                                       linear, tbl)
+                if _ABLATE == "nohmm":
+                    hrow = ch[:, :w_out_pad]
+                else:
+                    adj = fp.weight256(ch, lw, wmask_i)
+                    y_a = pg._span_mm_i8b(adj, m8[:, :w_out_pad], corr_a, nl8)
+                    y_r = pg._span_mm_i8b(
+                        ch, m8[:, w_out_pad : 2 * w_out_pad]
+                        if raw else m8[:, w_out_pad:],
+                        corr_r, nl8,
+                    )
+                    y = y_a + (
+                        (y_r.astype(jnp.uint32) * rf >> 8) & wmask
+                    ).astype(jnp.int32)
+                    hrow = fp.mul_shift_round24(
+                        y, jnp.int32(span_mul_x)
+                    ) & norm_mask
+            if _ABLATE == "noclass":
+                part = jnp.sum(hrow, axis=0, keepdims=True)
+                _accum_emit(acc_ref, o_ref, ch_lane, part, c, oi, k,
+                            span_mul_y, norm_mask)
+                continue
             # V: per-row classification against the span bounds (additive,
             # so a one-row span counts its row as first AND last)
             hu = hrow.astype(jnp.uint32)
@@ -430,24 +508,8 @@ def _make_general_kernel(plan: ScalePlan, C: int, k: int, w_pad: int,
                     0,
                 )
             part = jnp.sum(contrib, axis=0, keepdims=True)
-
-            @pl.when(c == 0)
-            def _init():
-                acc_ref[ch_lane : ch_lane + 1, :] = part
-
-            @pl.when(c > 0)
-            def _accum():
-                acc_ref[ch_lane : ch_lane + 1, :] = (
-                    acc_ref[ch_lane : ch_lane + 1, :] + part
-                )
-
-            @pl.when(c == k - 1)
-            def _emit():
-                acc = acc_ref[ch_lane : ch_lane + 1, :]
-                o_ref[0, ch_lane, pl.ds(oi, 1)] = (
-                    fp.mul_shift_round24(acc, jnp.int32(span_mul_y))
-                    & norm_mask
-                )
+            _accum_emit(acc_ref, o_ref, ch_lane, part, c, oi, k,
+                        span_mul_y, norm_mask)
 
     return kernel
 
@@ -462,33 +524,55 @@ def _built_general(plan: ScalePlan, batch: int):
     w_pad = pg._round_up(w_in, 128)
     w_out_pad = pg._round_up(w_out, 128)
 
-    # Edge-folded ragged H (see pallas_bilinear._h_box_fold_stage): block A
-    # = {left}+mids, block R = right one-hots; per-lane lw (identity 256) /
-    # rf (default 0) weight maps -- two w_out_pad-column int8 matmuls
-    # instead of one 3*w_out_pad matmul.
+    # Edge-folded ragged H: block A = {left-weighted}+mids (lw folded into
+    # the input, identity 256 on interiors), block R = right one-hots with
+    # the fractional weight applied after the gather.  Both blocks ride
+    # biased 8-bit-limb int8 matmuls (_span_mm_i8b) with static per-column
+    # corrections.
+    premul16 = plan.internal_alpha == AlphaType.PREMUL16
+    linear = plan.gamma == GammaType.SRGB_LINEAR
+    in_premul = plan.meta_in.alpha == AlphaType.PREMUL8
+    nl8 = (3 if linear else 2) if premul16 else (2 if linear else 1)
+    raw = (not linear) and (not premul16) and in_premul
     bh = _box_h_arrays(plan.x)
-    m3 = np.zeros((w_pad, 2 * w_out_pad), dtype=np.int8)
-    hf = np.zeros((2, w_pad), dtype=np.int32)
-    hf[0, :] = 256
+    n_blk = 3 if raw else 2  # raw adds the left one-hot block
+    m3 = np.zeros((w_pad, n_blk * w_out_pad), dtype=np.int8)
+    hf = np.zeros((8, w_pad), dtype=np.int32)
+    hf[0, :] = 256  # lw map identity (fold path)
+    r_blk = (2 if raw else 1) * w_out_pad
     for j in range(w_out):
         ms, ml = int(bh["mid_start"][j]), int(bh["mid_len"][j])
         li, ri = int(bh["left_idx"][j]), int(bh["right_idx"][j])
         m3[ms : ms + ml, j] = 1
         m3[li, j] = 1
-        m3[ri, w_out_pad + j] = 1
-        hf[0, li] = int(bh["left_w"][j])
-        hf[1, ri] = int(bh["fracs"][j])
+        m3[ri, r_blk + j] = 1
+        if raw:
+            m3[li, w_out_pad + j] = 1
+            hf[4, j] = int(bh["left_w"][j])
+        else:
+            hf[0, li] = int(bh["left_w"][j])
+        hf[1, j] = int(bh["fracs"][j])
+    bias = pg._span_bias_factor(nl8)
+    # corrections live mod 2**32 (the accumulator contract); wrap to int32
+    def _corr(block):
+        v = (block.astype(np.int64).sum(0) * bias) & 0xFFFFFFFF
+        return v.astype(np.uint32).astype(np.int32)
+
+    hf[2, :w_out_pad] = _corr(m3[:, :w_out_pad])
+    hf[3, :w_out_pad] = _corr(m3[:, r_blk : r_blk + w_out_pad])
+    if raw:
+        hf[5, :w_out_pad] = _corr(m3[:, w_out_pad : 2 * w_out_pad])
 
     bv = _box_v_arrays(plan.y)
     ofs = np.asarray(plan.y.offsets, dtype=np.int64)
-    scal = np.zeros((h_out, 5), dtype=np.int32)
-    scal[:, 0] = (bv["first_idx"] // 8) * 8  # 8-aligned DMA base
+    scal = np.zeros((h_out, 6), dtype=np.int32)
     scal[:, 1] = bv["first_idx"]
     scal[:, 2] = ofs[1 : h_out + 1]  # raw y1 (padded rows read as zeros)
     scal[:, 3] = bv["w1"]
     scal[:, 4] = bv["w2"]
+    scal[:, 5] = bv["first_idx"] // C  # C-aligned base block index
     h_pad = max(
-        pg._round_up(h_in, 8), int(scal[:, 0].max()) + k * C
+        pg._round_up(h_in, 8), (int(scal[:, 5].max()) + k) * C
     )
 
     kernel = _make_general_kernel(plan, C, k, w_pad, w_out_pad)
@@ -498,13 +582,20 @@ def _built_general(plan: ScalePlan, batch: int):
         num_scalar_prefetch=1,
         grid=grid,
         in_specs=[
-            pl.BlockSpec(memory_space=pltpu.HBM),
+            # chunk blocks addressed through the scalar-prefetched base
+            # block index: the pipeline double-buffers the fetches (the
+            # old manual-DMA form serialized a VMEM copy per chunk)
             pl.BlockSpec(
-                (w_pad, 2 * w_out_pad), lambda b, oi, c, *_: (0, 0),
+                (1, C, w_pad),
+                lambda b, oi, c, s: (b, s[oi, 5] + c, 0),
                 memory_space=pltpu.VMEM,
             ),
             pl.BlockSpec(
-                (2, w_pad), lambda b, oi, c, *_: (0, 0),
+                m3.shape, lambda b, oi, c, *_: (0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(
+                (8, w_pad), lambda b, oi, c, *_: (0, 0),
                 memory_space=pltpu.VMEM,
             ),
             pl.BlockSpec(
@@ -517,8 +608,6 @@ def _built_general(plan: ScalePlan, batch: int):
             memory_space=pltpu.VMEM,
         ),
         scratch_shapes=[
-            pltpu.VMEM((2, C, w_pad), jnp.uint32),
-            pltpu.SemaphoreType.DMA((2,)),
             pltpu.VMEM((8, w_out_pad), jnp.int32),
         ],
     )
