@@ -116,12 +116,12 @@ def _make_kernel(plan: ScalePlan, geo):
                 )
             elif geo["h_lmap"]:
                 s = pg._h_lerpmap_stage(
-                    ch, mh, hfac_ref, geo, MASK, 3 if premul16 else 2
+                    ch, mh, hfac_ref, geo, MASK, geo["l8_in"]
                 )
             elif geo["h_is_box"]:
                 s = pg._h_box_fold_stage(
                     ch, mh, hfac_ref, geo, span_mul_x, MASK, 0xFFFF,
-                    3 if premul16 else 2,
+                    geo["l8_in"],
                 )
             else:
                 y = pg._gather_mm(ch, mh, h_limbs)
@@ -135,13 +135,12 @@ def _make_kernel(plan: ScalePlan, geo):
                 sv = pg._v_uniform_ladder_stage(s, geo, MASK)
             elif geo["v_lmap"]:
                 sv = pg._v_lerpmap_stage(
-                    s, mv, vfac_ref, geo, MASK,
-                    3 if (premul16 or geo["h_is_box"]) else 2,
+                    s, mv, vfac_ref, geo, MASK, geo["l8_v"]
                 )
             elif geo["v_is_box"]:
                 sv = pg._v_box_fold_stage(
                     s, mv, vfac_ref, geo, span_mul_y, MASK, 0xFFFF,
-                    3 if (premul16 or geo["h_is_box"]) else 2,
+                    geo["l8_v"],
                 )
             else:
                 yv = pg._gather_mm(s, mv, v_limbs, transpose=True)

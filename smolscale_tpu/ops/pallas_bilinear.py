@@ -41,9 +41,37 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from ..formats import AlphaType, StorageType
+from ..formats import AlphaType, GammaType, StorageType
 from ..ops import fixedpoint as fp
 from ..plan import FilterType, ScalePlan
+
+
+def _limbs8(plan: ScalePlan, post_h: bool) -> int:
+    """Biased-8-bit-limb count for the filter-stage operand bound.
+
+    S64 values are bytes (1 limb).  128bpp: PREMUL16-linear < 2**19 (3),
+    PREMUL16-compressed <= 65408 and P8L-linear <= 2047 (2),
+    PREMUL8-compressed deep-box bytes (1); V stages behind a box H see the
+    <= 0xFFFF normalized values (2).
+    """
+    if plan.storage == StorageType.S64:
+        return 1
+    premul16 = plan.internal_alpha == AlphaType.PREMUL16
+    linear = plan.gamma == GammaType.SRGB_LINEAR
+    if post_h and plan.x.filter == FilterType.BOX:
+        return 2
+    if premul16:
+        return 3 if linear else 2
+    return 2 if linear else 1
+
+
+def _wrap_i32(v):
+    """mod-2**32 bias corrections as int32 (the accumulator contract)."""
+    return (
+        (np.asarray(v, dtype=np.int64) & 0xFFFFFFFF)
+        .astype(np.uint32)
+        .astype(np.int32)
+    )
 
 
 _ABLATE = None  # timing-only stage ablation knob (benchmarks/probe_bilinear_ablate)
@@ -78,8 +106,17 @@ def applicable(plan: ScalePlan) -> bool:
     # landed (measured vs the XLA segment matmuls: 18.3 vs 12.5 Gpix/s at
     # 13.7:1, 14.2 vs 10.2 at 9.1:1, 24.6 vs 21.2 at 51:1; under the old
     # small-t geometry this kernel used to lose, 10.7 vs 12.7).
-    geo = _geometry(plan, uniform_ok=True)
+    geo = _geometry(plan, uniform_ok=True, **_geo_kw(plan))
     return geo is not None
+
+
+def _geo_kw(plan: ScalePlan) -> dict:
+    """Per-class geometry overrides (none currently: widening column
+    tiles for COPY-H plans was measured SLOWER on v5e -- strip config
+    4096^2 -> 4096x256 ran 32.1 Gpix/s at jc_out=256 vs 28.9 at 1024,
+    the narrow tiles pipeline DMA/compute better despite 8x the grid
+    steps)."""
+    return {}
 
 
 @functools.cache
@@ -478,12 +515,17 @@ def _geometry_for_t(plan: ScalePlan, t: int, jc_out_max: int = 256,
         hfac = np.zeros((n_ct, 1, 1), dtype=np.int32)
     elif h_lmap is not None:
         # lerp-first: int8 count matrix (win_c, jc_out); the per-lane
-        # factor map rides the hfac slot (8 sublanes for block alignment)
+        # factor map rides hfac row 0, the bias correction row 1
         fmap, mat = h_lmap
         mh = mat
         hfac = np.broadcast_to(
             fmap[:, None, :], (n_ct, 8, win_c)
         ).copy().astype(np.int32)
+        hfac[:, 1, :] = 0
+        hfac[:, 1, :jc_out] = _wrap_i32(
+            mat.astype(np.int64).sum(axis=1)
+            * _span_bias_factor(_limbs8(plan, False))
+        )
     elif h_is_box:
         # Edge-folded general box (round-3): per-lane weight maps replace
         # the [left|right] one-hot blocks.  A lane is the left edge of at
@@ -511,6 +553,13 @@ def _geometry_for_t(plan: ScalePlan, t: int, jc_out_max: int = 256,
                 mh[g, ri, jc_out + j] = 1
                 hfac[g, 0, li] = int(bh["left_w"][oj])
                 hfac[g, 1, ri] = int(bh["fracs"][oj])
+        bias_h = _span_bias_factor(_limbs8(plan, False))
+        hfac[:, 2, :jc_out] = _wrap_i32(
+            mh[:, :, :jc_out].astype(np.int64).sum(axis=1) * bias_h
+        )
+        hfac[:, 3, :jc_out] = _wrap_i32(
+            mh[:, :, jc_out:].astype(np.int64).sum(axis=1) * bias_h
+        )
     else:
         mh = np.zeros((n_ct, win_c, jc), dtype=np.float32)
         hfac = np.zeros((n_ct, 2, jc), dtype=np.int32)  # unused for ladders
@@ -533,12 +582,17 @@ def _geometry_for_t(plan: ScalePlan, t: int, jc_out_max: int = 256,
     tv = t << kv
     if v_lmap is not None:
         # lerp-first V: int8 count matrix (t, win_r); per-row factor map
-        # rides the vfac slot as (win_r, 128) lanes-broadcast
+        # rides vfac lane 0-broadcast, bias correction lane 2
         fmap_v, mat_v = v_lmap
         mv = np.transpose(mat_v, (0, 2, 1)).copy()  # (n_rg, t, win_r) int8
         vfac = np.broadcast_to(
             fmap_v[:, :, None], (n_rg, win_r, 128)
         ).copy().astype(np.int32)
+        vfac[:, :, 2] = 0
+        vfac[:, :t, 2] = _wrap_i32(
+            mv.astype(np.int64).sum(axis=2)
+            * _span_bias_factor(_limbs8(plan, True))
+        )
     elif v_uni_any:
         # no V matrix: the kernel reduces spans with a sublane reshape
         mv = np.zeros((n_rg, 1, 1), dtype=np.float32)
@@ -566,6 +620,13 @@ def _geometry_for_t(plan: ScalePlan, t: int, jc_out_max: int = 256,
                 vfac[g, fi, 0] = int(bv["w1"][oi])
                 w2 = int(bv["w2"][oi])
                 vfac[g, la, 1] = max(w2 - 1, 0) if s128 else w2
+        bias_v = _span_bias_factor(_limbs8(plan, True))
+        vfac[:, :t, 2] = _wrap_i32(
+            mv[:, :t].astype(np.int64).sum(axis=2) * bias_v
+        )
+        vfac[:, :t, 3] = _wrap_i32(
+            mv[:, t:].astype(np.int64).sum(axis=2) * bias_v
+        )
     else:
         mv = np.zeros((n_rg, tv, win_r), dtype=np.float32)
         vfac = np.zeros((n_rg, tv, 2), dtype=np.int32)  # unused for ladders
@@ -594,6 +655,7 @@ def _geometry_for_t(plan: ScalePlan, t: int, jc_out_max: int = 256,
         v_last_short=bool(v_uniform and int(plan.y.strides[-1]) == r_y - 2),
         h_lad=h_lad, v_lad=v_lad,
         h_lmap=h_lmap is not None, v_lmap=v_lmap is not None,
+        l8_in=_limbs8(plan, False), l8_v=_limbs8(plan, True),
         span_mul_x=int(plan.x.span_mul), span_mul_y=int(plan.y.span_mul),
     )
 
@@ -661,7 +723,7 @@ def _span_bias_factor(n_limbs8: int) -> int:
     return 128 * sum(1 << (8 * l) for l in range(n_limbs8))
 
 
-def _span_mm_i8b(x_i32, mat_i8, corr, n_limbs8):
+def _span_mm_i8b(x_i32, mat_i8, corr, n_limbs8, transpose=False):
     """Biased 8-bit-limb span sums on the int8 MXU.
 
     Each 8-bit limb [0, 255] is biased by -128 into the signed int8 range,
@@ -671,11 +733,13 @@ def _span_mm_i8b(x_i32, mat_i8, corr, n_limbs8):
     per-column correction ``corr`` = _span_bias_factor(n) * colsum restores
     exactness (per-limb int32 sums <= 128*nnz < 2**20 are exact; the
     shifted recombination is mod-2**32 exact as in _span_mm_i8).
+    ``transpose`` computes mat @ x with per-row-sum corrections.
     """
     def mm(v):
-        return jnp.dot(
-            v.astype(jnp.int8), mat_i8, preferred_element_type=jnp.int32
-        )
+        vb = v.astype(jnp.int8)
+        if transpose:
+            return jnp.dot(mat_i8, vb, preferred_element_type=jnp.int32)
+        return jnp.dot(vb, mat_i8, preferred_element_type=jnp.int32)
 
     out = mm((x_i32 & 0xFF) - 128)
     if n_limbs8 >= 2:
@@ -685,60 +749,70 @@ def _span_mm_i8b(x_i32, mat_i8, corr, n_limbs8):
     return out + corr
 
 
-def _h_lerpmap_stage(ch, mh_i8, hfac_ref, geo, mask, n_limbs):
+def _h_lerpmap_stage(ch, mh_i8, hfac_ref, geo, mask, n_limbs8):
     """Lerp-first non-uniform H ladder: one elementwise lerp against the
     static per-lane factor map (each lane is the p-endpoint of at most one
     distinct sample -- offsets strictly increase for downscale ladders),
-    then the gather + 2**kh-sample ladder sum as a single int8 count-matrix
-    matmul with jc_out columns (vs the dense weighted gather's jc)."""
+    then the gather + 2**kh-sample ladder sum as a single biased int8
+    count-matrix matmul with jc_out columns (vs the dense weighted
+    gather's jc).  Per-column bias correction rides hfac row 1."""
     f = hfac_ref[0, 0:1, :]  # (1, win_c), broadcasts over rows
+    corr = hfac_ref[0, 1:2, : geo["jc_out"]]
     q = jnp.roll(ch, -1, axis=1)
     lerped = fp.lerp256(ch, q, f, mask)
-    y = _span_mm_i8(lerped, mh_i8, n_limbs)
+    y = _span_mm_i8b(lerped, mh_i8, corr, n_limbs8)
     kh = geo["kh"]
     return ((y >> kh) & mask) if kh else y
 
 
-def _v_lerpmap_stage(s, mv_i8, vfac_ref, geo, mask, n_limbs):
+def _v_lerpmap_stage(s, mv_i8, vfac_ref, geo, mask, n_limbs8):
     """Lerp-first non-uniform V ladder (sublane roll + per-row factor map,
-    then the int8 count-matrix ladder matmul)."""
+    then the biased int8 count-matrix ladder matmul; per-row corrections
+    ride vfac lane 2)."""
     f = vfac_ref[0][:, 0:1]  # (win_r, 1), broadcasts over lanes
+    corr = vfac_ref[0][: geo["t"], 2:3]
     q = jnp.roll(s, -1, axis=0)
     lerped = fp.lerp256(s, q, f, mask)
-    y = _span_mm_i8(lerped, mv_i8, n_limbs, transpose=True)
+    y = _span_mm_i8b(lerped, mv_i8, corr, n_limbs8, transpose=True)
     kv = geo["kv"]
     return ((y >> kv) & mask) if kv else y
 
 
 def _h_box_fold_stage(ch, mh_i8, hfac_ref, geo, span_mul_x, wmask,
-                      norm_mask, n_limbs):
+                      norm_mask, n_limbs8):
     """Edge-folded general H box: elementwise lw/rf weight passes (identity
-    256 on interior lanes, default 0 for rf) + two int8 span matmuls
-    ({left}+mids block, right one-hot block), then span normalization --
-    byte-identical to interp_horizontal_boxes + scale (generic.c:1427-1556,
-    1231-1261) since (v*256)>>8 == v and each lane holds at most one
-    left-role and one right-role weight."""
+    256 on interior lanes, default 0 for rf) + two biased int8 span
+    matmuls ({left}+mids block, right one-hot block), then span
+    normalization -- byte-identical to interp_horizontal_boxes + scale
+    (generic.c:1427-1556, 1231-1261) since (v*256)>>8 == v and each lane
+    holds at most one left-role and one right-role weight.  Bias
+    corrections ride hfac rows 2 (A block) and 3 (R block)."""
     jc_out = geo["jc_out"]
     lw = hfac_ref[0, 0:1, :]
     rf = hfac_ref[0, 1:2, :]
+    corr_a = hfac_ref[0, 2:3, :jc_out]
+    corr_r = hfac_ref[0, 3:4, :jc_out]
     adj = fp.weight256(ch, lw, wmask)
     zr = fp.weight256(ch, rf, wmask)
-    y = (_span_mm_i8(adj, mh_i8[:, :jc_out], n_limbs)
-         + _span_mm_i8(zr, mh_i8[:, jc_out:], n_limbs))
+    y = (_span_mm_i8b(adj, mh_i8[:, :jc_out], corr_a, n_limbs8)
+         + _span_mm_i8b(zr, mh_i8[:, jc_out:], corr_r, n_limbs8))
     return _mul_shift_round24(y, jnp.int32(span_mul_x)) & norm_mask
 
 
 def _v_box_fold_stage(s, mv_i8, vfac_ref, geo, span_mul_y, wmask,
-                      norm_mask, n_limbs):
+                      norm_mask, n_limbs8):
     """Edge-folded general V box (w1/w2 maps in vfac lanes 0/1; the 128bpp
-    w2-1-with-skip rule is pre-folded into the map by the geometry)."""
+    w2-1-with-skip rule is pre-folded into the map by the geometry; bias
+    corrections per output row in vfac lanes 2 (A) and 3 (R))."""
     t = geo["t"]
     w1 = vfac_ref[0][:, 0:1]
     w2 = vfac_ref[0][:, 1:2]
+    corr_a = vfac_ref[0][:t, 2:3]
+    corr_r = vfac_ref[0][:t, 3:4]
     adj = fp.weight256(s, w1, wmask)
     zr = fp.weight256(s, w2, wmask)
-    yv = (_span_mm_i8(adj, mv_i8[:t], n_limbs, transpose=True)
-          + _span_mm_i8(zr, mv_i8[t:], n_limbs, transpose=True))
+    yv = (_span_mm_i8b(adj, mv_i8[:t], corr_a, n_limbs8, transpose=True)
+          + _span_mm_i8b(zr, mv_i8[t:], corr_r, n_limbs8, transpose=True))
     return _mul_shift_round24(yv, jnp.int32(span_mul_y)) & norm_mask
 
 
@@ -958,10 +1032,10 @@ def _make_kernel(plan: ScalePlan, geo):
             elif geo["h_lad"] is not None:
                 s = _h_uniform_ladder_stage(ch, mh, geo, 0xFF, 2)
             elif geo["h_lmap"]:
-                s = _h_lerpmap_stage(ch, mh, hfac_ref, geo, 0xFF, 2)
+                s = _h_lerpmap_stage(ch, mh, hfac_ref, geo, 0xFF, 1)
             elif h_is_box:
                 s = _h_box_fold_stage(
-                    ch, mh, hfac_ref, geo, span_mul_x, 0xFF, 0xFF, 2
+                    ch, mh, hfac_ref, geo, span_mul_x, 0xFF, 0xFF, 1
                 )
             else:
                 y = jnp.dot(ch.astype(jnp.bfloat16), mh,
@@ -982,10 +1056,10 @@ def _make_kernel(plan: ScalePlan, geo):
             elif geo["v_lad"] is not None:
                 sv = _v_uniform_ladder_stage(s, geo, 0xFF)
             elif geo["v_lmap"]:
-                sv = _v_lerpmap_stage(s, mv, vfac_ref, geo, 0xFF, 2)
+                sv = _v_lerpmap_stage(s, mv, vfac_ref, geo, 0xFF, 1)
             elif v_is_box:
                 sv = _v_box_fold_stage(
-                    s, mv, vfac_ref, geo, span_mul_y, 0xFF, 0xFF, 2
+                    s, mv, vfac_ref, geo, span_mul_y, 0xFF, 0xFF, 1
                 )
             else:
                 yv = jnp.dot(
@@ -1002,7 +1076,7 @@ def _make_kernel(plan: ScalePlan, geo):
 
 @functools.cache
 def _built(plan: ScalePlan, batch: int):
-    geo = _geometry(plan, uniform_ok=True)
+    geo = _geometry(plan, uniform_ok=True, **_geo_kw(plan))
     kernel = _make_kernel(plan, geo)
     t, jc_out = geo["t"], geo["jc_out"]
     grid = (batch, geo["n_rg"], geo["n_ct"])

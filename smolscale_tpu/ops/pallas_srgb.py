@@ -217,12 +217,12 @@ def _make_kernel(plan: ScalePlan, geo):
                 # lerped values stay within the input bound (convexity):
                 # PREMUL16 < 2**19 -> 3 7-bit limbs, P8L <= 2047 -> 2
                 s = pg._h_lerpmap_stage(
-                    ch, mh, hfac_ref, geo, MASK, 3 if premul16 else 2
+                    ch, mh, hfac_ref, geo, MASK, geo["l8_in"]
                 )
             elif h_is_box:
                 s = pg._h_box_fold_stage(
                     ch, mh, hfac_ref, geo, span_mul_x, MASK, 0xFFFF,
-                    3 if premul16 else 2,
+                    geo["l8_in"],
                 )
             else:
                 y = pg._gather_mm(ch, mh, h_limbs(lane))
@@ -238,13 +238,12 @@ def _make_kernel(plan: ScalePlan, geo):
             elif geo["v_lmap"]:
                 # box-H output <= 0xFFFF needs 3 limbs like PREMUL16
                 sv = pg._v_lerpmap_stage(
-                    s, mv, vfac_ref, geo, MASK,
-                    3 if (premul16 or h_is_box) else 2,
+                    s, mv, vfac_ref, geo, MASK, geo["l8_v"]
                 )
             elif v_is_box:
                 sv = pg._v_box_fold_stage(
                     s, mv, vfac_ref, geo, span_mul_y, MASK, 0xFFFF,
-                    3 if (premul16 or h_is_box) else 2,
+                    geo["l8_v"],
                 )
             else:
                 yv = pg._gather_mm(s, mv, v_limbs(lane), transpose=True)
