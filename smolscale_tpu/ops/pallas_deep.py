@@ -514,21 +514,20 @@ def _make_general_kernel(plan: ScalePlan, C: int, k: int, w_pad: int,
     return kernel
 
 
-@functools.cache
-def _built_general(plan: ScalePlan, batch: int):
-    from ..backends.xla import _box_h_arrays, _box_v_arrays
+def _ragged_h_tables(plan: ScalePlan, w_pad: int, w_out_pad: int):
+    """(m3, hf, raw): edge-folded ragged-H matrices + weight/correction
+    rows, shared by the span-centric and chunk-centric ragged kernels.
 
-    C, k = _general_chunk(plan)
-    w_in, h_in = plan.width_in, plan.height_in
-    w_out, h_out = plan.width_out, plan.height_out
-    w_pad = pg._round_up(w_in, 128)
-    w_out_pad = pg._round_up(w_out, 128)
+    Block A = {left-weighted}+mids (lw folded into the input, identity
+    256 on interiors), block R = right one-hots with the fractional
+    weight applied after the gather.  The raw-px path adds a left
+    one-hot block L and corrects BOTH edges post-gather.  All blocks
+    ride biased 8-bit-limb int8 matmuls (_span_mm_i8b) with static
+    per-column corrections.
+    """
+    from ..backends.xla import _box_h_arrays
 
-    # Edge-folded ragged H: block A = {left-weighted}+mids (lw folded into
-    # the input, identity 256 on interiors), block R = right one-hots with
-    # the fractional weight applied after the gather.  Both blocks ride
-    # biased 8-bit-limb int8 matmuls (_span_mm_i8b) with static per-column
-    # corrections.
+    w_out = plan.width_out
     premul16 = plan.internal_alpha == AlphaType.PREMUL16
     linear = plan.gamma == GammaType.SRGB_LINEAR
     in_premul = plan.meta_in.alpha == AlphaType.PREMUL8
@@ -562,6 +561,19 @@ def _built_general(plan: ScalePlan, batch: int):
     hf[3, :w_out_pad] = _corr(m3[:, r_blk : r_blk + w_out_pad])
     if raw:
         hf[5, :w_out_pad] = _corr(m3[:, w_out_pad : 2 * w_out_pad])
+    return m3, hf, raw
+
+
+@functools.cache
+def _built_general(plan: ScalePlan, batch: int):
+    from ..backends.xla import _box_v_arrays
+
+    C, k = _general_chunk(plan)
+    w_in, h_in = plan.width_in, plan.height_in
+    w_out, h_out = plan.width_out, plan.height_out
+    w_pad = pg._round_up(w_in, 128)
+    w_out_pad = pg._round_up(w_out, 128)
+    m3, hf, _raw = _ragged_h_tables(plan, w_pad, w_out_pad)
 
     bv = _box_v_arrays(plan.y)
     ofs = np.asarray(plan.y.offsets, dtype=np.int64)
@@ -648,12 +660,296 @@ def _built_general(plan: ScalePlan, batch: int):
     return fn
 
 
+def _chunk_centric(plan: ScalePlan):
+    """(C, n_chunks) for the chunk-centric ragged walk, or None.
+
+    Requires every V span to be at least C rows tall (then a chunk
+    intersects at most two spans), which holds across the deep band; the
+    chunks tile the image exactly once -- no per-span base alignment, no
+    re-fetched overlap rows, and one grid step per chunk instead of
+    k per output row.
+    """
+    from ..backends.xla import _box_v_arrays
+
+    w_pad = pg._round_up(plan.width_in, 128)
+    cap = min(512, max(8, _chunk_budget(plan) // (w_pad * 4) // 8 * 8))
+    bv = _box_v_arrays(plan.y)
+    ofs = np.asarray(plan.y.offsets, dtype=np.int64)
+    first = np.asarray(bv["first_idx"], dtype=np.int64)
+    y1 = ofs[1 : plan.height_out + 1]
+    min_d = int((y1 - first).min())
+    C = min(cap, (min_d // 8) * 8)
+    if C < 8:
+        return None
+    n_chunks = -(-plan.height_in // C)
+    return C, n_chunks
+
+
+def _make_chunk_kernel(plan: ScalePlan, C: int, w_pad: int, w_out_pad: int):
+    """Chunk-centric ragged deep box: grid (batch, chunk) walks the image
+    once; each chunk's rows classify into the (at most two) spans the
+    chunk intersects -- candidate A always, candidate B when the next
+    span starts inside the chunk.  Span state lives in a 2-slot (per
+    lane) accumulator keyed by span parity; a span is initialized by the
+    chunk containing its first row and emitted (normalized) by the chunk
+    containing its last.  Same per-row edge-weight classification as the
+    span-centric kernel (scale_outrow_box_*, generic.c:2112-2260)."""
+    in_layout = plan.meta_in.layout
+    if plan.meta_in.n_bytes == 3:
+        in_layout = in_layout + (3,)
+    alpha_byte = in_layout.index(3)
+    premul16 = plan.internal_alpha == AlphaType.PREMUL16
+    in_premul = plan.meta_in.alpha == AlphaType.PREMUL8
+    span_mul_x = int(plan.x.span_mul)
+    span_mul_y = int(plan.y.span_mul)
+    s64 = plan.storage == StorageType.S64
+    norm_mask = 0xFF if s64 else 0xFFFF
+    wmask_i = 0xFF if s64 else 0xFFFFFF
+    linear = plan.gamma == GammaType.SRGB_LINEAR
+    nl8 = (3 if linear else 2) if premul16 else (2 if linear else 1)
+    raw = (not linear) and (not premul16) and in_premul
+
+    def kernel(s_ref, x_ref, m_ref, hf_ref, tbl_ref, o_ref, acc_ref):
+        c = pl.program_id(1)
+        px = x_ref[0]
+        m8 = m_ref[...]
+        tbl = tbl_ref[...]
+        wmask = jnp.uint32(wmask_i)
+        lw = hf_ref[0:1, :]
+        rf = hf_ref[1:2, :w_out_pad].astype(jnp.uint32)
+        corr_a = hf_ref[2:3, :w_out_pad]
+        corr_r = hf_ref[3:4, :w_out_pad]
+        lw_out = hf_ref[4:5, :w_out_pad].astype(jnp.uint32)
+        corr_l = hf_ref[5:6, :w_out_pad]
+        rows = c * C + jax.lax.broadcasted_iota(jnp.int32, (C, 1), 0)
+
+        a_vals = ((px >> (8 * alpha_byte)) & jnp.uint32(0xFF)).astype(jnp.int32)
+        inv_vals = None
+        if linear and in_premul:
+            from . import pallas_srgb
+
+            inv_vals = pallas_srgb.lut_gather(a_vals, tbl[2:3], tbl[3:4])
+        for ch_lane in range(4):
+            if raw:
+                byte_pos = in_layout.index(ch_lane)
+                biased = (
+                    ((px >> (8 * byte_pos)) & jnp.uint32(0xFF)).astype(
+                        jnp.int32
+                    )
+                    - 128
+                ).astype(jnp.int8)
+
+                def mm(mat):
+                    return jnp.dot(
+                        biased, mat, preferred_element_type=jnp.int32
+                    )
+
+                y_a = mm(m8[:, :w_out_pad]) + corr_a
+                y_l = mm(m8[:, w_out_pad : 2 * w_out_pad]) + corr_l
+                y_r = mm(m8[:, 2 * w_out_pad :]) + corr_r
+                y = (
+                    y_a
+                    - y_l
+                    + ((y_l.astype(jnp.uint32) * lw_out >> 8) & wmask
+                       ).astype(jnp.int32)
+                    + ((y_r.astype(jnp.uint32) * rf >> 8) & wmask
+                       ).astype(jnp.int32)
+                )
+            else:
+                ch = _unpack_plane(px, a_vals, inv_vals, ch_lane, in_layout,
+                                   premul16, in_premul, linear, tbl)
+                adj = fp.weight256(ch, lw, wmask_i)
+                y_a = pg._span_mm_i8b(adj, m8[:, :w_out_pad], corr_a, nl8)
+                y_r = pg._span_mm_i8b(ch, m8[:, w_out_pad:], corr_r, nl8)
+                y = y_a + (
+                    (y_r.astype(jnp.uint32) * rf >> 8) & wmask
+                ).astype(jnp.int32)
+            hrow = fp.mul_shift_round24(y, jnp.int32(span_mul_x)) & norm_mask
+            hu = hrow.astype(jnp.uint32)
+
+            def classify(first_i, y1_i, w1, w2p):
+                contrib = jnp.where((rows > first_i) & (rows < y1_i), hrow, 0)
+                contrib = contrib + jnp.where(
+                    rows == first_i,
+                    ((hu * w1 >> 8) & wmask).astype(jnp.int32), 0,
+                )
+                contrib = contrib + jnp.where(
+                    rows == y1_i,
+                    ((hu * w2p >> 8) & wmask).astype(jnp.int32), 0,
+                )
+                return jnp.sum(contrib, axis=0, keepdims=True)
+
+            # candidate A: scal cols [0]=idx [1]=first [2]=y1 [3]=w1
+            # [4]=w2' [5]=init [6]=emit
+            idx_a = s_ref[c, 0]
+            part_a = classify(
+                s_ref[c, 1], s_ref[c, 2],
+                s_ref[c, 3].astype(jnp.uint32), s_ref[c, 4].astype(jnp.uint32),
+            )
+            row_a = ch_lane * 2 + jax.lax.rem(idx_a, 2)
+
+            @pl.when(s_ref[c, 5] == 1)
+            def _init_a():
+                acc_ref[pl.ds(row_a, 1), :] = part_a
+
+            @pl.when(s_ref[c, 5] == 0)
+            def _acc_a():
+                acc_ref[pl.ds(row_a, 1), :] = (
+                    acc_ref[pl.ds(row_a, 1), :] + part_a
+                )
+
+            @pl.when(s_ref[c, 6] == 1)
+            def _emit_a():
+                acc = acc_ref[pl.ds(row_a, 1), :]
+                o_ref[0, ch_lane, pl.ds(idx_a, 1)] = (
+                    fp.mul_shift_round24(acc, jnp.int32(span_mul_y))
+                    & norm_mask
+                )
+
+            # candidate B (next span starting inside this chunk): cols
+            # [7]=valid(==init) [8]=idx [9]=first [10]=y1 [11]=w1 [12]=w2'
+            # -- its span is at least C rows so it never emits here
+            idx_b = s_ref[c, 8]
+            part_b = classify(
+                s_ref[c, 9], s_ref[c, 10],
+                s_ref[c, 11].astype(jnp.uint32),
+                s_ref[c, 12].astype(jnp.uint32),
+            )
+            row_b = ch_lane * 2 + jax.lax.rem(idx_b, 2)
+
+            @pl.when(s_ref[c, 7] == 1)
+            def _init_b():
+                acc_ref[pl.ds(row_b, 1), :] = part_b
+
+    return kernel
+
+
+@functools.cache
+def _built_chunked(plan: ScalePlan, batch: int):
+    from ..backends.xla import _box_v_arrays
+
+    C, n_chunks = _chunk_centric(plan)
+    w_in, h_in = plan.width_in, plan.height_in
+    w_out, h_out = plan.width_out, plan.height_out
+    w_pad = pg._round_up(w_in, 128)
+    w_out_pad = pg._round_up(w_out, 128)
+    m3, hf, _raw = _ragged_h_tables(plan, w_pad, w_out_pad)
+
+    bv = _box_v_arrays(plan.y)
+    ofs = np.asarray(plan.y.offsets, dtype=np.int64)
+    first = np.asarray(bv["first_idx"], dtype=np.int64)
+    y1 = ofs[1 : h_out + 1]
+    w1 = np.asarray(bv["w1"], dtype=np.int64)
+    w2 = np.asarray(bv["w2"], dtype=np.int64)
+    s128 = plan.storage == StorageType.S128
+    w2p = np.maximum(w2 - 1, 0) if s128 else w2
+
+    scal = np.zeros((n_chunks, 16), dtype=np.int32)
+    for c in range(n_chunks):
+        lo, hi = c * C, (c + 1) * C - 1
+        ia = int(np.searchsorted(first, lo, side="right")) - 1
+        ia = max(0, min(ia, h_out - 1))
+        scal[c, 0] = ia
+        scal[c, 1] = first[ia]
+        scal[c, 2] = y1[ia]
+        scal[c, 3] = w1[ia]
+        scal[c, 4] = w2p[ia]
+        scal[c, 5] = 1 if first[ia] >= lo else 0
+        scal[c, 6] = 1 if lo <= y1[ia] <= hi else 0
+        ib = ia + 1
+        valid_b = ib <= h_out - 1 and first[ib] <= hi
+        scal[c, 7] = 1 if valid_b else 0
+        if valid_b:
+            scal[c, 8] = ib
+            scal[c, 9] = first[ib]
+            scal[c, 10] = y1[ib]
+            scal[c, 11] = w1[ib]
+            scal[c, 12] = w2p[ib]
+        else:
+            # inert candidate: bounds no row can match
+            scal[c, 8] = 0
+            scal[c, 9] = -2
+            scal[c, 10] = -2
+
+    h_pad = n_chunks * C
+    kernel = _make_chunk_kernel(plan, C, w_pad, w_out_pad)
+    grid = (batch, n_chunks)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec(
+                (1, C, w_pad), lambda b, c, *_: (b, c, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(
+                m3.shape, lambda b, c, *_: (0, 0), memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(
+                (8, w_pad), lambda b, c, *_: (0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(
+                (4, 128), lambda b, c, *_: (0, 0), memory_space=pltpu.VMEM,
+            ),
+        ],
+        out_specs=pl.BlockSpec(
+            (1, 4, h_out, w_out_pad), lambda b, c, *_: (b, 0, 0, 0),
+            memory_space=pltpu.VMEM,
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((8, w_out_pad), jnp.int32),
+        ],
+    )
+
+    call = pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct(
+            (batch, 4, h_out, w_out_pad), jnp.int32
+        ),
+        grid_spec=grid_spec,
+    )
+
+    pad_in = plan.meta_in.n_bytes == 3
+
+    def fn(imgs_u8):
+        from ..backends.xla import _pack
+
+        if imgs_u8.dtype == jnp.uint32:
+            px = imgs_u8
+        else:
+            if pad_in:
+                pad = [(0, 0)] * (imgs_u8.ndim - 1) + [(0, 1)]
+                imgs_u8 = jnp.pad(imgs_u8, pad, constant_values=255)
+            px = jax.lax.bitcast_convert_type(imgs_u8, jnp.uint32)
+        if w_pad != w_in or h_pad != h_in:
+            px = jnp.pad(
+                px, [(0, 0), (0, h_pad - h_in), (0, w_pad - w_in)]
+            )
+        from . import pallas_srgb
+
+        planes = call(
+            jnp.asarray(scal), px, jnp.asarray(m3), jnp.asarray(hf),
+            jnp.asarray(pallas_srgb._lut_tables()),
+        )
+        planes = planes[:, :, :, :w_out]
+        return _pack(plan, planes)
+
+    return fn
+
+
 def scale_fn(plan: ScalePlan, imgs):
     """(B, H, W, 4) u8 (or packed (B, H, W) u32) -> (B, h, w, nb_out) u8.
     Caller checks applicable()."""
     squeeze = imgs.ndim == (2 if imgs.dtype == jnp.uint32 else 3)
     if squeeze:
         imgs = imgs[None]
-    build = _built if _uniform_deep(plan) else _built_general
+    if _uniform_deep(plan):
+        build = _built
+    elif _ABLATE is None and _chunk_centric(plan) is not None:
+        build = _built_chunked
+    else:
+        build = _built_general
     out = build(plan, imgs.shape[0])(imgs)
     return out[0] if squeeze else out
