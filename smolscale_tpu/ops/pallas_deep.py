@@ -20,12 +20,15 @@ Covers the >255:1 deep-box class (128bpp storage, smolscale.c:437-446)
 and the 64..255:1 64bpp band where pallas_box's whole-span row groups
 exceed VMEM, for both gammas: sRGB-linear plans run the same prologue as
 pallas_srgb (dynamic-gather linearization + premultiply) before the H
-box.  Non-integer ratios take the ragged
-variant (_built_general): chunks start at each span's 8-aligned base via
-manual double-buffered DMA, the H box runs the general [mids|left|right]
-edge-weighted matmul, and every row classifies itself against the span's
-[first, y1] bounds with the reference's per-storage edge weights (w2 for
-64bpp, w2-1 with a w2==0 skip for 128bpp, generic.c:2112-2260).
+box.  Non-integer ratios take the ragged variants: the chunk-centric
+kernel (_built_chunked) walks the image once with each chunk's rows
+classified into the (at most two) spans it intersects, and the
+span-centric kernel (_built_general, kept for spans shorter than a
+chunk) walks each span in C-aligned pipelined chunks; both run the
+edge-folded biased-limb H matmuls (raw packed-byte limbs for
+compressed-gamma premultiplied inputs) and the reference's per-storage
+V edge weights (w2 for 64bpp, w2-1 with a w2==0 skip for 128bpp,
+generic.c:2112-2260).
 
 Exactness: integer-ratio spans have all edge fractions 0, so the span
 walk collapses to the uniform identities of backends/xla._box_uniform --

@@ -80,3 +80,13 @@ def test_gate():
     assert pallas_deep.applicable(ScalePlan(4096, 4096, 12, 12, 0, 0))
     assert not pallas_deep._uniform_deep(ScalePlan(4096, 4096, 12, 12, 0, 0))
     assert not pallas_deep._uniform_deep(ScalePlan(2048, 304, 8, 4, 0, 0))
+
+
+def test_chunk_centric_engages_for_deep_ragged():
+    """The chunk-centric walk must take the deep ragged band (its perf
+    claim depends on it); the uniform path keeps integer ratios."""
+    ragged = ScalePlan(4096, 4096, 12, 12, 0, 0, False)
+    assert pallas_deep._chunk_centric(ragged) is not None
+    assert not pallas_deep._uniform_deep(ragged)
+    uniform = ScalePlan(4096, 4096, 16, 16, 0, 0, False)
+    assert pallas_deep._uniform_deep(uniform)
