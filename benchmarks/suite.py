@@ -178,6 +178,11 @@ def main():
     results.append(bench_config(
         "8: RGBA premul 4096^2->4096x256 strip (copy H x box V), batch 8",
         ScalePlan(4096, 4096, 4096, 256, 0, 0, False), batch=8, n_long=8))
+    # Ragged deep box (chunk-centric kernel: the image is walked once,
+    # each chunk's rows classified into their spans)
+    results.append(bench_config(
+        "9: RGBA premul 4096^2->12^2 ragged deep box (341.3:1), batch 8",
+        ScalePlan(4096, 4096, 12, 12, 0, 0, False), batch=8, n_long=8))
 
     if args.json:
         with open(args.json, "w") as f:
