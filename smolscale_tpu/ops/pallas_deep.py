@@ -850,7 +850,13 @@ def _built_chunked(plan: ScalePlan, batch: int):
     scal = np.zeros((n_chunks, 16), dtype=np.int32)
     for c in range(n_chunks):
         lo, hi = c * C, (c + 1) * C - 1
-        ia = int(np.searchsorted(first, lo, side="right")) - 1
+        # candidate A = the FIRST span intersecting the chunk: smallest i
+        # with y1_i >= lo.  (Defining it via first_i <= lo loses a span
+        # whose final row falls exactly on the chunk boundary -- the next
+        # span starts on that same shared row, and the ending span's
+        # w2-weighted last row and its emit were silently dropped.  Found
+        # by hardware fuzz: 1842x1538->10x15 srgb, span y1 = 512 = 8*C.)
+        ia = int(np.searchsorted(y1, lo, side="left"))
         ia = max(0, min(ia, h_out - 1))
         scal[c, 0] = ia
         scal[c, 1] = first[ia]

@@ -57,6 +57,9 @@ def test_pallas_deep_exact(wi, hi, wo, ho, ti, to):
         (1198, 475, 13, 2, 0, 9),    # 24bpp OUT: pins the pack-variant
                                      # asymmetry the 32bpp surrogate broke
         (1198, 900, 5, 7, 8, 4),     # 24bpp IN (synthesized alpha)
+        (1842, 1538, 10, 15, 0, 0),  # span y1 exactly on a chunk boundary
+                                     # (512 = 8*C): regression for the
+                                     # dropped w2-row + emit (hw fuzz)
     ],
 )
 def test_pallas_deep_srgb_exact(wi, hi, wo, ho, ti, to):
