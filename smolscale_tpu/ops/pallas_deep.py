@@ -469,11 +469,18 @@ def _make_general_kernel(plan: ScalePlan, C: int, k: int, w_pad: int,
                     hrow = ch[:, :w_out_pad]
                 else:
                     adj = fp.weight256(ch, lw, wmask_i)
-                    y_a = pg._span_mm_i8b(adj, m8[:, :w_out_pad], corr_a, nl8)
+                    if linear and ch_lane == 3 and not raw:
+                        # alpha fits fewer limbs than linearized colors
+                        nl = 2 if premul16 else 1
+                        ca = hf_ref[6:7, :w_out_pad]
+                        cr = hf_ref[7:8, :w_out_pad]
+                    else:
+                        nl, ca, cr = nl8, corr_a, corr_r
+                    y_a = pg._span_mm_i8b(adj, m8[:, :w_out_pad], ca, nl)
                     y_r = pg._span_mm_i8b(
                         ch, m8[:, w_out_pad : 2 * w_out_pad]
                         if raw else m8[:, w_out_pad:],
-                        corr_r, nl8,
+                        cr, nl,
                     )
                     y = y_a + (
                         (y_r.astype(jnp.uint32) * rf >> 8) & wmask
@@ -554,9 +561,8 @@ def _ragged_h_tables(plan: ScalePlan, w_pad: int, w_out_pad: int):
         else:
             hf[0, li] = int(bh["left_w"][j])
         hf[1, j] = int(bh["fracs"][j])
-    bias = pg._span_bias_factor(nl8)
     # corrections live mod 2**32 (the accumulator contract); wrap to int32
-    def _corr(block):
+    def _corr(block, bias=pg._span_bias_factor(nl8)):
         v = (block.astype(np.int64).sum(0) * bias) & 0xFFFFFFFF
         return v.astype(np.uint32).astype(np.int32)
 
@@ -564,6 +570,13 @@ def _ragged_h_tables(plan: ScalePlan, w_pad: int, w_out_pad: int):
     hf[3, :w_out_pad] = _corr(m3[:, r_blk : r_blk + w_out_pad])
     if raw:
         hf[5, :w_out_pad] = _corr(m3[:, w_out_pad : 2 * w_out_pad])
+    elif linear:
+        # the alpha plane needs fewer limbs than the linearized colors
+        # (<= 255 for P8L, <= 65408 for PREMUL16); rows 6/7 carry its
+        # block-A/R corrections at that limb count
+        ba = pg._span_bias_factor(2 if premul16 else 1)
+        hf[6, :w_out_pad] = _corr(m3[:, :w_out_pad], ba)
+        hf[7, :w_out_pad] = _corr(m3[:, r_blk : r_blk + w_out_pad], ba)
     return m3, hf, raw
 
 
@@ -695,8 +708,15 @@ def _make_chunk_kernel(plan: ScalePlan, C: int, w_pad: int, w_out_pad: int):
     span starts inside the chunk.  Span state lives in a 2-slot (per
     lane) accumulator keyed by span parity; a span is initialized by the
     chunk containing its first row and emitted (normalized) by the chunk
-    containing its last.  Same per-row edge-weight classification as the
-    span-centric kernel (scale_outrow_box_*, generic.c:2112-2260)."""
+    containing its last.  The per-row edge-weight classification
+    (scale_outrow_box_*, generic.c:2112-2260) folds into ONE combined
+    per-row weight vector shared by all four channels: every span is at
+    least C >= 8 rows tall (the _chunk_centric gate), so the
+    first/interior/last predicates are mutually exclusive and
+    ``w = 256*[interior] + w1*[first] + w2'*[last]`` makes each row's
+    contribution exactly ``(h * w >> 8) & mask`` -- interior rows are the
+    identity (h*256 >> 8 == h, and h <= norm_mask <= wmask), edge rows the
+    reference's truncating weight, and weight 0 drops the row."""
     in_layout = plan.meta_in.layout
     if plan.meta_in.n_bytes == 3:
         in_layout = in_layout + (3,)
@@ -725,6 +745,26 @@ def _make_chunk_kernel(plan: ScalePlan, C: int, w_pad: int, w_out_pad: int):
         lw_out = hf_ref[4:5, :w_out_pad].astype(jnp.uint32)
         corr_l = hf_ref[5:6, :w_out_pad]
         rows = c * C + jax.lax.broadcasted_iota(jnp.int32, (C, 1), 0)
+
+        def span_weights(first_i, y1_i, w1, w2p):
+            # channel-independent combined row weight (see docstring);
+            # spans are >= C rows so the three predicates never overlap
+            wv = jnp.where((rows > first_i) & (rows < y1_i), 256, 0)
+            wv = wv + jnp.where(rows == first_i, w1, 0)
+            wv = wv + jnp.where(rows == y1_i, w2p, 0)
+            return wv.astype(jnp.uint32)
+
+        # candidate A: scal cols [0]=idx [1]=first [2]=y1 [3]=w1
+        # [4]=w2' [5]=init [6]=emit; candidate B (next span starting
+        # inside this chunk): [7]=valid(==init) [8]=idx [9]=first
+        # [10]=y1 [11]=w1 [12]=w2' -- B's span is at least C rows so it
+        # never emits here
+        idx_a = s_ref[c, 0]
+        idx_b = s_ref[c, 8]
+        wv_a = span_weights(s_ref[c, 1], s_ref[c, 2], s_ref[c, 3],
+                            s_ref[c, 4])
+        wv_b = span_weights(s_ref[c, 9], s_ref[c, 10], s_ref[c, 11],
+                            s_ref[c, 12])
 
         a_vals = ((px >> (8 * alpha_byte)) & jnp.uint32(0xFF)).astype(jnp.int32)
         inv_vals = None
@@ -762,32 +802,21 @@ def _make_chunk_kernel(plan: ScalePlan, C: int, w_pad: int, w_out_pad: int):
                 ch = _unpack_plane(px, a_vals, inv_vals, ch_lane, in_layout,
                                    premul16, in_premul, linear, tbl)
                 adj = fp.weight256(ch, lw, wmask_i)
-                y_a = pg._span_mm_i8b(adj, m8[:, :w_out_pad], corr_a, nl8)
-                y_r = pg._span_mm_i8b(ch, m8[:, w_out_pad:], corr_r, nl8)
+                if linear and ch_lane == 3:
+                    # alpha fits fewer limbs than the linearized colors
+                    nl, ca, cr = (2 if premul16 else 1), hf_ref[6:7, :w_out_pad], hf_ref[7:8, :w_out_pad]
+                else:
+                    nl, ca, cr = nl8, corr_a, corr_r
+                y_a = pg._span_mm_i8b(adj, m8[:, :w_out_pad], ca, nl)
+                y_r = pg._span_mm_i8b(ch, m8[:, w_out_pad:], cr, nl)
                 y = y_a + (
                     (y_r.astype(jnp.uint32) * rf >> 8) & wmask
                 ).astype(jnp.int32)
             hrow = fp.mul_shift_round24(y, jnp.int32(span_mul_x)) & norm_mask
             hu = hrow.astype(jnp.uint32)
-
-            def classify(first_i, y1_i, w1, w2p):
-                contrib = jnp.where((rows > first_i) & (rows < y1_i), hrow, 0)
-                contrib = contrib + jnp.where(
-                    rows == first_i,
-                    ((hu * w1 >> 8) & wmask).astype(jnp.int32), 0,
-                )
-                contrib = contrib + jnp.where(
-                    rows == y1_i,
-                    ((hu * w2p >> 8) & wmask).astype(jnp.int32), 0,
-                )
-                return jnp.sum(contrib, axis=0, keepdims=True)
-
-            # candidate A: scal cols [0]=idx [1]=first [2]=y1 [3]=w1
-            # [4]=w2' [5]=init [6]=emit
-            idx_a = s_ref[c, 0]
-            part_a = classify(
-                s_ref[c, 1], s_ref[c, 2],
-                s_ref[c, 3].astype(jnp.uint32), s_ref[c, 4].astype(jnp.uint32),
+            part_a = jnp.sum(
+                ((hu * wv_a >> 8) & wmask).astype(jnp.int32),
+                axis=0, keepdims=True,
             )
             row_a = ch_lane * 2 + jax.lax.rem(idx_a, 2)
 
@@ -809,14 +838,9 @@ def _make_chunk_kernel(plan: ScalePlan, C: int, w_pad: int, w_out_pad: int):
                     & norm_mask
                 )
 
-            # candidate B (next span starting inside this chunk): cols
-            # [7]=valid(==init) [8]=idx [9]=first [10]=y1 [11]=w1 [12]=w2'
-            # -- its span is at least C rows so it never emits here
-            idx_b = s_ref[c, 8]
-            part_b = classify(
-                s_ref[c, 9], s_ref[c, 10],
-                s_ref[c, 11].astype(jnp.uint32),
-                s_ref[c, 12].astype(jnp.uint32),
+            part_b = jnp.sum(
+                ((hu * wv_b >> 8) & wmask).astype(jnp.int32),
+                axis=0, keepdims=True,
             )
             row_b = ch_lane * 2 + jax.lax.rem(idx_b, 2)
 
