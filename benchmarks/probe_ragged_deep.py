@@ -6,6 +6,7 @@ import sys
 from pathlib import Path
 
 sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+sys.path.insert(0, str(Path(__file__).resolve().parent))
 
 from smolscale_tpu.plan import ScalePlan  # noqa: E402
 from suite import bench_config  # noqa: E402

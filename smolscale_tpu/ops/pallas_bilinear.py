@@ -453,9 +453,17 @@ def _geometry_for_t(plan: ScalePlan, t: int, jc_out_max: int = 256,
                  or h_lmap is not None)
     v_uni_any = (v_uniform or v_lad is not None or v_triv
                  or v_lmap is not None)
-    mh_cols = jc_out if h_uni_any else (2 * jc_out if h_is_box else jc)
+    # single-limb (64bpp) general box axes take the post-gather-edge form:
+    # one extra one-hot block instead of two window-wide VPU weight passes
+    h_box3 = h_is_box and not h_uni_any and plan.storage == StorageType.S64
+    v_box3 = v_is_box and not v_uni_any and plan.storage == StorageType.S64
+    mh_cols = jc_out if h_uni_any else (
+        (3 if h_box3 else 2) * jc_out if h_is_box else jc
+    )
     mh_elt = 1 if (h_uni_any or h_is_box) else 2  # int8 vs bf16 gathers
-    mv_rows = 0 if v_uni_any else (2 * t if v_is_box else (t << kv))
+    mv_rows = 0 if v_uni_any else (
+        (3 if v_box3 else 2) * t if v_is_box else (t << kv)
+    )
     mv_elt = 1 if v_is_box else 2
     budget = (
         2 * win_r * win_c * 4
@@ -467,12 +475,14 @@ def _geometry_for_t(plan: ScalePlan, t: int, jc_out_max: int = 256,
            if (h_lad is not None or h_lmap is not None) else 0)  # lerped win
         + (win_c * jc_out if h_lmap is not None else 0)    # int8 count mat
         + (win_r * (128 + t) if v_lmap is not None else 0)  # fmap + mat
-        + (2 * win_c * 4 * 8 if h_is_box and not h_uniform else 0)  # lw/rf
+        + (2 * win_c * 4 * 8
+           if h_is_box and not h_uniform and not h_box3 else 0)  # lw/rf
         + (win_r * 128 * 4 if v_is_box and not v_uniform else 0)    # w maps
         # the H box fold materializes two weighted copies of the window
         # (adj, zr) -- undercounting them OOM'd scoped vmem at 16.43M on
-        # a 12M estimate (3d, found on-chip)
-        + (2 * win_r * win_c * 4 if h_is_box and not h_uniform else 0)
+        # a 12M estimate (3d, found on-chip); the post-gather form has none
+        + (2 * win_r * win_c * 4
+           if h_is_box and not h_uniform and not h_box3 else 0)
     )
     if budget > budget_mb * 2**20:
         return None
@@ -526,6 +536,35 @@ def _geometry_for_t(plan: ScalePlan, t: int, jc_out_max: int = 256,
             mat.astype(np.int64).sum(axis=1)
             * _span_bias_factor(_limbs8(plan, False))
         )
+    elif h_is_box and h_box3:
+        # Post-gather-edge general box (round-4, single-limb operands):
+        # NO input-wide weight passes at all.  Block A gathers {left@1} +
+        # mids, blocks L/R gather the raw edge elements, and the per-output
+        # edge weights apply on jc_out-wide data in the kernel:
+        # y = A - L + ((L*lw)>>8 & m) + ((R*rf)>>8 & m) -- identical
+        # truncating arithmetic to interp_horizontal_boxes
+        # (generic.c:1427-1556), one extra jc_out-column matmul instead of
+        # two window-sized VPU weight passes per channel.
+        mh = np.zeros((n_ct, win_c, 3 * jc_out), dtype=np.int8)
+        hfac = np.zeros((n_ct, 8, win_c), dtype=np.int32)
+        for g in range(n_ct):
+            for j in range(jc_out):
+                oj = clamp_out_col(g * jc_out + j)
+                base = int(cstart[g])
+                ms, ml = int(bh["mid_start"][oj]), int(bh["mid_len"][oj])
+                li = int(bh["left_idx"][oj]) - base
+                ri = int(bh["right_idx"][oj]) - base
+                mh[g, ms - base : ms - base + ml, j] = 1
+                mh[g, li, j] = 1
+                mh[g, li, jc_out + j] = 1
+                mh[g, ri, 2 * jc_out + j] = 1
+                hfac[g, 0, j] = int(bh["left_w"][oj])
+                hfac[g, 1, j] = int(bh["fracs"][oj])
+        for blk in range(3):  # bias corrections per block (1 limb)
+            hfac[:, 2 + blk, :jc_out] = _wrap_i32(
+                mh[:, :, blk * jc_out : (blk + 1) * jc_out]
+                .astype(np.int64).sum(axis=1) * _span_bias_factor(1)
+            )
     elif h_is_box:
         # Edge-folded general box (round-3): per-lane weight maps replace
         # the [left|right] one-hot blocks.  A lane is the left edge of at
@@ -597,6 +636,32 @@ def _geometry_for_t(plan: ScalePlan, t: int, jc_out_max: int = 256,
         # no V matrix: the kernel reduces spans with a sublane reshape
         mv = np.zeros((n_rg, 1, 1), dtype=np.float32)
         vfac = np.zeros((n_rg, 1, 1), dtype=np.int32)
+    elif v_is_box and v_box3:
+        # Post-gather-edge V box (single-limb operands; see the H twin):
+        # block A rows = {first@1} + mids, block F = first one-hots,
+        # block L = last one-hots; per-output w1/w2 weights apply on
+        # t-row data in the kernel.  S64 storage only, so the plain w2
+        # weight applies (scale_outrow_box_64bpp, generic.c:2112-2161).
+        mv = np.zeros((n_rg, 3 * t, win_r), dtype=np.int8)
+        vfac = np.zeros((n_rg, win_r, 128), dtype=np.int32)
+        for g in range(n_rg):
+            for i in range(t):
+                oi = clamp_out_row(g * t + i)
+                base = int(rstart[g])
+                ms, ml = int(bv["mid_start"][oi]), int(bv["mid_len"][oi])
+                fi = int(bv["first_idx"][oi]) - base
+                la = int(bv["last_idx"][oi]) - base
+                mv[g, i, ms - base : ms - base + ml] = 1
+                mv[g, i, fi] = 1
+                mv[g, t + i, fi] = 1
+                mv[g, 2 * t + i, la] = 1
+                vfac[g, i, 0] = int(bv["w1"][oi])
+                vfac[g, i, 1] = int(bv["w2"][oi])
+        for blk in range(3):  # bias corrections per block (1 limb)
+            vfac[:, :t, 2 + blk] = _wrap_i32(
+                mv[:, blk * t : (blk + 1) * t]
+                .astype(np.int64).sum(axis=2) * _span_bias_factor(1)
+            )
     elif v_is_box:
         # Edge-folded V box (same trick as H): per-row weight maps in the
         # vfac lanes (lane 0 = w1 map, identity 256; lane 1 = w2 map,
@@ -654,6 +719,7 @@ def _geometry_for_t(plan: ScalePlan, t: int, jc_out_max: int = 256,
         h_last_short=bool(h_uniform and int(plan.x.strides[-1]) == r_x - 2),
         v_last_short=bool(v_uniform and int(plan.y.strides[-1]) == r_y - 2),
         h_lad=h_lad, v_lad=v_lad,
+        h_box3=h_box3, v_box3=v_box3,
         h_lmap=h_lmap is not None, v_lmap=v_lmap is not None,
         l8_in=_limbs8(plan, False), l8_v=_limbs8(plan, True),
         span_mul_x=int(plan.x.span_mul), span_mul_y=int(plan.y.span_mul),
@@ -776,6 +842,58 @@ def _v_lerpmap_stage(s, mv_i8, vfac_ref, geo, mask, n_limbs8):
     y = _span_mm_i8b(lerped, mv_i8, corr, n_limbs8, transpose=True)
     kv = geo["kv"]
     return ((y >> kv) & mask) if kv else y
+
+
+def _h_box_post_stage(ch, mh_i8, hfac_ref, geo, span_mul_x, wmask,
+                      norm_mask):
+    """General H box with post-gather edge weighting (single-limb
+    operands): no window-wide weight passes at all.  Block A gathers
+    {left@1}+mids, blocks L/R the raw edge elements; the per-output edge
+    weights apply on jc_out-wide data:
+    ``y = A - L + ((L*lw)>>8 & m) + ((R*rf)>>8 & m)`` -- the same
+    truncating arithmetic as interp_horizontal_boxes
+    (generic.c:1427-1556), since L/R are exact one-hot gathers of the
+    edge values.  Weights ride hfac rows 0 (lw) / 1 (rf) at the OUTPUT
+    column position; bias corrections rows 2/3/4 (A/L/R)."""
+    jc_out = geo["jc_out"]
+    lw = hfac_ref[0, 0:1, :jc_out].astype(jnp.uint32)
+    rf = hfac_ref[0, 1:2, :jc_out].astype(jnp.uint32)
+    corr_a = hfac_ref[0, 2:3, :jc_out]
+    corr_l = hfac_ref[0, 3:4, :jc_out]
+    corr_r = hfac_ref[0, 4:5, :jc_out]
+    y_a = _span_mm_i8b(ch, mh_i8[:, :jc_out], corr_a, 1)
+    y_l = _span_mm_i8b(ch, mh_i8[:, jc_out : 2 * jc_out], corr_l, 1)
+    y_r = _span_mm_i8b(ch, mh_i8[:, 2 * jc_out :], corr_r, 1)
+    y = (
+        y_a - y_l
+        + ((y_l.astype(jnp.uint32) * lw >> 8) & wmask).astype(jnp.int32)
+        + ((y_r.astype(jnp.uint32) * rf >> 8) & wmask).astype(jnp.int32)
+    )
+    return _mul_shift_round24(y, jnp.int32(span_mul_x)) & norm_mask
+
+
+def _v_box_post_stage(s, mv_i8, vfac_ref, geo, span_mul_y, wmask,
+                      norm_mask):
+    """General V box with post-gather edge weighting (single-limb
+    operands; H twin above).  Blocks A={first@1}+mids / F=first / L=last;
+    w1/w2 weights and corrections ride vfac lanes 0/1 and 2/3/4 at the
+    OUTPUT row position (S64 storage only -> plain w2 weight,
+    scale_outrow_box_64bpp generic.c:2112-2161)."""
+    t = geo["t"]
+    w1 = vfac_ref[0][:t, 0:1].astype(jnp.uint32)
+    w2 = vfac_ref[0][:t, 1:2].astype(jnp.uint32)
+    corr_a = vfac_ref[0][:t, 2:3]
+    corr_f = vfac_ref[0][:t, 3:4]
+    corr_l = vfac_ref[0][:t, 4:5]
+    y_a = _span_mm_i8b(s, mv_i8[:t], corr_a, 1, transpose=True)
+    y_f = _span_mm_i8b(s, mv_i8[t : 2 * t], corr_f, 1, transpose=True)
+    y_l = _span_mm_i8b(s, mv_i8[2 * t :], corr_l, 1, transpose=True)
+    yv = (
+        y_a - y_f
+        + ((y_f.astype(jnp.uint32) * w1 >> 8) & wmask).astype(jnp.int32)
+        + ((y_l.astype(jnp.uint32) * w2 >> 8) & wmask).astype(jnp.int32)
+    )
+    return _mul_shift_round24(yv, jnp.int32(span_mul_y)) & norm_mask
 
 
 def _h_box_fold_stage(ch, mh_i8, hfac_ref, geo, span_mul_x, wmask,
@@ -1033,6 +1151,10 @@ def _make_kernel(plan: ScalePlan, geo):
                 s = _h_uniform_ladder_stage(ch, mh, geo, 0xFF, 2)
             elif geo["h_lmap"]:
                 s = _h_lerpmap_stage(ch, mh, hfac_ref, geo, 0xFF, 1)
+            elif h_is_box and geo["h_box3"]:
+                s = _h_box_post_stage(
+                    ch, mh, hfac_ref, geo, span_mul_x, 0xFF, 0xFF
+                )
             elif h_is_box:
                 s = _h_box_fold_stage(
                     ch, mh, hfac_ref, geo, span_mul_x, 0xFF, 0xFF, 1
@@ -1057,6 +1179,10 @@ def _make_kernel(plan: ScalePlan, geo):
                 sv = _v_uniform_ladder_stage(s, geo, 0xFF)
             elif geo["v_lmap"]:
                 sv = _v_lerpmap_stage(s, mv, vfac_ref, geo, 0xFF, 1)
+            elif v_is_box and geo["v_box3"]:
+                sv = _v_box_post_stage(
+                    s, mv, vfac_ref, geo, span_mul_y, 0xFF, 0xFF
+                )
             elif v_is_box:
                 sv = _v_box_fold_stage(
                     s, mv, vfac_ref, geo, span_mul_y, 0xFF, 0xFF, 1
