@@ -7,11 +7,13 @@ lowering, not the interpreter.  Found in round 1: an illegal (non-8-aligned,
 multi-group) output row block for tiny outputs (fixed in
 ops/pallas_bilinear._geometry / ops/pallas_box._pick_rows_t).
 
-Usage: python benchmarks/fuzz_tpu.py [N] [seed] [--edges] [--mixed]
+Usage: python benchmarks/fuzz_tpu.py [N] [seed] [--edges] [--mixed] [--box3]
   --edges weights toward tiny dims, deep up/downscales, 1x1 outputs.
   --mixed targets COPY/ONE mixed-axis plans (box-x-copy, ladder-x-one,
           copy-x-box, ...): one axis is forced to COPY (dim_out == dim_in)
           or ONE (dim_in == 1) while the other sweeps the filter space.
+  --box3  targets the post-gather-edge general box path: resamples until
+          the plan has 64bpp storage and a non-integer box axis.
 """
 
 import sys
@@ -29,9 +31,12 @@ def main():
     import oracle
     import smolscale_tpu as st
 
+    from smolscale_tpu.plan import FilterType, StorageType
+
     args = [a for a in sys.argv[1:] if not a.startswith("--")]
     edges = "--edges" in sys.argv
     mixed = "--mixed" in sys.argv
+    box3 = "--box3" in sys.argv
     n = int(args[0]) if args else 24
     seed = int(args[1]) if len(args) > 1 else 20260816
     rng = np.random.default_rng(seed)
@@ -39,7 +44,24 @@ def main():
 
     fails = []
     for i in range(n):
-        if mixed:
+        if box3:
+            # resample until the plan lands on the post-gather-edge box
+            # geometry: 64bpp storage + >=1 non-integer 8..255:1 box axis
+            while True:
+                wi, hi = int(rng.integers(80, 3200)), int(rng.integers(80, 3200))
+                wo = int(rng.integers(max(1, wi // 255), max(2, wi // 8)))
+                ho = int(rng.integers(1, max(2, hi * 2)))
+                if rng.integers(0, 2):
+                    wi, hi, wo, ho = hi, wi, ho, wo
+                ti, to = int(rng.integers(0, 10)), int(rng.integers(0, 10))
+                p = st.ScalePlan(wi, hi, wo, ho, ti, to, with_srgb=False)
+                gen_box = any(
+                    ax.filter == FilterType.BOX and d_in % d_out != 0
+                    for ax, d_in, d_out in ((p.x, wi, wo), (p.y, hi, ho))
+                )
+                if p.storage == StorageType.S64 and gen_box:
+                    break
+        elif mixed:
             # free axis: anything from deep box to upscale ladder
             fd_in = int(rng.integers(8, 2048))
             fd_out = int(rng.integers(1, max(2, fd_in * 2)))
@@ -65,9 +87,12 @@ def main():
             wi, hi = int(rng.integers(16, 1600)), int(rng.integers(16, 1200))
             wo = int(rng.integers(1, max(2, wi * 2)))
             ho = int(rng.integers(1, max(2, hi * 2)))
-        ti = int(rng.integers(0, 10))
-        to = int(rng.integers(0, 10))
-        srgb = bool(rng.integers(0, 2))
+        if box3:
+            srgb = False  # ti/to fixed by the resample loop above
+        else:
+            ti = int(rng.integers(0, 10))
+            to = int(rng.integers(0, 10))
+            srgb = bool(rng.integers(0, 2))
         plan = st.ScalePlan(wi, hi, wo, ho, ti, to, with_srgb=srgb)
         img = rng.integers(0, 256, (hi, wi, plan.meta_in.n_bytes), dtype=np.uint8)
         try:

@@ -56,16 +56,22 @@ from ..ops import fixedpoint as fp
 from ..plan import FilterType, ScalePlan
 from . import pallas_bilinear as pg  # _span_mm_i8, _round_up
 
-_ABLATE = None  # timing-only knob: "nohmm" | "noclass" | "nounpack"
+_ABLATE = None  # timing-only knob: "nohmm" | "noclass" | "nounpack";
+# "general" forces the row-centric kernel where chunk-centric would run
 
 
 def _chunk_budget(plan: ScalePlan) -> int:
     """Per-chunk VMEM budget.  The linear-light prologue's dynamic-gather
     slices hold several (C, w_pad)-sized temporaries live at once; past
     ~0.5 MB chunks the Mosaic compiler runs out of scoped VMEM on wide
-    images (crash-verified at 3542..7561 px wide), so linear plans take
-    smaller, more numerous chunks."""
-    return (2**19 if plan.gamma == GammaType.SRGB_LINEAR else 2 * 2**20)
+    images (crash-verified at 3542..7561 px wide), so wide linear plans
+    take smaller, more numerous chunks.  Narrow (<= 2048 px) linear plans
+    fit 1 MB chunks: twice the rows per grid step amortizes the gather
+    broadcasts and doubles the stacked matmuls' M tile."""
+    if plan.gamma == GammaType.SRGB_LINEAR:
+        w_pad = pg._round_up(plan.width_in, 128)
+        return 2**20 if w_pad <= 2048 else 2**19
+    return 2 * 2**20
 
 
 def _chunk_rows(plan: ScalePlan):
@@ -772,52 +778,96 @@ def _make_chunk_kernel(plan: ScalePlan, C: int, w_pad: int, w_out_pad: int):
             from . import pallas_srgb
 
             inv_vals = pallas_srgb.lut_gather(a_vals, tbl[2:3], tbl[3:4])
-        for ch_lane in range(4):
-            if raw:
-                byte_pos = in_layout.index(ch_lane)
-                biased = (
-                    ((px >> (8 * byte_pos)) & jnp.uint32(0xFF)).astype(
-                        jnp.int32
-                    )
-                    - 128
-                ).astype(jnp.int8)
 
-                def mm(mat):
-                    return jnp.dot(
-                        biased, mat, preferred_element_type=jnp.int32
-                    )
+        # Channel-stacked H matmuls: all four planes concatenate along
+        # sublanes into one tall operand, so each limb's span matmul runs
+        # once at M = 4C (3C + separate alpha when the linear alpha takes
+        # fewer limbs) instead of four times at M = C -- same MACs, far
+        # better MXU M-tile utilization at the small chunk heights the
+        # VMEM budget forces (ablation: the 14 small matmuls were ~60% of
+        # the srgb-ragged kernel's critical path).  The per-column bias
+        # corrections are row-independent, so they apply to the stacked
+        # result unchanged.
+        if raw and _ABLATE is None:
+            biased = jnp.concatenate(
+                [
+                    ((px >> (8 * in_layout.index(l))) & jnp.uint32(0xFF)
+                     ).astype(jnp.int32) - 128
+                    for l in range(4)
+                ],
+                axis=0,
+            ).astype(jnp.int8)
 
-                y_a = mm(m8[:, :w_out_pad]) + corr_a
-                y_l = mm(m8[:, w_out_pad : 2 * w_out_pad]) + corr_l
-                y_r = mm(m8[:, 2 * w_out_pad :]) + corr_r
-                y = (
-                    y_a
-                    - y_l
-                    + ((y_l.astype(jnp.uint32) * lw_out >> 8) & wmask
-                       ).astype(jnp.int32)
-                    + ((y_r.astype(jnp.uint32) * rf >> 8) & wmask
-                       ).astype(jnp.int32)
-                )
-            else:
-                ch = _unpack_plane(px, a_vals, inv_vals, ch_lane, in_layout,
-                                   premul16, in_premul, linear, tbl)
-                adj = fp.weight256(ch, lw, wmask_i)
-                if linear and ch_lane == 3:
-                    # alpha fits fewer limbs than the linearized colors
-                    nl, ca, cr = (2 if premul16 else 1), hf_ref[6:7, :w_out_pad], hf_ref[7:8, :w_out_pad]
-                else:
-                    nl, ca, cr = nl8, corr_a, corr_r
-                y_a = pg._span_mm_i8b(adj, m8[:, :w_out_pad], ca, nl)
-                y_r = pg._span_mm_i8b(ch, m8[:, w_out_pad:], cr, nl)
-                y = y_a + (
-                    (y_r.astype(jnp.uint32) * rf >> 8) & wmask
-                ).astype(jnp.int32)
-            hrow = fp.mul_shift_round24(y, jnp.int32(span_mul_x)) & norm_mask
-            hu = hrow.astype(jnp.uint32)
-            part_a = jnp.sum(
-                ((hu * wv_a >> 8) & wmask).astype(jnp.int32),
-                axis=0, keepdims=True,
+            def mm(mat):
+                return jnp.dot(biased, mat, preferred_element_type=jnp.int32)
+
+            y_a = mm(m8[:, :w_out_pad]) + corr_a
+            y_l = mm(m8[:, w_out_pad : 2 * w_out_pad]) + corr_l
+            y_r = mm(m8[:, 2 * w_out_pad :]) + corr_r
+            y = (
+                y_a
+                - y_l
+                + ((y_l.astype(jnp.uint32) * lw_out >> 8) & wmask
+                   ).astype(jnp.int32)
+                + ((y_r.astype(jnp.uint32) * rf >> 8) & wmask
+                   ).astype(jnp.int32)
             )
+            hrow_s = fp.mul_shift_round24(y, jnp.int32(span_mul_x)) & norm_mask
+            hrows = [hrow_s[l * C : (l + 1) * C] for l in range(4)]
+        else:
+            if _ABLATE == "nounpack":
+                chs = [px.astype(jnp.int32) & 0xFF for _ in range(4)]
+            else:
+                chs = [
+                    _unpack_plane(px, a_vals, inv_vals, l, in_layout,
+                                  premul16, in_premul, linear, tbl)
+                    for l in range(4)
+                ]
+            if _ABLATE == "nohmm":
+                hrows = [ch[:, :w_out_pad] & norm_mask for ch in chs]
+            else:
+                # linear alpha fits fewer limbs than the linearized colors
+                a_nl = (2 if premul16 else 1) if linear else nl8
+                if a_nl == nl8:
+                    groups = [(jnp.concatenate(chs, axis=0), nl8,
+                               corr_a, corr_r)]
+                else:
+                    groups = [
+                        (jnp.concatenate(chs[:3], axis=0), nl8,
+                         corr_a, corr_r),
+                        (chs[3], a_nl, hf_ref[6:7, :w_out_pad],
+                         hf_ref[7:8, :w_out_pad]),
+                    ]
+                ys = []
+                for g, nl, ca, cr in groups:
+                    adj = fp.weight256(g, lw, wmask_i)
+                    y_a = pg._span_mm_i8b(adj, m8[:, :w_out_pad], ca, nl)
+                    y_r = pg._span_mm_i8b(
+                        g, m8[:, w_out_pad : 2 * w_out_pad]
+                        if raw else m8[:, w_out_pad:],
+                        cr, nl,
+                    )
+                    y = y_a + (
+                        (y_r.astype(jnp.uint32) * rf >> 8) & wmask
+                    ).astype(jnp.int32)
+                    ys.append(
+                        fp.mul_shift_round24(y, jnp.int32(span_mul_x))
+                        & norm_mask
+                    )
+                hrows = [ys[0][l * C : (l + 1) * C] for l in range(3)]
+                hrows.append(
+                    ys[-1][0:C] if len(ys) > 1 else ys[0][3 * C : 4 * C]
+                )
+        for ch_lane in range(4):
+            hrow = hrows[ch_lane]
+            hu = hrow.astype(jnp.uint32)
+            if _ABLATE == "noclass":
+                part_a = jnp.sum(hrow, axis=0, keepdims=True)
+            else:
+                part_a = jnp.sum(
+                    ((hu * wv_a >> 8) & wmask).astype(jnp.int32),
+                    axis=0, keepdims=True,
+                )
             row_a = ch_lane * 2 + jax.lax.rem(idx_a, 2)
 
             @pl.when(s_ref[c, 5] == 1)
@@ -838,10 +888,13 @@ def _make_chunk_kernel(plan: ScalePlan, C: int, w_pad: int, w_out_pad: int):
                     & norm_mask
                 )
 
-            part_b = jnp.sum(
-                ((hu * wv_b >> 8) & wmask).astype(jnp.int32),
-                axis=0, keepdims=True,
-            )
+            if _ABLATE == "noclass":
+                part_b = part_a
+            else:
+                part_b = jnp.sum(
+                    ((hu * wv_b >> 8) & wmask).astype(jnp.int32),
+                    axis=0, keepdims=True,
+                )
             row_b = ch_lane * 2 + jax.lax.rem(idx_b, 2)
 
             @pl.when(s_ref[c, 7] == 1)
@@ -907,13 +960,15 @@ def _built_chunked(plan: ScalePlan, batch: int):
     h_pad = n_chunks * C
     kernel = _make_chunk_kernel(plan, C, w_pad, w_out_pad)
     grid = (batch, n_chunks)
+    px_block = (1, C, w_pad)
+    scratch = [pltpu.VMEM((8, w_out_pad), jnp.int32)]
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=grid,
         in_specs=[
             pl.BlockSpec(
-                (1, C, w_pad), lambda b, c, *_: (b, c, 0),
+                px_block, lambda b, c, *_: (b, c, 0),
                 memory_space=pltpu.VMEM,
             ),
             pl.BlockSpec(
@@ -931,9 +986,7 @@ def _built_chunked(plan: ScalePlan, batch: int):
             (1, 4, h_out, w_out_pad), lambda b, c, *_: (b, 0, 0, 0),
             memory_space=pltpu.VMEM,
         ),
-        scratch_shapes=[
-            pltpu.VMEM((8, w_out_pad), jnp.int32),
-        ],
+        scratch_shapes=scratch,
     )
 
     call = pl.pallas_call(
@@ -980,7 +1033,9 @@ def scale_fn(plan: ScalePlan, imgs):
         imgs = imgs[None]
     if _uniform_deep(plan):
         build = _built
-    elif _ABLATE is None and _chunk_centric(plan) is not None:
+    elif _chunk_centric(plan) is not None and _ABLATE != "general":
+        # ablation knobs apply inside whichever kernel naturally runs;
+        # "general" additionally forces the row-centric kernel
         build = _built_chunked
     else:
         build = _built_general
