@@ -8,12 +8,16 @@ multi-group) output row block for tiny outputs (fixed in
 ops/pallas_bilinear._geometry / ops/pallas_box._pick_rows_t).
 
 Usage: python benchmarks/fuzz_tpu.py [N] [seed] [--edges] [--mixed] [--box3]
+                                     [--deep]
   --edges weights toward tiny dims, deep up/downscales, 1x1 outputs.
   --mixed targets COPY/ONE mixed-axis plans (box-x-copy, ladder-x-one,
           copy-x-box, ...): one axis is forced to COPY (dim_out == dim_in)
           or ONE (dim_in == 1) while the other sweeps the filter space.
   --box3  targets the post-gather-edge general box path: resamples until
           the plan has 64bpp storage and a non-integer box axis.
+  --deep  targets the chunk-centric ragged deep-box kernel: resamples
+          until pallas_deep._chunk_centric accepts the plan (exercises the
+          channel-stacked matmuls across gammas/storages).
 """
 
 import sys
@@ -37,6 +41,7 @@ def main():
     edges = "--edges" in sys.argv
     mixed = "--mixed" in sys.argv
     box3 = "--box3" in sys.argv
+    deep = "--deep" in sys.argv
     n = int(args[0]) if args else 24
     seed = int(args[1]) if len(args) > 1 else 20260816
     rng = np.random.default_rng(seed)
@@ -44,7 +49,26 @@ def main():
 
     fails = []
     for i in range(n):
-        if box3:
+        if deep:
+            # resample until the plan dispatches to the chunk-centric
+            # ragged deep-box kernel (deep box both axes, every V span
+            # >= 8 rows, not the uniform fast path)
+            from smolscale_tpu.ops import pallas_deep
+
+            while True:
+                wi, hi = int(rng.integers(256, 3600)), int(rng.integers(256, 3600))
+                wo = int(rng.integers(1, max(2, wi // 60)))
+                ho = int(rng.integers(1, max(2, hi // 60)))
+                ti, to = int(rng.integers(0, 10)), int(rng.integers(0, 10))
+                srgb = bool(rng.integers(0, 2))
+                p = st.ScalePlan(wi, hi, wo, ho, ti, to, with_srgb=srgb)
+                if (
+                    pallas_deep.applicable(p)
+                    and not pallas_deep._uniform_deep(p)
+                    and pallas_deep._chunk_centric(p) is not None
+                ):
+                    break
+        elif box3:
             # resample until the plan lands on the post-gather-edge box
             # geometry: 64bpp storage + >=1 non-integer 8..255:1 box axis
             while True:
@@ -89,6 +113,8 @@ def main():
             ho = int(rng.integers(1, max(2, hi * 2)))
         if box3:
             srgb = False  # ti/to fixed by the resample loop above
+        elif deep:
+            pass  # ti/to/srgb fixed by the resample loop above
         else:
             ti = int(rng.integers(0, 10))
             to = int(rng.integers(0, 10))
