@@ -75,6 +75,28 @@ def main(h=4096, w=4096, batch=4, n_long=12):
         t = jnp.moveaxis(v, -1, 1)
         return jnp.sum(t, dtype=jnp.uint32)
 
+    def v_planes_transpose(v):
+        # exact candidate feed A': channel-major u32 4-pixel words
+        t = jnp.moveaxis(v, -1, 1)
+        r = t.reshape(t.shape[0], 3, t.shape[2], -1, 4)
+        u = jax.lax.bitcast_convert_type(r, jnp.uint32)
+        return jnp.sum(u, dtype=jnp.uint32)
+
+    def v_planes_from_words(v):
+        # exact candidate feed A'': same planes recombined from stride-3
+        # word slices with static shifts (pixel 4k+p ch c = byte 12k+3p+c)
+        w0, w1, w2 = v[..., 0::3], v[..., 1::3], v[..., 2::3]
+        c0 = ((w0 & 0xFF) | (((w0 >> 24) & 0xFF) << 8)
+              | (((w1 >> 16) & 0xFF) << 16) | (((w2 >> 8) & 0xFF) << 24))
+        c1 = (((w0 >> 8) & 0xFF) | ((w1 & 0xFF) << 8)
+              | (((w1 >> 24) & 0xFF) << 16) | (((w2 >> 16) & 0xFF) << 24))
+        c2 = (((w0 >> 16) & 0xFF) | (((w1 >> 8) & 0xFF) << 8)
+              | ((w2 & 0xFF) << 16) | (((w2 >> 24) & 0xFF) << 24))
+        s = jnp.uint32(0)
+        for c in (c0, c1, c2):
+            s += jnp.sum(c, dtype=jnp.uint32)
+        return s
+
     cases = [
         ("read (u32 word view)", v_read, xw),
         ("pad+bitcast (current)", v_pad_bitcast, x8),
@@ -82,6 +104,8 @@ def main(h=4096, w=4096, batch=4, n_long=12):
         ("word-resh (..,3) minor", v_word_resh, xw),
         ("u8 channel split", v_u8_split, x8),
         ("u8 channel-major transpose", v_u8_major, x8),
+        ("planes via transpose+bitcast", v_planes_transpose, x8),
+        ("planes via word-deint+shifts", v_planes_from_words, xw),
     ]
     for name, fn, x in cases:
         r = chain_timer(fn, x, n_long=n_long)
