@@ -831,6 +831,8 @@ def pad_rows(plan: ScalePlan, tables, img):
 # -- entry points -------------------------------------------------------------
 
 _FORCE_PALLAS = None  # None = auto (TPU + applicable), False = never
+_RGB24_PLANES = False  # channel-major u8 planes feed for 24bpp inputs
+# (pallas_bilinear.scale_fn_planes); off until validated on hardware
 
 # 24bpp types mapped to byte-compatible 32bpp premultiplied surrogates
 # (RGB8 bytes == first 3 bytes of RGBA; BGR8 == first 3 of BGRA).
@@ -922,6 +924,18 @@ def _scale_fn_impl(plan: ScalePlan, img):
                 None,
             )
             if kern is not None:
+                if (
+                    _RGB24_PLANES
+                    and pad_in
+                    and kern is pallas_bilinear
+                    and img.dtype != jnp.uint32
+                ):
+                    # channel-major u8 planes feed: skips the on-device
+                    # pad-to-32bpp + u32 bitcast relayout and the
+                    # synthesized alpha channel's HBM/filter work
+                    pls = jnp.moveaxis(img, -1, -3)
+                    out = kern.scale_fn_planes(sp, pls, skip_alpha=slice_out)
+                    return out[..., :3] if slice_out else out
                 x = img
                 if pad_in:
                     # alpha byte = 255: the reference unpacks 24bpp with

@@ -934,7 +934,8 @@ def _v_box_fold_stage(s, mv_i8, vfac_ref, geo, span_mul_y, wmask,
     return _mul_shift_round24(yv, jnp.int32(span_mul_y)) & norm_mask
 
 
-def _window_dma(rs_ref, cs_ref, x_any, xwin, sem, win_r, win_c, b, gr, gc):
+def _window_dma(rs_ref, cs_ref, x_any, xwin, sem, win_r, win_c, b, gr, gc,
+                planes=False):
     """Double-buffered irregular-window fetch for the fused kernels.
 
     The per-tile windows start at scalar-prefetched offsets, so they can't
@@ -943,6 +944,9 @@ def _window_dma(rs_ref, cs_ref, x_any, xwin, sem, win_r, win_c, b, gr, gc):
     step kicks off the NEXT step's copy into the other half of the
     (2, win_r, win_c) scratch before waiting on its own.  Grid steps run
     sequentially on the scalar core while the DMA engines run ahead.
+
+    With ``planes`` the input is channel-major (B, 3, H, W) u8 and the
+    window is (3, win_r, win_c).
     """
     nb = pl.num_programs(0)
     nr = pl.num_programs(1)
@@ -953,10 +957,11 @@ def _window_dma(rs_ref, cs_ref, x_any, xwin, sem, win_r, win_c, b, gr, gc):
     def dma(sl, bb, rr, cc):
         rs = pl.multiple_of(rs_ref[rr], 8)
         cs = pl.multiple_of(cs_ref[cc], 128)
-        return pltpu.make_async_copy(
-            x_any.at[bb, pl.ds(rs, win_r), pl.ds(cs, win_c)],
-            xwin.at[sl], sem.at[sl],
-        )
+        if planes:
+            src = x_any.at[bb, :, pl.ds(rs, win_r), pl.ds(cs, win_c)]
+        else:
+            src = x_any.at[bb, pl.ds(rs, win_r), pl.ds(cs, win_c)]
+        return pltpu.make_async_copy(src, xwin.at[sl], sem.at[sl])
 
     @pl.when(lin == 0)
     def _first():
@@ -1086,11 +1091,17 @@ def _v_stage_i32(yv, vfac_ref, geo, span_mul_y, mask, norm_mask):
     return sv
 
 
-def _make_kernel(plan: ScalePlan, geo):
+def _make_kernel(plan: ScalePlan, geo, planes=False, skip_alpha=False):
+    """``planes``: channel-major (B, 3, H, W) u8 feed for 24bpp inputs --
+    plane p is surrogate byte p, alpha is the synthesized constant 255
+    (unpack_pixel_123_*, generic.c:353-358) so it never rides HBM.  With
+    ``skip_alpha`` (24bpp output: the alpha byte is sliced off) the alpha
+    channel's filter work is skipped entirely."""
     in_layout = plan.meta_in.layout
     out_layout = plan.meta_out.layout
     unassoc_in = plan.meta_in.alpha == AlphaType.UNASSOCIATED
     alpha_byte = in_layout.index(3)
+    assert not planes or (alpha_byte == 3 and not unassoc_in)
     kh, kv = geo["kh"], geo["kv"]
     t, tv = geo["t"], geo["t"] << kv
     jc, jc_out = geo["jc"], geo["jc_out"]
@@ -1122,15 +1133,31 @@ def _make_kernel(plan: ScalePlan, geo):
         gc = pl.program_id(2)
         cs = pl.multiple_of(cs_ref[gc], 128)
         px = _window_dma(
-            rs_ref, cs_ref, x_any, xwin, sem, win_r, win_c, b, gr, gc
+            rs_ref, cs_ref, x_any, xwin, sem, win_r, win_c, b, gr, gc,
+            planes=planes,
         )
         mh = mh_ref[0]
         mv = mv_ref[0]
 
-        a_vals = ((px >> (8 * alpha_byte)) & jnp.uint32(0xFF)).astype(jnp.int32)
+        if planes:
+            a_vals = None
+        else:
+            a_vals = (
+                (px >> (8 * alpha_byte)) & jnp.uint32(0xFF)
+            ).astype(jnp.int32)
         out_px = jnp.zeros((t, jc_out), dtype=jnp.uint32)
         for byte_pos in range(4):
-            ch = ((px >> (8 * byte_pos)) & jnp.uint32(0xFF)).astype(jnp.int32)
+            if planes:
+                if byte_pos == alpha_byte:
+                    if skip_alpha:
+                        continue
+                    ch = jnp.full((win_r, win_c), 255, jnp.int32)
+                else:
+                    ch = px[byte_pos].astype(jnp.int32)
+            else:
+                ch = (
+                    (px >> (8 * byte_pos)) & jnp.uint32(0xFF)
+                ).astype(jnp.int32)
             if unassoc_in and byte_pos != alpha_byte:
                 ch = (((ch + 1) * (a_vals + 1) - 1) >> 8) & 0xFF
             if _ABLATE in ("nohmm", "nofilter"):
@@ -1289,4 +1316,101 @@ def scale_fn(plan: ScalePlan, imgs):
     if squeeze:
         imgs = imgs[None]
     out = _built(plan, imgs.shape[0])(imgs)
+    return out[0] if squeeze else out
+
+
+@functools.cache
+def _built_planes(plan: ScalePlan, batch: int, skip_alpha: bool):
+    """Channel-major u8 planes variant of _built for 24bpp inputs.
+
+    Takes (B, 3, H, W) u8 (plane p = surrogate byte p) instead of packed
+    u32 pixels: no on-device pad-to-32bpp + bitcast relayout, 25% less
+    window DMA, and the synthesized-255 alpha channel is a kernel
+    constant (skipped outright when the output drops it)."""
+    geo = _geometry(plan, uniform_ok=True, **_geo_kw(plan))
+    kernel = _make_kernel(plan, geo, planes=True, skip_alpha=skip_alpha)
+    t, jc_out = geo["t"], geo["jc_out"]
+    grid = (batch, geo["n_rg"], geo["n_ct"])
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,  # rstart, cstart
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.HBM),  # full input, DMA'd manually
+            pl.BlockSpec(
+                (1,) + geo["mh"].shape[1:],
+                lambda b, gr, gc, *_: (gc, 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(
+                (1,) + geo["hfac"].shape[1:],
+                lambda b, gr, gc, *_: (gc, 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(
+                (1,) + geo["mv"].shape[1:],
+                lambda b, gr, gc, *_: (gr, 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(
+                (1,) + geo["vfac"].shape[1:],
+                lambda b, gr, gc, *_: (gr, 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+        ],
+        out_specs=pl.BlockSpec(
+            (1, t, jc_out), lambda b, gr, gc, *_: (b, gr, gc),
+            memory_space=pltpu.VMEM,
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((2, 3, geo["win_r"], geo["win_c"]), jnp.uint8),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+    )
+
+    call = pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct(
+            (batch, geo["h_out_pad"], geo["w_out_pad"]), jnp.uint32
+        ),
+        grid_spec=grid_spec,
+    )
+
+    h_out, w_out = plan.height_out, plan.width_out
+    h_in, w_in = plan.height_in, plan.width_in
+    unassoc_out = plan.meta_out.alpha == AlphaType.UNASSOCIATED
+    assert not (skip_alpha and unassoc_out)
+
+    def fn(pls):
+        if geo["h_pad"] != h_in or geo["w_pad"] != w_in:
+            pls = jnp.pad(
+                pls,
+                [(0, 0), (0, 0), (0, geo["h_pad"] - h_in),
+                 (0, geo["w_pad"] - w_in)],
+            )
+        out = call(
+            jnp.asarray(geo["rstart"]), jnp.asarray(geo["cstart"]), pls,
+            jnp.asarray(geo["mh"]), jnp.asarray(geo["hfac"]),
+            jnp.asarray(geo["mv"]), jnp.asarray(geo["vfac"]),
+        )
+        out = out[:, :h_out, :w_out]
+        if unassoc_out:
+            from .pallas_box import _unpremul_epilogue
+
+            out = _unpremul_epilogue(plan, out)
+        return jax.lax.bitcast_convert_type(out, jnp.uint8)
+
+    return fn
+
+
+def scale_fn_planes(plan: ScalePlan, pls, skip_alpha: bool):
+    """Channel-major (B, 3, H, W) u8 planes -> (B, h, w, 4) u8.
+
+    ``plan`` is the 4-byte surrogate (xla._adapt_24bpp); ``skip_alpha``
+    when the caller slices the alpha byte off (24bpp output).  Caller
+    checks applicable()."""
+    squeeze = pls.ndim == 3
+    if squeeze:
+        pls = pls[None]
+    out = _built_planes(plan, pls.shape[0], skip_alpha)(pls)
     return out[0] if squeeze else out

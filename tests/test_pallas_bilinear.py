@@ -135,6 +135,48 @@ def test_24bpp_surrogate_exact(wi, hi, wo, ho, ti, to):
     assert np.array_equal(want, got)
 
 
+@pytest.mark.parametrize(
+    "wi,hi,wo,ho,ti,to",
+    [
+        (512, 256, 96, 56, 8, 8),     # RGB24->RGB24 ladder (alpha skipped)
+        (512, 256, 96, 56, 9, 9),     # BGR24->BGR24
+        (640, 300, 80, 110, 8, 8),    # non-integer box x box
+        (512, 300, 512, 60, 8, 9),    # copy H x box V strip
+        (512, 256, 96, 56, 8, 0),     # RGB24->RGBA (alpha computed, =255)
+        (512, 256, 96, 56, 8, 4),     # RGB24->unassoc RGBA (epilogue)
+        (333, 200, 330, 190, 8, 8),   # 0h both axes, ragged width
+    ],
+)
+def test_24bpp_planes_exact(wi, hi, wo, ho, ti, to):
+    """Channel-major u8 planes feed for 24bpp inputs: same bytes as the
+    padded-surrogate path, without the pad+bitcast relayout; the
+    synthesized-255 alpha is a kernel constant (skipped when the output
+    drops it)."""
+    import jax
+
+    from smolscale_tpu.backends import xla
+    from smolscale_tpu.ops import pallas_box
+
+    plan = ScalePlan(wi, hi, wo, ho, ti, to, False)
+    adapted = xla._adapt_24bpp(plan)
+    assert adapted is not None
+    sp = adapted[0]
+    assert pallas_bilinear.applicable(sp) and not pallas_box.applicable(sp)
+    pallas_bilinear._built_planes.cache_clear()
+    img = RNG.integers(0, 256, (2, hi, wi, 3), np.uint8)
+    xla._FORCE_PALLAS = True
+    xla._RGB24_PLANES = True
+    try:
+        with mock.patch.object(pl, "pallas_call", _interp_call):
+            got = np.asarray(jax.jit(lambda v: xla.scale_fn(plan, v))(img))
+    finally:
+        xla._FORCE_PALLAS = None
+        xla._RGB24_PLANES = False
+        pallas_bilinear._built_planes.cache_clear()
+    want = np.stack([numpy_ref.scale(plan, img[i]) for i in range(2)])
+    assert np.array_equal(want, got)
+
+
 def test_box_x_box_dispatch():
     from smolscale_tpu.ops import pallas_box
 
