@@ -927,7 +927,7 @@ def _scale_fn_impl(plan: ScalePlan, img):
                 if (
                     _RGB24_PLANES
                     and pad_in
-                    and kern is pallas_bilinear
+                    and kern in (pallas_bilinear, pallas_box)
                     and img.dtype != jnp.uint32
                 ):
                     # channel-major u8 planes feed: skips the on-device

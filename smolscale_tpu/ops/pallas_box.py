@@ -80,11 +80,15 @@ def _span_matrix(ax):
     return m
 
 
-def _make_kernel(plan: ScalePlan, rows_t: int):
+def _make_kernel(plan: ScalePlan, rows_t: int, planes=False,
+                 skip_alpha=False):
     """Kernel over one (batch, row-group) tile.
 
     Block shapes: x_ref (1, rows_t*Ry, W) u32; m_ref (W, w_out) int8;
-    o_ref (1, rows_t, w_out) u32.
+    o_ref (1, rows_t, w_out) u32.  With ``planes`` x_ref is
+    (1, 3, rows_t*Ry, W) u8 channel-major (24bpp input; plane p =
+    surrogate byte p, alpha is the synthesized constant 255 and is
+    skipped outright under ``skip_alpha``, i.e. 24bpp output).
     """
     w_in, w_out = plan.x.dim_in, plan.x.dim_out
     h_out = plan.y.dim_out
@@ -97,10 +101,11 @@ def _make_kernel(plan: ScalePlan, rows_t: int):
 
     unassoc_in = plan.meta_in.alpha == AlphaType.UNASSOCIATED
     alpha_byte = in_layout.index(3)
+    assert not planes or (alpha_byte == 3 and not unassoc_in)
 
     def kernel(x_ref, m_ref, o_ref):
         g = pl.program_id(1)
-        px = x_ref[0]  # (rows_t*ry, w_in) u32
+        px = x_ref[0]  # (rows_t*ry, w_in) u32, or (3, rows_t*ry, w_in) u8
         m8 = m_ref[...]
         # output-row index within the whole image, for edge-weight selection
         row_ids = g * rows_t + jax.lax.broadcasted_iota(
@@ -112,10 +117,25 @@ def _make_kernel(plan: ScalePlan, rows_t: int):
             jax.lax.broadcasted_iota(jnp.int32, (1, w_out), 1) == w_out - 1
         )
 
-        a_vals = ((px >> (8 * alpha_byte)) & jnp.uint32(0xFF)).astype(jnp.int32)
+        if planes:
+            a_vals = None
+        else:
+            a_vals = (
+                (px >> (8 * alpha_byte)) & jnp.uint32(0xFF)
+            ).astype(jnp.int32)
         out_px = jnp.zeros((rows_t, w_out), dtype=jnp.uint32)
         for byte_pos in range(4):
-            ch_vals = ((px >> (8 * byte_pos)) & jnp.uint32(0xFF)).astype(jnp.int32)
+            if planes:
+                if byte_pos == alpha_byte:
+                    if skip_alpha:
+                        continue
+                    ch_vals = jnp.full((rows_t * ry, w_in), 255, jnp.int32)
+                else:
+                    ch_vals = px[byte_pos].astype(jnp.int32)
+            else:
+                ch_vals = (
+                    (px >> (8 * byte_pos)) & jnp.uint32(0xFF)
+                ).astype(jnp.int32)
             if unassoc_in and byte_pos != alpha_byte:
                 # premultiply in-kernel (premul_u_to_p8, generic.c:238-244)
                 ch_vals = (((ch_vals + 1) * (a_vals + 1) - 1) >> 8) & 0xFF
@@ -248,4 +268,63 @@ def scale_fn(plan: ScalePlan, imgs):
     if squeeze:
         imgs = imgs[None]
     out = _built(plan, imgs.shape[0])(imgs)
+    return out[0] if squeeze else out
+
+
+@functools.cache
+def _built_planes(plan: ScalePlan, batch: int, skip_alpha: bool):
+    """Channel-major u8 planes variant of _built for 24bpp inputs: no
+    pad-to-32bpp + bitcast relayout, 25% less block DMA, constant alpha
+    (skipped when the output drops it)."""
+    h_out = plan.y.dim_out
+    ry = plan.y.dim_in // plan.y.dim_out
+    rows_t = _pick_rows_t(plan)
+    m = _span_matrix(plan.x)
+    kernel = _make_kernel(plan, rows_t, planes=True, skip_alpha=skip_alpha)
+    grid = (batch, h_out // rows_t)
+
+    call = pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct(
+            (batch, h_out, plan.width_out), jnp.uint32
+        ),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec(
+                (1, 3, rows_t * ry, plan.width_in),
+                lambda b, g: (b, 0, g, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(
+                (plan.width_in, plan.width_out),
+                lambda b, g: (0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+        ],
+        out_specs=pl.BlockSpec(
+            (1, rows_t, plan.width_out), lambda b, g: (b, g, 0),
+            memory_space=pltpu.VMEM,
+        ),
+    )
+
+    unassoc_out = plan.meta_out.alpha == AlphaType.UNASSOCIATED
+    assert not (skip_alpha and unassoc_out)
+
+    def fn(pls):
+        out = call(pls, jnp.asarray(m))
+        if unassoc_out:
+            out = _unpremul_epilogue(plan, out)
+        return jax.lax.bitcast_convert_type(out, jnp.uint8)
+
+    return fn
+
+
+def scale_fn_planes(plan: ScalePlan, pls, skip_alpha: bool):
+    """Channel-major (B, 3, H, W) u8 planes -> (B, h, w, 4) u8.  ``plan``
+    is the 4-byte surrogate (xla._adapt_24bpp); caller checks
+    applicable()."""
+    squeeze = pls.ndim == 3
+    if squeeze:
+        pls = pls[None]
+    out = _built_planes(plan, pls.shape[0], skip_alpha)(pls)
     return out[0] if squeeze else out

@@ -45,6 +45,40 @@ def test_pallas_box_exact(wi, hi, wo, ho, ti, to):
     pallas_box._built.cache_clear()
 
 
+@pytest.mark.parametrize(
+    "wi,hi,wo,ho,ti,to",
+    [
+        (256, 128, 16, 8, 8, 8),    # RGB24->RGB24 16:1 (alpha skipped)
+        (384, 256, 3, 2, 9, 9),     # BGR24 deep ratio
+        (512, 512, 4, 4, 8, 0),     # RGB24->RGBA (alpha computed, =255)
+        (256, 128, 16, 8, 8, 4),    # RGB24->unassoc RGBA (epilogue)
+    ],
+)
+def test_pallas_box_planes_exact(wi, hi, wo, ho, ti, to):
+    """Channel-major u8 planes feed for 24bpp inputs through the
+    dispatcher: same bytes as the padded surrogate, no pad+bitcast."""
+    import jax
+
+    from smolscale_tpu.backends import xla
+
+    plan = ScalePlan(wi, hi, wo, ho, ti, to, False)
+    adapted = xla._adapt_24bpp(plan)
+    assert adapted is not None and pallas_box.applicable(adapted[0])
+    pallas_box._built_planes.cache_clear()
+    img = RNG.integers(0, 256, (2, hi, wi, 3), dtype=np.uint8)
+    xla._FORCE_PALLAS = True
+    xla._RGB24_PLANES = True
+    try:
+        with mock.patch.object(pl, "pallas_call", _interp_call):
+            got = np.asarray(jax.jit(lambda v: xla.scale_fn(plan, v))(img))
+    finally:
+        xla._FORCE_PALLAS = None
+        xla._RGB24_PLANES = False
+        pallas_box._built_planes.cache_clear()
+    want = np.stack([numpy_ref.scale(plan, img[i]) for i in range(2)])
+    assert np.array_equal(want, got)
+
+
 def test_applicability_gate():
     # unassoc->unassoc is PREMUL16/128bpp internally -> not applicable
     assert not pallas_box.applicable(ScalePlan(256, 128, 16, 8, 4, 4, False))
