@@ -906,6 +906,12 @@ def _scale_fn_impl(plan: ScalePlan, img):
     if use_pallas and pallas_bilinear.applicable(plan):
         return pallas_bilinear.scale_fn(plan, img)
     if use_pallas and pallas_srgb.applicable(plan):
+        if (
+            _RGB24_PLANES
+            and plan.meta_in.n_bytes == 3
+            and img.dtype != jnp.uint32
+        ):
+            return pallas_srgb.scale_fn_planes(plan, jnp.moveaxis(img, -1, -3))
         return pallas_srgb.scale_fn(plan, img)
     if use_pallas and pallas_128.applicable(plan):
         return pallas_128.scale_fn(plan, img)

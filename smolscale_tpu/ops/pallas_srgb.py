@@ -133,13 +133,17 @@ def lut_gather(idx_2d, row_lo, row_hi):
     return jnp.concatenate(parts, axis=1) if len(parts) > 1 else parts[0]
 
 
-def _make_kernel(plan: ScalePlan, geo):
+def _make_kernel(plan: ScalePlan, geo, planes=False):
+    """``planes``: channel-major (B, 3, H, W) u8 feed for 24bpp inputs;
+    the synthesized 255 alpha becomes trace-time constants (the
+    alpha-indexed inv-div gather and the premul factors fold away)."""
     in_layout = plan.meta_in.layout
     if plan.meta_in.n_bytes == 3:
         # 24bpp input arrives padded with a synthesized 255 alpha at byte 3
         # (unpack_pixel_123_*, generic.c:353-358 filters it like any channel)
         in_layout = in_layout + (3,)
     alpha_byte = in_layout.index(3)
+    assert not planes or plan.meta_in.n_bytes == 3
     premul16 = plan.internal_alpha == AlphaType.PREMUL16
     kh, kv = geo["kh"], geo["kv"]
     t, tv = geo["t"], geo["t"] << kv
@@ -168,25 +172,43 @@ def _make_kernel(plan: ScalePlan, geo):
         cs = pl.multiple_of(cs_ref[gc], 128)
         px = pg._window_dma(
             rs_ref, cs_ref, x_any, xwin, sem, win_r, win_c,
-            pl.program_id(0), gr, gc,
+            pl.program_id(0), gr, gc, planes=planes,
         )
         mh = mh_ref[0]
         mv = mv_ref[0]
         tbl = tbl_ref[...]
 
-        a_vals = ((px >> (8 * alpha_byte)) & jnp.uint32(0xFF)).astype(jnp.int32)
-        if in_premul:
-            # alpha-indexed inverse-division factor for unpremultiplying
-            # premultiplied inputs before linearization (generic.c:488-502)
-            ascratch_vals = lut_gather(a_vals, tbl[2:3], tbl[3:4])
+        if planes:
+            # synthesized alpha == 255 everywhere: the inv-div factor is
+            # the trace-time scalar inv_div_p8[255] and the premul factors
+            # fold into constants (XLA constant-folds the arithmetic)
+            a_vals = None
+            ascratch_vals = int(luts.INV_DIV_P8[255]) if in_premul else None
+        else:
+            a_vals = (
+                (px >> (8 * alpha_byte)) & jnp.uint32(0xFF)
+            ).astype(jnp.int32)
+            if in_premul:
+                # alpha-indexed inverse-division factor for unpremultiplying
+                # premultiplied inputs before linearization (generic.c:488-502)
+                ascratch_vals = lut_gather(a_vals, tbl[2:3], tbl[3:4])
         for lane in range(4):
             byte_pos = in_layout.index(lane)
             if lane == 3:
                 # alpha plane: (a<<8)|0x80 for PREMUL16
                 # (unpack_pixel_*_p16, generic.c:616-626), plain a for P8L
-                ch = ((a_vals << 8) | 0x80) if premul16 else a_vals
+                if planes:
+                    const = ((255 << 8) | 0x80) if premul16 else 255
+                    ch = jnp.full((win_r, win_c), const, jnp.int32)
+                else:
+                    ch = ((a_vals << 8) | 0x80) if premul16 else a_vals
             else:
-                v8 = ((px >> (8 * byte_pos)) & jnp.uint32(0xFF)).astype(jnp.int32)
+                if planes:
+                    v8 = px[byte_pos].astype(jnp.int32)
+                else:
+                    v8 = (
+                        (px >> (8 * byte_pos)) & jnp.uint32(0xFF)
+                    ).astype(jnp.int32)
                 if in_premul:
                     # unpremul_p8 (generic.c:227-236): v*inv>>13, v*inv < 2**29
                     v8 = ((v8 * ascratch_vals) >> 13) & 0xFF
@@ -194,11 +216,12 @@ def _make_kernel(plan: ScalePlan, geo):
                     l11 = v8
                 else:
                     l11 = lut_gather(v8, tbl[0:1], None)
+                a_term = 255 if planes else a_vals
                 if premul16:
-                    ch = l11 * a_vals  # <= 2047*255 < 2**19
+                    ch = l11 * a_term  # <= 2047*255 < 2**19
                 else:
                     # premul_ul_to_p8l (generic.c:261-269)
-                    ch = (((l11 + 1) * ((a_vals << 3) + 1) - 1) >> 11) & 0x7FF
+                    ch = (((l11 + 1) * ((a_term << 3) + 1) - 1) >> 11) & 0x7FF
 
             # H filter (shared wide stages, pallas_bilinear)
             if _ABLATE in ("nohmm", "nofilter"):
@@ -342,4 +365,92 @@ def scale_fn(plan: ScalePlan, imgs):
     if squeeze:
         imgs = imgs[None]
     out = _built(plan, imgs.shape[0])(imgs)
+    return out[0] if squeeze else out
+
+
+@functools.cache
+def _built_planes(plan: ScalePlan, batch: int):
+    """Channel-major u8 planes variant of _built for 24bpp inputs: no
+    pad-to-32bpp + bitcast relayout, 25% less window DMA, and the
+    alpha-indexed inv-div gather plus premul factors constant-fold."""
+    geo = _geo(plan)
+    kernel = _make_kernel(plan, geo, planes=True)
+    t, jc_out = geo["t"], geo["jc_out"]
+    grid = (batch, geo["n_rg"], geo["n_ct"])
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.HBM),
+            pl.BlockSpec(
+                (1,) + geo["mh"].shape[1:],
+                lambda b, gr, gc, *_: (gc, 0, 0), memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(
+                (1,) + geo["hfac"].shape[1:],
+                lambda b, gr, gc, *_: (gc, 0, 0), memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(
+                (1,) + geo["mv"].shape[1:],
+                lambda b, gr, gc, *_: (gr, 0, 0), memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(
+                (1,) + geo["vfac"].shape[1:],
+                lambda b, gr, gc, *_: (gr, 0, 0), memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(
+                (4, 128), lambda b, gr, gc, *_: (0, 0), memory_space=pltpu.VMEM,
+            ),
+        ],
+        out_specs=pl.BlockSpec(
+            (1, 4, t, jc_out), lambda b, gr, gc, *_: (b, 0, gr, gc),
+            memory_space=pltpu.VMEM,
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((2, 3, geo["win_r"], geo["win_c"]), jnp.uint8),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+    )
+
+    call = pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct(
+            (batch, 4, geo["h_out_pad"], geo["w_out_pad"]), jnp.int32
+        ),
+        grid_spec=grid_spec,
+    )
+
+    h_in, w_in = plan.height_in, plan.width_in
+    h_out, w_out = plan.height_out, plan.width_out
+    tables = _lut_tables()
+
+    def fn(pls):
+        from ..backends.xla import _pack
+
+        if geo["h_pad"] != h_in or geo["w_pad"] != w_in:
+            pls = jnp.pad(
+                pls,
+                [(0, 0), (0, 0), (0, geo["h_pad"] - h_in),
+                 (0, geo["w_pad"] - w_in)],
+            )
+        planes = call(
+            jnp.asarray(geo["rstart"]), jnp.asarray(geo["cstart"]), pls,
+            jnp.asarray(geo["mh"]), jnp.asarray(geo["hfac"]),
+            jnp.asarray(geo["mv"]), jnp.asarray(geo["vfac"]),
+            jnp.asarray(tables),
+        )
+        planes = planes[:, :, :h_out, :w_out]
+        return _pack(plan, planes)
+
+    return fn
+
+
+def scale_fn_planes(plan: ScalePlan, pls):
+    """Channel-major (B, 3, H, W) u8 planes -> (B, h, w, nb_out) u8.
+    24bpp-input plans only; caller checks applicable()."""
+    squeeze = pls.ndim == 3
+    if squeeze:
+        pls = pls[None]
+    out = _built_planes(plan, pls.shape[0])(pls)
     return out[0] if squeeze else out

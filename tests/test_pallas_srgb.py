@@ -74,3 +74,37 @@ def test_pallas_srgb_24bpp_exact(ti, to):
     want = np.stack([numpy_ref.scale(plan, img[i]) for i in range(2)])
     assert np.array_equal(want, got)
     pallas_srgb._built.cache_clear()
+
+
+@pytest.mark.parametrize(
+    "wi,hi,wo,ho,ti,to",
+    [
+        (512, 256, 96, 56, 8, 8),     # RGB24->RGB24 dense ladder (6b class)
+        (512, 256, 96, 56, 9, 9),     # BGR24
+        (512, 256, 96, 56, 8, 4),     # 24bpp -> unassoc 32bpp (PREMUL16)
+        (1024, 300, 128, 30, 8, 0),   # uniform ladder H x 10:1 box V -> 32bpp
+        (333, 200, 111, 40, 8, 8),    # ragged dims, box V
+    ],
+)
+def test_pallas_srgb_planes_exact(wi, hi, wo, ho, ti, to):
+    """Channel-major u8 planes feed for 24bpp sRGB inputs through the
+    dispatcher: the inv-div gather and premul factors constant-fold."""
+    import jax
+
+    from smolscale_tpu.backends import xla
+
+    plan = ScalePlan(wi, hi, wo, ho, ti, to, True)
+    assert pallas_srgb.applicable(plan) and plan.meta_in.n_bytes == 3
+    pallas_srgb._built_planes.cache_clear()
+    img = RNG.integers(0, 256, (2, hi, wi, 3), dtype=np.uint8)
+    xla._FORCE_PALLAS = True
+    xla._RGB24_PLANES = True
+    try:
+        with mock.patch.object(pl, "pallas_call", _interp_call):
+            got = np.asarray(jax.jit(lambda v: xla.scale_fn(plan, v))(img))
+    finally:
+        xla._FORCE_PALLAS = None
+        xla._RGB24_PLANES = False
+        pallas_srgb._built_planes.cache_clear()
+    want = np.stack([numpy_ref.scale(plan, img[i]) for i in range(2)])
+    assert np.array_equal(want, got)
