@@ -916,6 +916,12 @@ def _scale_fn_impl(plan: ScalePlan, img):
     if use_pallas and pallas_128.applicable(plan):
         return pallas_128.scale_fn(plan, img)
     if use_pallas and pallas_deep.applicable(plan):
+        if (
+            _RGB24_PLANES
+            and plan.meta_in.n_bytes == 3
+            and img.dtype != jnp.uint32
+        ):
+            return pallas_deep.scale_fn_planes(plan, jnp.moveaxis(img, -1, -3))
         return pallas_deep.scale_fn(plan, img)
     if use_pallas:
         adapted = _adapt_24bpp(plan)

@@ -160,18 +160,28 @@ def _general_chunk(plan: ScalePlan):
 
 
 def _unpack_plane(px, a_vals, inv_vals, ch_lane, in_layout, premul16,
-                  in_premul, linear, tbl):
+                  in_premul, linear, tbl, planes=False):
     """One channel plane from packed u32 pixels, including the linear-light
     prologue when the plan is sRGB (mirrors pallas_srgb's kernel exactly:
     unpremultiply via the alpha-indexed inv-div factor, linearize through
-    the dynamic-gather LUT, re-premultiply at 16 or 11 bits)."""
+    the dynamic-gather LUT, re-premultiply at 16 or 11 bits).
+
+    With ``planes`` the input is channel-major (3, C, W) u8 (24bpp
+    plans); ``a_vals`` is the python int 255 and ``inv_vals`` the scalar
+    inv_div_p8[255], so the premul factors constant-fold."""
     from . import pallas_srgb
 
     byte_pos = in_layout.index(ch_lane)
     if ch_lane == 3:
+        if planes:
+            const = ((255 << 8) | 0x80) if premul16 else 255
+            return jnp.full(px.shape[-2:], const, jnp.int32)
         # PREMUL16 alpha rides as (a<<8)|0x80 (generic.c:616-634)
         return ((a_vals << 8) | 0x80) if premul16 else a_vals
-    v8 = ((px >> (8 * byte_pos)) & jnp.uint32(0xFF)).astype(jnp.int32)
+    if planes:
+        v8 = px[byte_pos].astype(jnp.int32)
+    else:
+        v8 = ((px >> (8 * byte_pos)) & jnp.uint32(0xFF)).astype(jnp.int32)
     if linear:
         if in_premul:
             # unpremul_p8 (generic.c:227-236): v*inv>>13, v*inv < 2**29
@@ -189,13 +199,45 @@ def _unpack_plane(px, a_vals, inv_vals, ch_lane, in_layout, premul16,
     return (((v8 + 1) * (a_vals + 1) - 1) >> 8) & 0xFF
 
 
-def _make_kernel(plan: ScalePlan, C: int, k: int, w_pad: int, w_out_pad: int):
+def _alpha_unused(plan: ScalePlan) -> bool:
+    """True when xla._pack never reads the alpha plane: 24bpp output
+    packs only channels 0..2, and the color transform is alpha-free for
+    PREMUL8 plans that keep premultiplied colors (compressed gamma) or
+    LUT the 11-bit linear values straight (plan.pack24_linear_direct,
+    generic.c:922-935).  Everything else (PREMUL16, indirect linear)
+    unpremultiplies through the filtered alpha."""
+    return (
+        plan.meta_out.n_bytes == 3
+        and plan.internal_alpha == AlphaType.PREMUL8
+        and (
+            plan.gamma == GammaType.SRGB_COMPRESSED
+            or plan.pack24_linear_direct
+        )
+    )
+
+
+def _planes_consts(plan: ScalePlan):
+    """(a_vals, inv_vals) trace-time constants for the channel-major u8
+    planes feed: the synthesized 24bpp alpha is 255 everywhere, so the
+    premul factors and the alpha-indexed inv-div gather constant-fold."""
+    from ..luts import INV_DIV_P8
+
+    linear = plan.gamma == GammaType.SRGB_LINEAR
+    in_premul = plan.meta_in.alpha == AlphaType.PREMUL8
+    inv = int(INV_DIV_P8[255]) if (linear and in_premul) else None
+    return 255, inv
+
+
+def _make_kernel(plan: ScalePlan, C: int, k: int, w_pad: int, w_out_pad: int,
+                 planes: bool = False):
     in_layout = plan.meta_in.layout
     if plan.meta_in.n_bytes == 3:
         # 24bpp input arrives padded with a synthesized 255 alpha
         # (unpack_pixel_123_*, generic.c:353-358)
         in_layout = in_layout + (3,)
     alpha_byte = in_layout.index(3)
+    assert not planes or plan.meta_in.n_bytes == 3
+    skip_a = planes and _alpha_unused(plan)
     premul16 = plan.internal_alpha == AlphaType.PREMUL16
     in_premul = plan.meta_in.alpha == AlphaType.PREMUL8
     r_x = int(plan.x.strides[0]) + 1
@@ -214,21 +256,29 @@ def _make_kernel(plan: ScalePlan, C: int, k: int, w_pad: int, w_out_pad: int):
     def kernel(x_ref, m_ref, tbl_ref, o_ref, acc_ref):
         oi = pl.program_id(1)
         c = pl.program_id(2)
-        px = x_ref[0]  # (C, w_pad) u32
+        px = x_ref[0]  # (C, w_pad) u32, or (3, C, w_pad) u8 with planes
         m8 = m_ref[...]
         tbl = tbl_ref[...]
         lane = jax.lax.broadcasted_iota(jnp.int32, (C, w_pad), 1)
         span_first = (lane % r_x == 0) & (lane > 0)
 
-        a_vals = ((px >> (8 * alpha_byte)) & jnp.uint32(0xFF)).astype(jnp.int32)
-        inv_vals = None
-        if linear and in_premul:
-            from . import pallas_srgb
+        if planes:
+            a_vals, inv_vals = _planes_consts(plan)
+        else:
+            a_vals = (
+                (px >> (8 * alpha_byte)) & jnp.uint32(0xFF)
+            ).astype(jnp.int32)
+            inv_vals = None
+            if linear and in_premul:
+                from . import pallas_srgb
 
-            inv_vals = pallas_srgb.lut_gather(a_vals, tbl[2:3], tbl[3:4])
+                inv_vals = pallas_srgb.lut_gather(a_vals, tbl[2:3], tbl[3:4])
         for ch_lane in range(4):
+            if skip_a and ch_lane == 3:
+                continue
             ch = _unpack_plane(px, a_vals, inv_vals, ch_lane, in_layout,
-                               premul16, in_premul, linear, tbl)
+                               premul16, in_premul, linear, tbl,
+                               planes=planes)
             # H: fold the 255/256 span-first weight into the input
             adj = ch - jnp.where(span_first, (ch + 255) >> 8, 0)
             if h_last_short:
@@ -279,16 +329,28 @@ def _span_matrix(plan: ScalePlan, w_pad: int, w_out_pad: int):
 
 
 @functools.cache
-def _built(plan: ScalePlan, batch: int):
+def _built(plan: ScalePlan, batch: int, planes: bool = False):
     C, k = _chunk_rows(plan)
     w_in, h_in = plan.width_in, plan.height_in
     w_out, h_out = plan.width_out, plan.height_out
     w_pad = pg._round_up(w_in, 128)
     w_out_pad = pg._round_up(w_out, 128)
-    kernel = _make_kernel(plan, C, k, w_pad, w_out_pad)
+    kernel = _make_kernel(plan, C, k, w_pad, w_out_pad, planes=planes)
     m = _span_matrix(plan, w_pad, w_out_pad)
     grid = (batch, h_out, k)
 
+    if planes:
+        px_spec = pl.BlockSpec(
+            (1, 3, C, w_pad),
+            lambda b, oi, c, _k=k: (b, 0, oi * _k + c, 0),
+            memory_space=pltpu.VMEM,
+        )
+    else:
+        px_spec = pl.BlockSpec(
+            (1, C, w_pad),
+            lambda b, oi, c, _k=k: (b, oi * _k + c, 0),
+            memory_space=pltpu.VMEM,
+        )
     call = pl.pallas_call(
         kernel,
         out_shape=jax.ShapeDtypeStruct(
@@ -296,11 +358,7 @@ def _built(plan: ScalePlan, batch: int):
         ),
         grid=grid,
         in_specs=[
-            pl.BlockSpec(
-                (1, C, w_pad),
-                lambda b, oi, c, _k=k: (b, oi * _k + c, 0),
-                memory_space=pltpu.VMEM,
-            ),
+            px_spec,
             pl.BlockSpec(
                 (w_pad, w_out_pad), lambda b, oi, c: (0, 0),
                 memory_space=pltpu.VMEM,
@@ -324,20 +382,25 @@ def _built(plan: ScalePlan, batch: int):
     def fn(imgs_u8):
         from ..backends.xla import _pack
 
-        if imgs_u8.dtype == jnp.uint32:  # pre-packed pixel view
+        if planes:  # channel-major (B, 3, H, W) u8 planes, no relayout
+            px = imgs_u8
+            if w_pad != w_in:
+                px = jnp.pad(
+                    px, [(0, 0), (0, 0), (0, 0), (0, w_pad - w_in)]
+                )
+        elif imgs_u8.dtype == jnp.uint32:  # pre-packed pixel view
             px = imgs_u8
         else:
             if pad_in:
                 pad = [(0, 0)] * (imgs_u8.ndim - 1) + [(0, 1)]
                 imgs_u8 = jnp.pad(imgs_u8, pad, constant_values=255)
             px = jax.lax.bitcast_convert_type(imgs_u8, jnp.uint32)
-        if w_pad != w_in:
+        if not planes and w_pad != w_in:
             px = jnp.pad(px, [(0, 0), (0, 0), (0, w_pad - w_in)])
         from . import pallas_srgb
 
-        planes = call(px, jnp.asarray(m), jnp.asarray(pallas_srgb._lut_tables()))
-        planes = planes[:, :, :, :w_out]
-        return _pack(plan, planes)
+        out = call(px, jnp.asarray(m), jnp.asarray(pallas_srgb._lut_tables()))
+        return _pack(plan, out[:, :, :, :w_out])
 
     return fn
 
@@ -365,7 +428,7 @@ def _accum_emit(acc_ref, o_ref, ch_lane, part, c, oi, k, span_mul_y,
 
 
 def _make_general_kernel(plan: ScalePlan, C: int, k: int, w_pad: int,
-                         w_out_pad: int):
+                         w_out_pad: int, planes: bool = False):
     """Ragged-span variant: V spans are irregular (non-integer ratios), so
     chunks start at the span's C-aligned base (BlockSpec-pipelined via the
     scalar-prefetched block index, so the pipeline double-buffers the
@@ -384,6 +447,8 @@ def _make_general_kernel(plan: ScalePlan, C: int, k: int, w_pad: int,
     if plan.meta_in.n_bytes == 3:
         in_layout = in_layout + (3,)
     alpha_byte = in_layout.index(3)
+    assert not planes or (plan.meta_in.n_bytes == 3 and _ABLATE is None)
+    skip_a = planes and _alpha_unused(plan)
     premul16 = plan.internal_alpha == AlphaType.PREMUL16
     in_premul = plan.meta_in.alpha == AlphaType.PREMUL8
     h_out = plan.height_out
@@ -431,21 +496,36 @@ def _make_general_kernel(plan: ScalePlan, C: int, k: int, w_pad: int,
             + jax.lax.broadcasted_iota(jnp.int32, (C, 1), 0)
         )
 
-        a_vals = ((px >> (8 * alpha_byte)) & jnp.uint32(0xFF)).astype(jnp.int32)
-        inv_vals = None
-        if linear and in_premul:
-            from . import pallas_srgb
+        if planes:
+            a_vals, inv_vals = _planes_consts(plan)
+        else:
+            a_vals = (
+                (px >> (8 * alpha_byte)) & jnp.uint32(0xFF)
+            ).astype(jnp.int32)
+            inv_vals = None
+            if linear and in_premul:
+                from . import pallas_srgb
 
-            inv_vals = pallas_srgb.lut_gather(a_vals, tbl[2:3], tbl[3:4])
+                inv_vals = pallas_srgb.lut_gather(a_vals, tbl[2:3], tbl[3:4])
         for ch_lane in range(4):
+            if skip_a and ch_lane == 3:
+                continue
             if raw and _ABLATE is None:
                 byte_pos = in_layout.index(ch_lane)
-                biased = (
-                    ((px >> (8 * byte_pos)) & jnp.uint32(0xFF)).astype(
-                        jnp.int32
-                    )
-                    - 128
-                ).astype(jnp.int8)
+                if planes and ch_lane == 3:
+                    # synthesized 255 alpha: constant biased operand
+                    biased = jnp.full(px.shape[-2:], 127, jnp.int8)
+                elif planes:
+                    biased = (
+                        px[byte_pos].astype(jnp.int32) - 128
+                    ).astype(jnp.int8)
+                else:
+                    biased = (
+                        ((px >> (8 * byte_pos)) & jnp.uint32(0xFF)).astype(
+                            jnp.int32
+                        )
+                        - 128
+                    ).astype(jnp.int8)
 
                 def mm(mat):
                     return jnp.dot(
@@ -470,7 +550,7 @@ def _make_general_kernel(plan: ScalePlan, C: int, k: int, w_pad: int,
                 else:
                     ch = _unpack_plane(px, a_vals, inv_vals, ch_lane,
                                        in_layout, premul16, in_premul,
-                                       linear, tbl)
+                                       linear, tbl, planes=planes)
                 if _ABLATE == "nohmm":
                     hrow = ch[:, :w_out_pad]
                 else:
@@ -587,7 +667,7 @@ def _ragged_h_tables(plan: ScalePlan, w_pad: int, w_out_pad: int):
 
 
 @functools.cache
-def _built_general(plan: ScalePlan, batch: int):
+def _built_general(plan: ScalePlan, batch: int, planes: bool = False):
     from ..backends.xla import _box_v_arrays
 
     C, k = _general_chunk(plan)
@@ -609,9 +689,22 @@ def _built_general(plan: ScalePlan, batch: int):
         pg._round_up(h_in, 8), (int(scal[:, 5].max()) + k) * C
     )
 
-    kernel = _make_general_kernel(plan, C, k, w_pad, w_out_pad)
+    kernel = _make_general_kernel(plan, C, k, w_pad, w_out_pad,
+                                  planes=planes)
     grid = (batch, h_out, k)
 
+    if planes:
+        px_spec = pl.BlockSpec(
+            (1, 3, C, w_pad),
+            lambda b, oi, c, s: (b, 0, s[oi, 5] + c, 0),
+            memory_space=pltpu.VMEM,
+        )
+    else:
+        px_spec = pl.BlockSpec(
+            (1, C, w_pad),
+            lambda b, oi, c, s: (b, s[oi, 5] + c, 0),
+            memory_space=pltpu.VMEM,
+        )
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=grid,
@@ -619,11 +712,7 @@ def _built_general(plan: ScalePlan, batch: int):
             # chunk blocks addressed through the scalar-prefetched base
             # block index: the pipeline double-buffers the fetches (the
             # old manual-DMA form serialized a VMEM copy per chunk)
-            pl.BlockSpec(
-                (1, C, w_pad),
-                lambda b, oi, c, s: (b, s[oi, 5] + c, 0),
-                memory_space=pltpu.VMEM,
-            ),
+            px_spec,
             pl.BlockSpec(
                 m3.shape, lambda b, oi, c, *_: (0, 0),
                 memory_space=pltpu.VMEM,
@@ -659,25 +748,31 @@ def _built_general(plan: ScalePlan, batch: int):
     def fn(imgs_u8):
         from ..backends.xla import _pack
 
-        if imgs_u8.dtype == jnp.uint32:
+        if planes:  # channel-major (B, 3, H, W) u8 planes, no relayout
+            px = imgs_u8
+            if w_pad != w_in or h_pad != h_in:
+                px = jnp.pad(
+                    px,
+                    [(0, 0), (0, 0), (0, h_pad - h_in), (0, w_pad - w_in)],
+                )
+        elif imgs_u8.dtype == jnp.uint32:
             px = imgs_u8
         else:
             if pad_in:
                 pad = [(0, 0)] * (imgs_u8.ndim - 1) + [(0, 1)]
                 imgs_u8 = jnp.pad(imgs_u8, pad, constant_values=255)
             px = jax.lax.bitcast_convert_type(imgs_u8, jnp.uint32)
-        if w_pad != w_in or h_pad != h_in:
+        if not planes and (w_pad != w_in or h_pad != h_in):
             px = jnp.pad(
                 px, [(0, 0), (0, h_pad - h_in), (0, w_pad - w_in)]
             )
         from . import pallas_srgb
 
-        planes = call(
+        out = call(
             jnp.asarray(scal), px, jnp.asarray(m3), jnp.asarray(hf),
             jnp.asarray(pallas_srgb._lut_tables()),
         )
-        planes = planes[:, :, :, :w_out]
-        return _pack(plan, planes)
+        return _pack(plan, out[:, :, :, :w_out])
 
     return fn
 
@@ -707,7 +802,8 @@ def _chunk_centric(plan: ScalePlan):
     return C, n_chunks
 
 
-def _make_chunk_kernel(plan: ScalePlan, C: int, w_pad: int, w_out_pad: int):
+def _make_chunk_kernel(plan: ScalePlan, C: int, w_pad: int, w_out_pad: int,
+                       planes: bool = False):
     """Chunk-centric ragged deep box: grid (batch, chunk) walks the image
     once; each chunk's rows classify into the (at most two) spans the
     chunk intersects -- candidate A always, candidate B when the next
@@ -727,6 +823,9 @@ def _make_chunk_kernel(plan: ScalePlan, C: int, w_pad: int, w_out_pad: int):
     if plan.meta_in.n_bytes == 3:
         in_layout = in_layout + (3,)
     alpha_byte = in_layout.index(3)
+    assert not planes or (plan.meta_in.n_bytes == 3 and _ABLATE is None)
+    skip_a = planes and _alpha_unused(plan)
+    n_stack = 3 if skip_a else 4
     premul16 = plan.internal_alpha == AlphaType.PREMUL16
     in_premul = plan.meta_in.alpha == AlphaType.PREMUL8
     span_mul_x = int(plan.x.span_mul)
@@ -772,12 +871,17 @@ def _make_chunk_kernel(plan: ScalePlan, C: int, w_pad: int, w_out_pad: int):
         wv_b = span_weights(s_ref[c, 9], s_ref[c, 10], s_ref[c, 11],
                             s_ref[c, 12])
 
-        a_vals = ((px >> (8 * alpha_byte)) & jnp.uint32(0xFF)).astype(jnp.int32)
-        inv_vals = None
-        if linear and in_premul:
-            from . import pallas_srgb
+        if planes:
+            a_vals, inv_vals = _planes_consts(plan)
+        else:
+            a_vals = (
+                (px >> (8 * alpha_byte)) & jnp.uint32(0xFF)
+            ).astype(jnp.int32)
+            inv_vals = None
+            if linear and in_premul:
+                from . import pallas_srgb
 
-            inv_vals = pallas_srgb.lut_gather(a_vals, tbl[2:3], tbl[3:4])
+                inv_vals = pallas_srgb.lut_gather(a_vals, tbl[2:3], tbl[3:4])
 
         # Channel-stacked H matmuls: all four planes concatenate along
         # sublanes into one tall operand, so each limb's span matmul runs
@@ -789,14 +893,27 @@ def _make_chunk_kernel(plan: ScalePlan, C: int, w_pad: int, w_out_pad: int):
         # corrections are row-independent, so they apply to the stacked
         # result unchanged.
         if raw and _ABLATE is None:
-            biased = jnp.concatenate(
-                [
-                    ((px >> (8 * in_layout.index(l))) & jnp.uint32(0xFF)
-                     ).astype(jnp.int32) - 128
-                    for l in range(4)
-                ],
-                axis=0,
-            ).astype(jnp.int8)
+            if planes:
+                # channel plane -> biased limb directly; the synthesized
+                # 255 alpha (when packed at all) is the constant 127 limb
+                srcs = [
+                    px[in_layout.index(l)].astype(jnp.int32) - 128
+                    for l in range(3)
+                ]
+                if not skip_a:
+                    srcs.append(
+                        jnp.full(px.shape[-2:], 127, jnp.int32)
+                    )
+                biased = jnp.concatenate(srcs, axis=0).astype(jnp.int8)
+            else:
+                biased = jnp.concatenate(
+                    [
+                        ((px >> (8 * in_layout.index(l))) & jnp.uint32(0xFF)
+                         ).astype(jnp.int32) - 128
+                        for l in range(4)
+                    ],
+                    axis=0,
+                ).astype(jnp.int8)
 
             def mm(mat):
                 return jnp.dot(biased, mat, preferred_element_type=jnp.int32)
@@ -813,22 +930,23 @@ def _make_chunk_kernel(plan: ScalePlan, C: int, w_pad: int, w_out_pad: int):
                    ).astype(jnp.int32)
             )
             hrow_s = fp.mul_shift_round24(y, jnp.int32(span_mul_x)) & norm_mask
-            hrows = [hrow_s[l * C : (l + 1) * C] for l in range(4)]
+            hrows = [hrow_s[l * C : (l + 1) * C] for l in range(n_stack)]
         else:
             if _ABLATE == "nounpack":
                 chs = [px.astype(jnp.int32) & 0xFF for _ in range(4)]
             else:
                 chs = [
                     _unpack_plane(px, a_vals, inv_vals, l, in_layout,
-                                  premul16, in_premul, linear, tbl)
-                    for l in range(4)
+                                  premul16, in_premul, linear, tbl,
+                                  planes=planes)
+                    for l in range(n_stack)
                 ]
             if _ABLATE == "nohmm":
                 hrows = [ch[:, :w_out_pad] & norm_mask for ch in chs]
             else:
                 # linear alpha fits fewer limbs than the linearized colors
                 a_nl = (2 if premul16 else 1) if linear else nl8
-                if a_nl == nl8:
+                if skip_a or a_nl == nl8:
                     groups = [(jnp.concatenate(chs, axis=0), nl8,
                                corr_a, corr_r)]
                 else:
@@ -855,10 +973,12 @@ def _make_chunk_kernel(plan: ScalePlan, C: int, w_pad: int, w_out_pad: int):
                         & norm_mask
                     )
                 hrows = [ys[0][l * C : (l + 1) * C] for l in range(3)]
-                hrows.append(
-                    ys[-1][0:C] if len(ys) > 1 else ys[0][3 * C : 4 * C]
-                )
-        for ch_lane in range(4):
+                if not skip_a:
+                    hrows.append(
+                        ys[-1][0:C] if len(ys) > 1
+                        else ys[0][3 * C : 4 * C]
+                    )
+        for ch_lane in range(n_stack):
             hrow = hrows[ch_lane]
             hu = hrow.astype(jnp.uint32)
             if _ABLATE == "noclass":
@@ -905,7 +1025,7 @@ def _make_chunk_kernel(plan: ScalePlan, C: int, w_pad: int, w_out_pad: int):
 
 
 @functools.cache
-def _built_chunked(plan: ScalePlan, batch: int):
+def _built_chunked(plan: ScalePlan, batch: int, planes: bool = False):
     from ..backends.xla import _box_v_arrays
 
     C, n_chunks = _chunk_centric(plan)
@@ -958,19 +1078,25 @@ def _built_chunked(plan: ScalePlan, batch: int):
             scal[c, 10] = -2
 
     h_pad = n_chunks * C
-    kernel = _make_chunk_kernel(plan, C, w_pad, w_out_pad)
+    kernel = _make_chunk_kernel(plan, C, w_pad, w_out_pad, planes=planes)
     grid = (batch, n_chunks)
-    px_block = (1, C, w_pad)
     scratch = [pltpu.VMEM((8, w_out_pad), jnp.int32)]
 
+    if planes:
+        px_spec = pl.BlockSpec(
+            (1, 3, C, w_pad), lambda b, c, *_: (b, 0, c, 0),
+            memory_space=pltpu.VMEM,
+        )
+    else:
+        px_spec = pl.BlockSpec(
+            (1, C, w_pad), lambda b, c, *_: (b, c, 0),
+            memory_space=pltpu.VMEM,
+        )
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=grid,
         in_specs=[
-            pl.BlockSpec(
-                px_block, lambda b, c, *_: (b, c, 0),
-                memory_space=pltpu.VMEM,
-            ),
+            px_spec,
             pl.BlockSpec(
                 m3.shape, lambda b, c, *_: (0, 0), memory_space=pltpu.VMEM,
             ),
@@ -1002,25 +1128,31 @@ def _built_chunked(plan: ScalePlan, batch: int):
     def fn(imgs_u8):
         from ..backends.xla import _pack
 
-        if imgs_u8.dtype == jnp.uint32:
+        if planes:  # channel-major (B, 3, H, W) u8 planes, no relayout
+            px = imgs_u8
+            if w_pad != w_in or h_pad != h_in:
+                px = jnp.pad(
+                    px,
+                    [(0, 0), (0, 0), (0, h_pad - h_in), (0, w_pad - w_in)],
+                )
+        elif imgs_u8.dtype == jnp.uint32:
             px = imgs_u8
         else:
             if pad_in:
                 pad = [(0, 0)] * (imgs_u8.ndim - 1) + [(0, 1)]
                 imgs_u8 = jnp.pad(imgs_u8, pad, constant_values=255)
             px = jax.lax.bitcast_convert_type(imgs_u8, jnp.uint32)
-        if w_pad != w_in or h_pad != h_in:
+        if not planes and (w_pad != w_in or h_pad != h_in):
             px = jnp.pad(
                 px, [(0, 0), (0, h_pad - h_in), (0, w_pad - w_in)]
             )
         from . import pallas_srgb
 
-        planes = call(
+        out = call(
             jnp.asarray(scal), px, jnp.asarray(m3), jnp.asarray(hf),
             jnp.asarray(pallas_srgb._lut_tables()),
         )
-        planes = planes[:, :, :, :w_out]
-        return _pack(plan, planes)
+        return _pack(plan, out[:, :, :, :w_out])
 
     return fn
 
@@ -1040,4 +1172,22 @@ def scale_fn(plan: ScalePlan, imgs):
     else:
         build = _built_general
     out = build(plan, imgs.shape[0])(imgs)
+    return out[0] if squeeze else out
+
+
+def scale_fn_planes(plan: ScalePlan, pls):
+    """Channel-major (B, 3, H, W) u8 planes -> (B, h, w, nb_out) u8.
+    24bpp-input deep plans only; caller checks applicable().  Skips the
+    pad-to-32bpp + u32 bitcast relayout, and the synthesized 255 alpha
+    constant-folds (dropped outright when _alpha_unused)."""
+    squeeze = pls.ndim == 3
+    if squeeze:
+        pls = pls[None]
+    if _uniform_deep(plan):
+        build = _built
+    elif _chunk_centric(plan) is not None and _ABLATE != "general":
+        build = _built_chunked
+    else:
+        build = _built_general
+    out = build(plan, pls.shape[0], planes=True)(pls)
     return out[0] if squeeze else out

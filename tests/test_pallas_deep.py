@@ -76,6 +76,64 @@ def test_pallas_deep_srgb_exact(wi, hi, wo, ho, ti, to):
     assert np.array_equal(want, got)
 
 
+@pytest.mark.parametrize(
+    "wi,hi,wo,ho,ti,to,srgb",
+    [
+        (1024, 1024, 8, 8, 8, 8, False),    # uniform, alpha skipped
+        (1024, 1024, 8, 8, 9, 0, False),    # uniform BGR24 -> 32bpp premul
+        (2000, 2000, 12, 12, 8, 8, False),  # chunk-centric raw, alpha skipped
+        (2000, 2000, 12, 12, 8, 4, False),  # chunk-centric, const alpha plane
+        (258, 732, 2, 5, 8, 8, False),      # span-centric general kernel
+        (1024, 1024, 8, 8, 8, 8, True),     # sRGB uniform, pack24 direct
+        (1198, 900, 5, 7, 8, 4, True),      # sRGB chunk-centric, unassoc out
+        (258, 732, 2, 5, 8, 8, True),       # sRGB span-centric general
+    ],
+)
+def test_pallas_deep_planes_exact(wi, hi, wo, ho, ti, to, srgb):
+    """Channel-major u8 planes feed for 24bpp deep plans: the premul
+    factors and inv-div gather constant-fold; the alpha plane is skipped
+    outright when _alpha_unused."""
+    import jax.numpy as jnp
+
+    plan = ScalePlan(wi, hi, wo, ho, ti, to, srgb)
+    assert pallas_deep.applicable(plan) and plan.meta_in.n_bytes == 3
+    for c in (pallas_deep._built, pallas_deep._built_chunked,
+              pallas_deep._built_general):
+        c.cache_clear()
+    img = RNG.integers(0, 256, (2, hi, wi, 3), dtype=np.uint8)
+    pls = np.ascontiguousarray(np.moveaxis(img, -1, -3))
+    with mock.patch.object(pl, "pallas_call", _interp_call):
+        got = np.asarray(pallas_deep.scale_fn_planes(plan, jnp.asarray(pls)))
+    want = np.stack([numpy_ref.scale(plan, img[i]) for i in range(2)])
+    assert np.array_equal(want, got)
+    for c in (pallas_deep._built, pallas_deep._built_chunked,
+              pallas_deep._built_general):
+        c.cache_clear()
+
+
+def test_deep_planes_via_xla_gate():
+    """The _RGB24_PLANES dispatch in xla._scale_fn_impl feeds deep 24bpp
+    plans channel-major (mirrors the pallas_box/srgb gate tests)."""
+    import jax
+    from smolscale_tpu.backends import xla
+
+    plan = ScalePlan(2000, 2000, 12, 12, 8, 8, False)
+    assert pallas_deep.applicable(plan) and plan.meta_in.n_bytes == 3
+    pallas_deep._built_chunked.cache_clear()
+    img = RNG.integers(0, 256, (2, 2000, 2000, 3), dtype=np.uint8)
+    xla._FORCE_PALLAS = True
+    xla._RGB24_PLANES = True
+    try:
+        with mock.patch.object(pl, "pallas_call", _interp_call):
+            got = np.asarray(jax.jit(lambda v: xla.scale_fn(plan, v))(img))
+    finally:
+        xla._FORCE_PALLAS = None
+        xla._RGB24_PLANES = False
+        pallas_deep._built_chunked.cache_clear()
+    want = np.stack([numpy_ref.scale(plan, img[i]) for i in range(2)])
+    assert np.array_equal(want, got)
+
+
 def test_gate():
     # deep linear light is covered too (round 3)
     assert pallas_deep.applicable(ScalePlan(2048, 2048, 8, 8, 4, 4, True))
