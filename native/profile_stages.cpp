@@ -46,8 +46,11 @@ int main(int argc, char **argv) {
          s64 ? "S64" : "S128", p->x.filter, p->y.filter, p->x.halvings,
          p->y.halvings);
 
+  const long long nb_in = n_bytes_of(type_in), nb_out = n_bytes_of(type_out);
   double t_all = best_ms(
-      [&] { sst_scale(p, src.data(), 4LL * w_in, dst.data(), 4LL * w_out); },
+      [&] {
+        sst_scale(p, src.data(), nb_in * w_in, dst.data(), nb_out * w_out);
+      },
       reps);
 
   // stage timings on u16 or i32 workers
@@ -59,7 +62,7 @@ int main(int argc, char **argv) {
     double t_unpack = best_ms(
         [&] {
           for (int i = 0; i < h_in; i++)
-            unpack_row(p, src.data() + (size_t)4 * w_in * i, unp.data());
+            unpack_row(p, src.data() + (size_t)nb_in * w_in * i, unp.data());
         },
         reps);
     double t_h = best_ms(
@@ -70,7 +73,7 @@ int main(int argc, char **argv) {
     double t_pack = best_ms(
         [&] {
           for (int i = 0; i < h_out; i++)
-            pack_row(p, hout.data(), dst.data() + (size_t)4 * w_out * i);
+            pack_row(p, hout.data(), dst.data() + (size_t)nb_out * w_out * i);
         },
         reps);
     // V-only: lerp two fixed rows h_out times

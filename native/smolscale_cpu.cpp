@@ -106,6 +106,12 @@ struct AxisPlan {
   std::vector<int32_t> off;    // bilinear: per-sample abs offset; box: span starts (dim_out+1)
   std::vector<int32_t> fac;    // bilinear factor / box right fraction
   std::vector<int32_t> stride; // box: whole pixels per span (relative walk)
+  std::vector<uint16_t> fac16; // H bilinear: fac[s] repeated 8x (one u16
+                               // SIMD lerp operand per sample, loaded not
+                               // rebuilt per pixel); x-axis only
+  bool lerp_stride2 = false;   // every even/odd sample pair sits at
+                               // off[k]+2 (integer-ratio ladders): one
+                               // 256-bit load covers both endpoint pairs
   uint32_t span_mul = 0;
 };
 
@@ -269,7 +275,19 @@ sst_plan *sst_plan_new(int w_in, int h_in, int w_out, int h_out, int type_in,
       (int64_t)h_in > (int64_t)h_out * 8191)
     p->gamma = G_COMPRESSED;  // smolscale.c:760-770
 
-  if (p->x.filter == F_BILIN) precalc_bilinear(&p->x);
+  if (p->x.filter == F_BILIN) {
+    precalc_bilinear(&p->x);
+    p->x.fac16.resize(8 * p->x.fac.size());
+    for (size_t s = 0; s < p->x.fac.size(); s++)
+      for (int l = 0; l < 8; l++)
+        p->x.fac16[8 * s + l] = (uint16_t)p->x.fac[s];
+    p->x.lerp_stride2 = p->x.halvings > 0;
+    for (size_t k = 0; k + 2 <= p->x.off.size(); k += 2)
+      if (p->x.off[k + 1] != p->x.off[k] + 2) {
+        p->x.lerp_stride2 = false;
+        break;
+      }
+  }
   if (p->x.filter == F_BOX) precalc_boxes(&p->x);
   if (p->y.filter == F_BILIN) precalc_bilinear(&p->y);
   if (p->y.filter == F_BOX) precalc_boxes(&p->y);
@@ -590,6 +608,55 @@ static void unpack_row(const Plan *p, const uint8_t *src, T *dst) {
     } else {
       const int apos = 0 * (l0 == 3) + 1 * (l1 == 3) + 2 * (l2 == 3) +
                        3 * (l3 == 3);
+#if defined(__AVX2__)
+      if (sizeof(T) == 2) {
+        // unassoc -> premul8, 4 px/iter.  ((c+1)*(a+1)-1)>>8 is exact in
+        // mod-2**16 u16 lanes: the only overflow is c=a=255 where
+        // 256*256 = 0 mod 2**16, and (0-1)&0xffff = 0xffff >>8 = 255,
+        // which equals the true ((65536-1)>>8).  All other products
+        // fit u16.  Alpha lane keeps raw a (blend, not multiplied).
+        uint16_t *d = (uint16_t *)dst;
+        char inv[4];
+        inv[l0] = 0; inv[l1] = 1; inv[l2] = 2; inv[l3] = 3;
+        const __m128i lshuf = _mm_setr_epi8(
+            inv[0], inv[1], inv[2], inv[3],
+            (char)(4 + inv[0]), (char)(4 + inv[1]), (char)(4 + inv[2]),
+            (char)(4 + inv[3]),
+            (char)(8 + inv[0]), (char)(8 + inv[1]), (char)(8 + inv[2]),
+            (char)(8 + inv[3]),
+            (char)(12 + inv[0]), (char)(12 + inv[1]), (char)(12 + inv[2]),
+            (char)(12 + inv[3]));
+        const __m256i amask256 = _mm256_setr_epi16(
+            0, 0, 0, -1, 0, 0, 0, -1, 0, 0, 0, -1, 0, 0, 0, -1);
+        const __m256i one = _mm256_set1_epi16(1);
+        int i = 0;
+        for (; i + 4 <= w; i += 4) {
+          const __m128i raw = _mm_loadu_si128((const __m128i *)(src + 4 * i));
+          const __m256i v16 =
+              _mm256_cvtepu8_epi16(_mm_shuffle_epi8(raw, lshuf));
+          const __m256i av = _mm256_shufflehi_epi16(
+              _mm256_shufflelo_epi16(v16, _MM_SHUFFLE(3, 3, 3, 3)),
+              _MM_SHUFFLE(3, 3, 3, 3));
+          const __m256i pm = _mm256_srli_epi16(
+              _mm256_sub_epi16(
+                  _mm256_mullo_epi16(_mm256_add_epi16(v16, one),
+                                     _mm256_add_epi16(av, one)),
+                  one),
+              8);
+          _mm256_storeu_si256((__m256i *)(d + 4 * i),
+                              _mm256_blendv_epi8(pm, av, amask256));
+        }
+        for (; i < w; i++) {
+          const int32_t a = src[4 * i + apos];
+          d[4 * i + l0] = (((int32_t)src[4 * i + 0] + 1) * (a + 1) - 1) >> 8;
+          d[4 * i + l1] = (((int32_t)src[4 * i + 1] + 1) * (a + 1) - 1) >> 8;
+          d[4 * i + l2] = (((int32_t)src[4 * i + 2] + 1) * (a + 1) - 1) >> 8;
+          d[4 * i + l3] = (((int32_t)src[4 * i + 3] + 1) * (a + 1) - 1) >> 8;
+          d[4 * i + 3] = a;  // alpha lane holds a, not premul(a, a)
+        }
+        return;
+      }
+#endif
       for (int i = 0; i < w; i++) {
         const int32_t a = src[4 * i + apos];
         dst[4 * i + l0] = (((int32_t)src[4 * i + 0] + 1) * (a + 1) - 1) >> 8;
@@ -762,7 +829,9 @@ static void hfilter_row(const Plan *p, const T *unp, T *dst) {
         const __m128i m8 = _mm_set1_epi16(0xff);
         if (n == 0) {
           // 2 output px per iteration in one 256-bit lerp (each 128-bit
-          // half holds one sample's endpoint pair)
+          // half holds one sample's endpoint pair); the factor operand is
+          // one 256-bit load from the precomputed fac16 row, and the two
+          // 64-bit results are compacted by one vpermq into one store
           const __m256i m8w = _mm256_set1_epi16(0xff);
           int j = 0;
           for (; j + 2 <= w_out; j += 2) {
@@ -770,18 +839,15 @@ static void hfilter_row(const Plan *p, const T *unp, T *dst) {
                 _mm_loadu_si128((const __m128i *)(u + 4 * ax.off[j + 1])),
                 _mm_loadu_si128((const __m128i *)(u + 4 * ax.off[j])));
             const __m256i q = _mm256_unpackhi_epi64(v, v);
-            const __m256i f = _mm256_set_m128i(
-                _mm_set1_epi16((short)ax.fac[j + 1]),
-                _mm_set1_epi16((short)ax.fac[j]));
+            const __m256i f = _mm256_loadu_si256(
+                (const __m256i *)(ax.fac16.data() + 8 * j));
             __m256i r = _mm256_add_epi16(
                 _mm256_srli_epi16(
                     _mm256_mullo_epi16(_mm256_sub_epi16(v, q), f), 8),
                 q);
-            r = _mm256_and_si256(r, m8w);
-            _mm_storel_epi64((__m128i *)(d + 4 * j),
+            r = _mm256_permute4x64_epi64(_mm256_and_si256(r, m8w), 0xD8);
+            _mm_storeu_si128((__m128i *)(d + 4 * j),
                              _mm256_castsi256_si128(r));
-            _mm_storel_epi64((__m128i *)(d + 4 * j + 4),
-                             _mm256_extracti128_si256(r, 1));
           }
           for (; j < w_out; j++) {
             const __m128i v =
@@ -795,30 +861,61 @@ static void hfilter_row(const Plan *p, const T *unp, T *dst) {
             _mm_storel_epi64((__m128i *)(d + 4 * j), r);
           }
         } else {
-          // ladder: 2 samples per 256-bit lerp (sample count 2**n is even),
-          // halves folded into the 4-lane sum at the end
+          // ladder, two passes: (1) lerp ALL 2**n * w_out samples with the
+          // same 2-per-iteration loop as n==0 (no per-pixel fold) into a
+          // thread-local scratch row; (2) n pairwise-add passes over
+          // adjacent 4-lane quads, final pass fused with >>n and mask and
+          // written to dst.  Summing before any shift matches the scalar
+          // semantics exactly: lanes are <=255 and 2**n <= 64, so every
+          // partial sum fits u16.
           const __m256i m8w = _mm256_set1_epi16(0xff);
-          int k = 0;
-          for (int j = 0; j < w_out; j++) {
-            __m256i acc2 = _mm256_setzero_si256();
-            for (int s = 0; s < (1 << n); s += 2, k += 2) {
-              const __m256i v = _mm256_set_m128i(
-                  _mm_loadu_si128((const __m128i *)(u + 4 * ax.off[k + 1])),
-                  _mm_loadu_si128((const __m128i *)(u + 4 * ax.off[k])));
-              const __m256i q = _mm256_unpackhi_epi64(v, v);
-              const __m256i f = _mm256_set_m128i(
-                  _mm_set1_epi16((short)ax.fac[k + 1]),
-                  _mm_set1_epi16((short)ax.fac[k]));
-              const __m256i r = _mm256_add_epi16(
-                  _mm256_srli_epi16(
-                      _mm256_mullo_epi16(_mm256_sub_epi16(v, q), f), 8),
-                  q);
-              acc2 = _mm256_add_epi16(acc2, _mm256_and_si256(r, m8w));
+          const int ns = w_out << n;
+          static thread_local std::vector<uint16_t> scratch;
+          if ((int)scratch.size() < 4 * ns) scratch.resize(4 * ns);
+          uint16_t *t = scratch.data();
+          for (int k = 0; k + 2 <= ns; k += 2) {
+            const __m256i v =
+                ax.lerp_stride2
+                    ? _mm256_loadu_si256(
+                          (const __m256i *)(u + 4 * ax.off[k]))
+                    : _mm256_set_m128i(
+                          _mm_loadu_si128(
+                              (const __m128i *)(u + 4 * ax.off[k + 1])),
+                          _mm_loadu_si128(
+                              (const __m128i *)(u + 4 * ax.off[k])));
+            const __m256i q = _mm256_unpackhi_epi64(v, v);
+            const __m256i f = _mm256_loadu_si256(
+                (const __m256i *)(ax.fac16.data() + 8 * k));
+            __m256i r = _mm256_add_epi16(
+                _mm256_srli_epi16(
+                    _mm256_mullo_epi16(_mm256_sub_epi16(v, q), f), 8),
+                q);
+            r = _mm256_permute4x64_epi64(_mm256_and_si256(r, m8w), 0xD8);
+            _mm_storeu_si128((__m128i *)(t + 4 * k),
+                             _mm256_castsi256_si128(r));
+          }
+          for (int lvl = 1; lvl <= n; lvl++) {
+            const int mo = ns >> lvl;           // output quads this pass
+            const bool last = lvl == n;
+            uint16_t *o16 = last ? (uint16_t *)d : t;
+            int o = 0;
+            for (; o + 4 <= mo; o += 4) {
+              const __m256i v0 =
+                  _mm256_loadu_si256((const __m256i *)(t + 8 * o));
+              const __m256i v1 =
+                  _mm256_loadu_si256((const __m256i *)(t + 8 * o + 16));
+              __m256i s = _mm256_add_epi16(_mm256_unpacklo_epi64(v0, v1),
+                                           _mm256_unpackhi_epi64(v0, v1));
+              s = _mm256_permute4x64_epi64(s, 0xD8);  // [o0,o2|o1,o3]->[0..3]
+              if (last)
+                s = _mm256_and_si256(_mm256_srli_epi16(s, n), m8w);
+              _mm256_storeu_si256((__m256i *)(o16 + 4 * o), s);
             }
-            __m128i acc = _mm_add_epi16(_mm256_castsi256_si128(acc2),
-                                        _mm256_extracti128_si256(acc2, 1));
-            acc = _mm_and_si128(_mm_srli_epi16(acc, n), m8);
-            _mm_storel_epi64((__m128i *)(d + 4 * j), acc);
+            for (; o < mo; o++)
+              for (int c = 0; c < 4; c++) {
+                uint16_t s = t[8 * o + c] + t[8 * o + 4 + c];
+                o16[4 * o + c] = last ? (uint16_t)((s >> n) & 0xff) : s;
+              }
           }
         }
         break;
