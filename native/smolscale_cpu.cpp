@@ -109,6 +109,16 @@ struct AxisPlan {
   std::vector<uint16_t> fac16; // H bilinear: fac[s] repeated 8x (one u16
                                // SIMD lerp operand per sample, loaded not
                                // rebuilt per pixel); x-axis only
+  std::vector<uint16_t> fac4;  // fac[s] repeated 4x: compact factor row for
+                               // the stride-1 run fast path (4 samples per
+                               // 256-bit lerp)
+  std::vector<uint8_t> run4;   // run4[s]=1 iff off[s+i]==off[s]+i for
+                               // i=1..3: samples s..s+3 read one contiguous
+                               // 5-pixel window (near-1:1 scales and the
+                               // d<2 stretches of non-integer ladders)
+  bool run4_any = false;       // hoisted loop-variant select: integer-ratio
+                               // ladders have no stride-1 runs and keep the
+                               // branch-free pair loop
   bool lerp_stride2 = false;   // every even/odd sample pair sits at
                                // off[k]+2 (integer-ratio ladders): one
                                // 256-bit load covers both endpoint pairs
@@ -281,12 +291,24 @@ sst_plan *sst_plan_new(int w_in, int h_in, int w_out, int h_out, int type_in,
     for (size_t s = 0; s < p->x.fac.size(); s++)
       for (int l = 0; l < 8; l++)
         p->x.fac16[8 * s + l] = (uint16_t)p->x.fac[s];
-    p->x.lerp_stride2 = p->x.halvings > 0;
+    p->x.lerp_stride2 = true;  // even-ratio plans, any halving count
     for (size_t k = 0; k + 2 <= p->x.off.size(); k += 2)
       if (p->x.off[k + 1] != p->x.off[k] + 2) {
         p->x.lerp_stride2 = false;
         break;
       }
+    const size_t ns = p->x.off.size();
+    p->x.fac4.resize(4 * ns);
+    for (size_t s = 0; s < ns; s++)
+      for (int l = 0; l < 4; l++)
+        p->x.fac4[4 * s + l] = (uint16_t)p->x.fac[s];
+    p->x.run4.assign(ns, 0);
+    for (size_t s = 0; s + 4 <= ns; s++) {
+      p->x.run4[s] = p->x.off[s + 1] == p->x.off[s] + 1 &&
+                     p->x.off[s + 2] == p->x.off[s] + 2 &&
+                     p->x.off[s + 3] == p->x.off[s] + 3;
+      p->x.run4_any |= p->x.run4[s] != 0;
+    }
   }
   if (p->x.filter == F_BOX) precalc_boxes(&p->x);
   if (p->y.filter == F_BILIN) precalc_bilinear(&p->y);
@@ -572,23 +594,26 @@ static void unpack_row(const Plan *p, const uint8_t *src, T *dst) {
     if (alpha_of(p->type_in) == A_PREMUL8) {
 #if defined(__AVX2__)
       if (sizeof(T) == 2) {
-        // 4 px/iter: byte-shuffle into channel order, zero-extend to u16
+        // 4 px/iter: one 16-byte channel-order shuffle, one vpmovzxbw
+        // widen to 8 u16 lanes, one 256-bit store
         uint16_t *d = (uint16_t *)dst;
         // inverse permutation: output channel c comes from byte inv[c]
         char inv[4];
         inv[l0] = 0; inv[l1] = 1; inv[l2] = 2; inv[l3] = 3;
         const __m128i shuf = _mm_setr_epi8(
-            inv[0], -1, inv[1], -1, inv[2], -1, inv[3], -1,
-            (char)(4 + inv[0]), -1, (char)(4 + inv[1]), -1,
-            (char)(4 + inv[2]), -1, (char)(4 + inv[3]), -1);
+            inv[0], inv[1], inv[2], inv[3],
+            (char)(4 + inv[0]), (char)(4 + inv[1]), (char)(4 + inv[2]),
+            (char)(4 + inv[3]),
+            (char)(8 + inv[0]), (char)(8 + inv[1]), (char)(8 + inv[2]),
+            (char)(8 + inv[3]),
+            (char)(12 + inv[0]), (char)(12 + inv[1]), (char)(12 + inv[2]),
+            (char)(12 + inv[3]));
         int i = 0;
         for (; i + 4 <= w; i += 4) {
           const __m128i v = _mm_loadu_si128((const __m128i *)(src + 4 * i));
-          _mm_storeu_si128((__m128i *)(d + 4 * i),
-                           _mm_shuffle_epi8(v, shuf));
-          const __m128i hi = _mm_srli_si128(v, 8);
-          _mm_storeu_si128((__m128i *)(d + 4 * i + 8),
-                           _mm_shuffle_epi8(hi, shuf));
+          _mm256_storeu_si256(
+              (__m256i *)(d + 4 * i),
+              _mm256_cvtepu8_epi16(_mm_shuffle_epi8(v, shuf)));
         }
         for (; i < w; i++) {
           d[4 * i + l0] = src[4 * i + 0];
@@ -831,10 +856,67 @@ static void hfilter_row(const Plan *p, const T *unp, T *dst) {
           // 2 output px per iteration in one 256-bit lerp (each 128-bit
           // half holds one sample's endpoint pair); the factor operand is
           // one 256-bit load from the precomputed fac16 row, and the two
-          // 64-bit results are compacted by one vpermq into one store
+          // 64-bit results are compacted by one vpermq into one store.
+          // Even-ratio 0h plans (e.g. 2:1, lerp_stride2) read both
+          // endpoint pairs from ONE 256-bit load.
           const __m256i m8w = _mm256_set1_epi16(0xff);
+          const uint8_t *r4 = ax.run4.data();
           int j = 0;
+          if (ax.lerp_stride2) {
+            for (; j + 2 <= w_out; j += 2) {
+              const __m256i v =
+                  _mm256_loadu_si256((const __m256i *)(u + 4 * ax.off[j]));
+              const __m256i q = _mm256_unpackhi_epi64(v, v);
+              const __m256i f = _mm256_loadu_si256(
+                  (const __m256i *)(ax.fac16.data() + 8 * j));
+              __m256i r = _mm256_add_epi16(
+                  _mm256_srli_epi16(
+                      _mm256_mullo_epi16(_mm256_sub_epi16(v, q), f), 8),
+                  q);
+              r = _mm256_permute4x64_epi64(_mm256_and_si256(r, m8w), 0xD8);
+              _mm_storeu_si128((__m128i *)(d + 4 * j),
+                               _mm256_castsi256_si128(r));
+            }
+          }
+          while (ax.run4_any && j + 2 <= w_out) {
+            if (r4[j]) {
+              // stride-1 run: outputs j..j+3 read the contiguous pixel
+              // window off[j]..off[j]+4, so p and q are two overlapping
+              // 256-bit loads and the masked result IS the output layout
+              // -- no per-sample loads, no permutes (near-1:1 scales)
+              const uint16_t *base = u + 4 * ax.off[j];
+              const __m256i pv =
+                  _mm256_loadu_si256((const __m256i *)base);
+              const __m256i qv =
+                  _mm256_loadu_si256((const __m256i *)(base + 4));
+              const __m256i f = _mm256_loadu_si256(
+                  (const __m256i *)(ax.fac4.data() + 4 * j));
+              const __m256i r = _mm256_add_epi16(
+                  _mm256_srli_epi16(
+                      _mm256_mullo_epi16(_mm256_sub_epi16(pv, qv), f), 8),
+                  qv);
+              _mm256_storeu_si256((__m256i *)(d + 4 * j),
+                                  _mm256_and_si256(r, m8w));
+              j += 4;
+              continue;
+            }
+            const __m256i v = _mm256_set_m128i(
+                _mm_loadu_si128((const __m128i *)(u + 4 * ax.off[j + 1])),
+                _mm_loadu_si128((const __m128i *)(u + 4 * ax.off[j])));
+            const __m256i q = _mm256_unpackhi_epi64(v, v);
+            const __m256i f = _mm256_loadu_si256(
+                (const __m256i *)(ax.fac16.data() + 8 * j));
+            __m256i r = _mm256_add_epi16(
+                _mm256_srli_epi16(
+                    _mm256_mullo_epi16(_mm256_sub_epi16(v, q), f), 8),
+                q);
+            r = _mm256_permute4x64_epi64(_mm256_and_si256(r, m8w), 0xD8);
+            _mm_storeu_si128((__m128i *)(d + 4 * j),
+                             _mm256_castsi256_si128(r));
+            j += 2;
+          }
           for (; j + 2 <= w_out; j += 2) {
+            // branch-free pair loop (no stride-1 runs in this plan)
             const __m256i v = _mm256_set_m128i(
                 _mm_loadu_si128((const __m128i *)(u + 4 * ax.off[j + 1])),
                 _mm_loadu_si128((const __m128i *)(u + 4 * ax.off[j])));
@@ -869,11 +951,113 @@ static void hfilter_row(const Plan *p, const T *unp, T *dst) {
           // semantics exactly: lanes are <=255 and 2**n <= 64, so every
           // partial sum fits u16.
           const __m256i m8w = _mm256_set1_epi16(0xff);
+          if (n == 1 && ax.lerp_stride2) {
+            // fused 1h even-ratio ladder (e.g. 4:1): one 256-bit load per
+            // output covers both samples' endpoint pairs; the pairwise
+            // ladder fold happens in-register (no scratch round trip)
+            int j = 0;
+            for (; j + 2 <= w_out; j += 2) {
+              const __m256i v0 = _mm256_loadu_si256(
+                  (const __m256i *)(u + 4 * ax.off[2 * j]));
+              const __m256i q0 = _mm256_unpackhi_epi64(v0, v0);
+              const __m256i f0 = _mm256_loadu_si256(
+                  (const __m256i *)(ax.fac16.data() + 16 * j));
+              const __m256i r0 = _mm256_and_si256(
+                  _mm256_add_epi16(
+                      _mm256_srli_epi16(
+                          _mm256_mullo_epi16(_mm256_sub_epi16(v0, q0), f0),
+                          8),
+                      q0),
+                  m8w);
+              const __m256i v1 = _mm256_loadu_si256(
+                  (const __m256i *)(u + 4 * ax.off[2 * j + 2]));
+              const __m256i q1 = _mm256_unpackhi_epi64(v1, v1);
+              const __m256i f1 = _mm256_loadu_si256(
+                  (const __m256i *)(ax.fac16.data() + 16 * j + 16));
+              const __m256i r1 = _mm256_and_si256(
+                  _mm256_add_epi16(
+                      _mm256_srli_epi16(
+                          _mm256_mullo_epi16(_mm256_sub_epi16(v1, q1), f1),
+                          8),
+                      q1),
+                  m8w);
+              __m256i s = _mm256_add_epi16(
+                  _mm256_permute2x128_si256(r0, r1, 0x20),
+                  _mm256_permute2x128_si256(r0, r1, 0x31));
+              s = _mm256_and_si256(_mm256_srli_epi16(s, 1), m8w);
+              s = _mm256_permute4x64_epi64(s, 0xD8);
+              _mm_storeu_si128((__m128i *)(d + 4 * j),
+                               _mm256_castsi256_si128(s));
+            }
+            for (; j < w_out; j++) {
+              const __m256i v0 = _mm256_loadu_si256(
+                  (const __m256i *)(u + 4 * ax.off[2 * j]));
+              const __m256i q0 = _mm256_unpackhi_epi64(v0, v0);
+              const __m256i f0 = _mm256_loadu_si256(
+                  (const __m256i *)(ax.fac16.data() + 16 * j));
+              const __m256i r0 = _mm256_and_si256(
+                  _mm256_add_epi16(
+                      _mm256_srli_epi16(
+                          _mm256_mullo_epi16(_mm256_sub_epi16(v0, q0), f0),
+                          8),
+                      q0),
+                  m8w);
+              __m128i s = _mm_add_epi16(_mm256_castsi256_si128(r0),
+                                        _mm256_extracti128_si256(r0, 1));
+              s = _mm_and_si128(_mm_srli_epi16(s, 1), m8);
+              _mm_storel_epi64((__m128i *)(d + 4 * j), s);
+            }
+            break;
+          }
           const int ns = w_out << n;
           static thread_local std::vector<uint16_t> scratch;
           if ((int)scratch.size() < 4 * ns) scratch.resize(4 * ns);
           uint16_t *t = scratch.data();
-          for (int k = 0; k + 2 <= ns; k += 2) {
+          const uint8_t *r4 = ax.run4.data();
+          int k = 0;
+          while (ax.run4_any && k + 2 <= ns) {
+            if (r4[k]) {
+              // stride-1 sample run (d<2 stretches of non-integer
+              // ladders): same contiguous-window lerp as the n==0 path
+              const uint16_t *base = u + 4 * ax.off[k];
+              const __m256i pv =
+                  _mm256_loadu_si256((const __m256i *)base);
+              const __m256i qv =
+                  _mm256_loadu_si256((const __m256i *)(base + 4));
+              const __m256i f = _mm256_loadu_si256(
+                  (const __m256i *)(ax.fac4.data() + 4 * k));
+              const __m256i r = _mm256_add_epi16(
+                  _mm256_srli_epi16(
+                      _mm256_mullo_epi16(_mm256_sub_epi16(pv, qv), f), 8),
+                  qv);
+              _mm256_storeu_si256((__m256i *)(t + 4 * k),
+                                  _mm256_and_si256(r, m8w));
+              k += 4;
+              continue;
+            }
+            const __m256i v =
+                ax.lerp_stride2
+                    ? _mm256_loadu_si256(
+                          (const __m256i *)(u + 4 * ax.off[k]))
+                    : _mm256_set_m128i(
+                          _mm_loadu_si128(
+                              (const __m128i *)(u + 4 * ax.off[k + 1])),
+                          _mm_loadu_si128(
+                              (const __m128i *)(u + 4 * ax.off[k])));
+            const __m256i q = _mm256_unpackhi_epi64(v, v);
+            const __m256i f = _mm256_loadu_si256(
+                (const __m256i *)(ax.fac16.data() + 8 * k));
+            __m256i r = _mm256_add_epi16(
+                _mm256_srli_epi16(
+                    _mm256_mullo_epi16(_mm256_sub_epi16(v, q), f), 8),
+                q);
+            r = _mm256_permute4x64_epi64(_mm256_and_si256(r, m8w), 0xD8);
+            _mm_storeu_si128((__m128i *)(t + 4 * k),
+                             _mm256_castsi256_si128(r));
+            k += 2;
+          }
+          for (; k + 2 <= ns; k += 2) {
+            // branch-free pair loop (integer-ratio ladders land here)
             const __m256i v =
                 ax.lerp_stride2
                     ? _mm256_loadu_si256(
