@@ -119,6 +119,12 @@ struct AxisPlan {
   bool run4_any = false;       // hoisted loop-variant select: integer-ratio
                                // ladders have no stride-1 runs and keep the
                                // branch-free pair loop
+  std::vector<int32_t> fac4i;  // fac[s] repeated 4x at i32 width (S128 rows:
+                               // 4 i32 lanes per pixel, 2 outputs per
+                               // 256-bit lerp)
+  std::vector<uint8_t> run2;   // run2[s]=1 iff off[s+1]==off[s]+1 (the S128
+                               // stride-1 pair condition)
+  bool run2_any = false;
   bool lerp_stride2 = false;   // every even/odd sample pair sits at
                                // off[k]+2 (integer-ratio ladders): one
                                // 256-bit load covers both endpoint pairs
@@ -308,6 +314,16 @@ sst_plan *sst_plan_new(int w_in, int h_in, int w_out, int h_out, int type_in,
                      p->x.off[s + 2] == p->x.off[s] + 2 &&
                      p->x.off[s + 3] == p->x.off[s] + 3;
       p->x.run4_any |= p->x.run4[s] != 0;
+    }
+    if (p->storage == S128) {
+      p->x.fac4i.resize(4 * ns);
+      for (size_t s = 0; s < ns; s++)
+        for (int l = 0; l < 4; l++) p->x.fac4i[4 * s + l] = p->x.fac[s];
+      p->x.run2.assign(ns, 0);
+      for (size_t s = 0; s + 2 <= ns; s++) {
+        p->x.run2[s] = p->x.off[s + 1] == p->x.off[s] + 1;
+        p->x.run2_any |= p->x.run2[s] != 0;
+      }
     }
   }
   if (p->x.filter == F_BOX) precalc_boxes(&p->x);
@@ -1111,7 +1127,28 @@ static void hfilter_row(const Plan *p, const T *unp, T *dst) {
         int32_t *d = (int32_t *)dst;
         const __m256i m8 = _mm256_set1_epi32((int32_t)mask);
         if (n == 0) {
-          for (int j = 0; j < w_out; j++) {
+          const uint8_t *r2 = ax.run2.data();
+          int j = 0;
+          while (ax.run2_any && j + 2 <= w_out) {
+            if (r2[j]) {
+              // stride-1 pair: outputs j,j+1 read pixels off..off+2, so p
+              // and q are two overlapping 256-bit loads (one pixel apart)
+              // and the masked lerp IS the output layout
+              const int32_t *base = u + 4 * ax.off[j];
+              const __m256i pv = _mm256_loadu_si256((const __m256i *)base);
+              const __m256i qv =
+                  _mm256_loadu_si256((const __m256i *)(base + 4));
+              const __m256i f = _mm256_loadu_si256(
+                  (const __m256i *)(ax.fac4i.data() + 4 * j));
+              const __m256i r = _mm256_add_epi32(
+                  _mm256_srai_epi32(
+                      _mm256_mullo_epi32(_mm256_sub_epi32(pv, qv), f), 8),
+                  qv);
+              _mm256_storeu_si256((__m256i *)(d + 4 * j),
+                                  _mm256_and_si256(r, m8));
+              j += 2;
+              continue;
+            }
             const __m256i v =
                 _mm256_loadu_si256((const __m256i *)(u + 4 * ax.off[j]));
             const __m256i q = _mm256_permute2x128_si256(v, v, 0x11);
@@ -1123,6 +1160,52 @@ static void hfilter_row(const Plan *p, const T *unp, T *dst) {
             r = _mm256_and_si256(r, m8);
             _mm_storeu_si128((__m128i *)(d + 4 * j),
                              _mm256_castsi256_si128(r));
+            j += 1;
+          }
+          for (; j < w_out; j++) {
+            const __m256i v =
+                _mm256_loadu_si256((const __m256i *)(u + 4 * ax.off[j]));
+            const __m256i q = _mm256_permute2x128_si256(v, v, 0x11);
+            const __m256i f = _mm256_set1_epi32(ax.fac[j]);
+            __m256i r = _mm256_add_epi32(
+                _mm256_srai_epi32(
+                    _mm256_mullo_epi32(_mm256_sub_epi32(v, q), f), 8),
+                q);
+            r = _mm256_and_si256(r, m8);
+            _mm_storeu_si128((__m128i *)(d + 4 * j),
+                             _mm256_castsi256_si128(r));
+          }
+        } else if (ax.lerp_stride2) {
+          // even-ratio i32 ladder (e.g. 4:1): samples k,k+1 of one output
+          // read 4 consecutive pixels; two loads + two permutes pair both
+          // samples into one 256-bit lerp with a fac4i factor row
+          int k = 0;
+          for (int j = 0; j < w_out; j++) {
+            __m128i acc = _mm_setzero_si128();
+            for (int s = 0; s < (1 << n); s += 2, k += 2) {
+              const int32_t *base = u + 4 * ax.off[k];
+              const __m256i vlo =
+                  _mm256_loadu_si256((const __m256i *)base);
+              const __m256i vhi =
+                  _mm256_loadu_si256((const __m256i *)(base + 8));
+              const __m256i pv = _mm256_permute2x128_si256(vlo, vhi, 0x20);
+              const __m256i qv = _mm256_permute2x128_si256(vlo, vhi, 0x31);
+              const __m256i f = _mm256_loadu_si256(
+                  (const __m256i *)(ax.fac4i.data() + 4 * k));
+              const __m256i r = _mm256_and_si256(
+                  _mm256_add_epi32(
+                      _mm256_srai_epi32(
+                          _mm256_mullo_epi32(_mm256_sub_epi32(pv, qv), f),
+                          8),
+                      qv),
+                  m8);
+              acc = _mm_add_epi32(
+                  _mm_add_epi32(acc, _mm256_castsi256_si128(r)),
+                  _mm256_extracti128_si256(r, 1));
+            }
+            acc = _mm_srai_epi32(acc, n);
+            acc = _mm_and_si128(acc, _mm256_castsi256_si128(m8));
+            _mm_storeu_si128((__m128i *)(d + 4 * j), acc);
           }
         } else {
           int k = 0;
