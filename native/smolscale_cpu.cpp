@@ -346,13 +346,17 @@ sst_plan *sst_plan_new(int w_in, int h_in, int w_out, int h_out, int type_in,
   // separate unpack.
   if (p->storage == S64 && p->ialpha == A_PREMUL8 &&
       p->gamma == G_COMPRESSED && p->nb_in == 4 &&
-      alpha_of(type_in) == A_PREMUL8 && p->x.filter == F_BILIN &&
-      p->x.halvings == 0) {
-    size_t covered = 0;
-    for (size_t s = 0; s < p->x.run4.size(); s++)
-      if (p->x.run4[s]) covered += 4;
-    p->fuse_h = p->x.lerp_stride2 ||
-                covered * 2 >= p->x.run4.size();  // >=50% run4 coverage
+      alpha_of(type_in) == A_PREMUL8) {
+    if (p->x.filter == F_BILIN && p->x.halvings == 0) {
+      size_t covered = 0;
+      for (size_t s = 0; s < p->x.run4.size(); s++)
+        if (p->x.run4[s]) covered += 4;
+      p->fuse_h = p->x.lerp_stride2 ||
+                  covered * 2 >= p->x.run4.size();  // >=50% run4 coverage
+    }
+    // F_BOX fusion measured par-to-slower here (the span walk's serial
+    // accumulate chain eats the DRAM load latency the separate unpack
+    // sweep hides), so box plans keep unpack_row + hfilter_row.
   }
   return p;
 }
@@ -1452,7 +1456,7 @@ static void hfilter_row_fused_u16(const Plan *p, const uint8_t *src,
   };
   const __m128i m8 = _mm_set1_epi16(0xff);
   const __m256i m8w = _mm256_set1_epi16(0xff);
-  assert(n == 0);  // fuse_h only selects 0h plans
+  assert(n == 0);  // fuse_h only selects 0h bilinear plans
   {
     int j = 0;
     if (ax.lerp_stride2) {
