@@ -41,10 +41,10 @@ int main(int argc, char **argv) {
   std::mt19937 rng(7);
   for (auto &b : src) b = (uint8_t)rng();
 
-  const bool s64 = p->storage == S64;
-  printf("plan: storage=%s filt_h=%d filt_v=%d halv=(%d,%d)\n",
-         s64 ? "S64" : "S128", p->x.filter, p->y.filter, p->x.halvings,
-         p->y.halvings);
+  const bool s64 = p->storage == S64 || p->narrow16;  // u16 worker rows
+  printf("plan: storage=%s%s filt_h=%d filt_v=%d halv=(%d,%d)\n",
+         p->storage == S64 ? "S64" : "S128", p->narrow16 ? "/narrow16" : "",
+         p->x.filter, p->y.filter, p->x.halvings, p->y.halvings);
 
   const long long nb_in = n_bytes_of(type_in), nb_out = n_bytes_of(type_out);
   double t_all = best_ms(

@@ -143,6 +143,9 @@ struct Plan {
   bool pack24_direct = false;
   bool fuse_h = false;  // unpack fused into the H loads (S64
                         // premul-identity bilinear; see hfilter_row_fused_u16)
+  bool narrow16 = false;  // S128 plan runs on u16 rows (lerp16_wide): every
+                          // true intermediate fits u16, halving memory
+                          // traffic and doubling SIMD density vs int32
   int nb_in, nb_out;
   const int *lin, *lout;
   int64_t mask() const { return storage == S64 ? 0xff : 0xffffff; }
@@ -358,6 +361,21 @@ sst_plan *sst_plan_new(int w_in, int h_in, int w_out, int h_out, int type_in,
     // accumulate chain eats the DRAM load latency the separate unpack
     // sweep hides), so box plans keep unpack_row + hfilter_row.
   }
+  // narrow16: S128 bilinear/copy/one plans whose true intermediates all fit
+  // u16 run on uint16 rows with the borrow-corrected lerp16_wide.  Bounds:
+  //  - PREMUL16 compressed: values <= 65408, so ladder sums overflow u16 ->
+  //    0 halvings only (conv/near-1:1/upscale plans).
+  //  - PREMUL8 linear-light: colors <= 2047, alpha <= 255; halvings <= 2 by
+  //    pick_filter (>8:1 goes box), so ladder sums <= 4*2047 always fit.
+  //  - PREMUL16 linear (unassoc<->unassoc with sRGB): colors c*a <= 521985
+  //    exceed u16, stay on int32.
+  // Box is excluded: span accumulators reach 24 bits (mask() = 0xffffff).
+  if (p->storage == S128 && p->x.filter != F_BOX && p->y.filter != F_BOX) {
+    if (p->ialpha == A_PREMUL16 && p->gamma == G_COMPRESSED)
+      p->narrow16 = p->x.halvings == 0 && p->y.halvings == 0;
+    else if (p->ialpha == A_PREMUL8 && p->gamma == G_LINEAR)
+      p->narrow16 = true;
+  }
   return p;
 }
 
@@ -416,6 +434,70 @@ static inline void row_lerp_u16(const uint16_t *top, const uint16_t *bot,
   for (; x < n; x++)
     dst[x] = (uint16_t)((((int32_t)(uint16_t)(top[x] - bot[x]) * f) >> 8) +
                         bot[x]) & 0xff;
+}
+// Wide-mask (S128 narrow16 mode) u16 lerp: computes
+//   (((p - q) * f) >> 8) + q  (mod 2**16)
+// exactly for TRUE values p, q in [0, 65535], f in [0, 256].  The mod-2**16
+// diff dm = p - q relates to the true diff d by d = dm - 2**16 * borrow
+// (borrow = q > p), so
+//   floor(d*f / 256) = ((dm*f) >> 8) - borrow * (f << 8)   (mod 2**16),
+// where (dm*f) >> 8 is bits 8..23 of the u24 product, i.e.
+// (mullo >> 8) | (mulhi << 8).  All narrow16-eligible values are <= 65408
+// (premul16: c*a <= 65025, alpha (a<<8)|0x80 <= 65408; linear-light
+// premul8: <= 2047), and the lerp is convex, so results never leave u16 and
+// the reference's & 0xffffff mask is a no-op.
+static inline __m256i lerp16_wide(__m256i p, __m256i q, __m256i f) {
+  const __m256i dm = _mm256_sub_epi16(p, q);
+  const __m256i pr = _mm256_or_si256(
+      _mm256_srli_epi16(_mm256_mullo_epi16(dm, f), 8),
+      _mm256_slli_epi16(_mm256_mulhi_epu16(dm, f), 8));
+  const __m256i nb = _mm256_cmpeq_epi16(_mm256_max_epu16(p, q), p);
+  const __m256i corr = _mm256_andnot_si256(nb, _mm256_slli_epi16(f, 8));
+  return _mm256_add_epi16(_mm256_sub_epi16(pr, corr), q);
+}
+static inline __m128i lerp16_wide128(__m128i p, __m128i q, __m128i f) {
+  const __m128i dm = _mm_sub_epi16(p, q);
+  const __m128i pr = _mm_or_si128(
+      _mm_srli_epi16(_mm_mullo_epi16(dm, f), 8),
+      _mm_slli_epi16(_mm_mulhi_epu16(dm, f), 8));
+  const __m128i nb = _mm_cmpeq_epi16(_mm_max_epu16(p, q), p);
+  const __m128i corr = _mm_andnot_si128(nb, _mm_slli_epi16(f, 8));
+  return _mm_add_epi16(_mm_sub_epi16(pr, corr), q);
+}
+static inline void row_lerp_u16w(const uint16_t *top, const uint16_t *bot,
+                                 uint16_t f, uint16_t *dst, int n) {
+  const __m256i vf = _mm256_set1_epi16((short)f);
+  int x = 0;
+  for (; x + 16 <= n; x += 16) {
+    const __m256i p = _mm256_loadu_si256((const __m256i *)(top + x));
+    const __m256i q = _mm256_loadu_si256((const __m256i *)(bot + x));
+    _mm256_storeu_si256((__m256i *)(dst + x), lerp16_wide(p, q, vf));
+  }
+  for (; x < n; x++)
+    dst[x] = (uint16_t)(((((int32_t)top[x] - bot[x]) * f) >> 8) + bot[x]);
+}
+static inline void row_lerp_acc_u16w(const uint16_t *top, const uint16_t *bot,
+                                     uint16_t f, uint16_t *acc, int n) {
+  const __m256i vf = _mm256_set1_epi16((short)f);
+  int x = 0;
+  for (; x + 16 <= n; x += 16) {
+    const __m256i p = _mm256_loadu_si256((const __m256i *)(top + x));
+    const __m256i q = _mm256_loadu_si256((const __m256i *)(bot + x));
+    const __m256i a = _mm256_loadu_si256((const __m256i *)(acc + x));
+    _mm256_storeu_si256((__m256i *)(acc + x),
+                        _mm256_add_epi16(a, lerp16_wide(p, q, vf)));
+  }
+  for (; x < n; x++)
+    acc[x] += (uint16_t)(((((int32_t)top[x] - bot[x]) * f) >> 8) + bot[x]);
+}
+static inline void row_shift_u16w(const uint16_t *acc, int sh, uint16_t *dst,
+                                  int n) {
+  int x = 0;
+  for (; x + 16 <= n; x += 16)
+    _mm256_storeu_si256(
+        (__m256i *)(dst + x),
+        _mm256_srli_epi16(_mm256_loadu_si256((const __m256i *)(acc + x)), sh));
+  for (; x < n; x++) dst[x] = (uint16_t)(acc[x] >> sh);
 }
 static inline void row_lerp_acc_u16(const uint16_t *top, const uint16_t *bot,
                                     uint16_t f, uint16_t *acc, int n) {
@@ -771,9 +853,10 @@ static void unpack_row(const Plan *p, const uint8_t *src, T *dst) {
     return;
   }
   if (p->ialpha == A_PREMUL16 && p->gamma == G_COMPRESSED && nb == 4 &&
-      sizeof(T) == 4) {
+      (sizeof(T) == 4 || sizeof(T) == 2)) {
     // u16-lane premultiply: c*a <= 65025 and (a<<8)|0x80 <= 65408 are both
-    // u16-exact; widen to the int32 planes afterwards.
+    // u16-exact; widen to the int32 planes afterwards (narrow16 plans store
+    // the u16 lanes directly -- no widen).
     const int l0 = p->lin[0], l1 = p->lin[1], l2 = p->lin[2], l3 = p->lin[3];
     char inv[4];
     inv[l0] = 0; inv[l1] = 1; inv[l2] = 2; inv[l3] = 3;
@@ -798,7 +881,6 @@ static void unpack_row(const Plan *p, const uint8_t *src, T *dst) {
         (char)(12 + inv[3]));
     const __m256i amask256 = _mm256_setr_epi16(
         0, 0, 0, -1, 0, 0, 0, -1, 0, 0, 0, -1, 0, 0, 0, -1);
-    int32_t *d = (int32_t *)dst;
     int i = 0;
     for (; i + 4 <= w; i += 4) {
       const __m128i raw = _mm_loadu_si128((const __m128i *)(src + 4 * i));
@@ -811,22 +893,119 @@ static void unpack_row(const Plan *p, const uint8_t *src, T *dst) {
                                            _mm256_set1_epi16(0x80));
       const __m256i r = _mm256_blendv_epi8(
           _mm256_mullo_epi16(v16, av), aenc, amask256);
-      _mm256_storeu_si256((__m256i *)(d + 4 * i),
-                          _mm256_cvtepu16_epi32(_mm256_castsi256_si128(r)));
-      _mm256_storeu_si256(
-          (__m256i *)(d + 4 * i + 8),
-          _mm256_cvtepu16_epi32(_mm256_extracti128_si256(r, 1)));
+      if (sizeof(T) == 2) {
+        _mm256_storeu_si256((__m256i *)((uint16_t *)dst + 4 * i), r);
+      } else {
+        int32_t *d = (int32_t *)dst;
+        _mm256_storeu_si256((__m256i *)(d + 4 * i),
+                            _mm256_cvtepu16_epi32(_mm256_castsi256_si128(r)));
+        _mm256_storeu_si256(
+            (__m256i *)(d + 4 * i + 8),
+            _mm256_cvtepu16_epi32(_mm256_extracti128_si256(r, 1)));
+      }
     }
     for (; i < w; i++) {
       int64_t c[4] = {0, 0, 0, 255};
       for (int b = 0; b < 4; b++) c[p->lin[b]] = src[i * 4 + b];
       const int64_t a = c[3];
-      d[4 * i + 0] = (int32_t)(c[0] * a);
-      d[4 * i + 1] = (int32_t)(c[1] * a);
-      d[4 * i + 2] = (int32_t)(c[2] * a);
-      d[4 * i + 3] = (int32_t)((a << 8) | 0x80);
+      dst[4 * i + 0] = (T)(c[0] * a);
+      dst[4 * i + 1] = (T)(c[1] * a);
+      dst[4 * i + 2] = (T)(c[2] * a);
+      dst[4 * i + 3] = (T)((a << 8) | 0x80);
     }
     (void)apos; (void)shuf; (void)ai;
+    return;
+  }
+  if (p->ialpha == A_PREMUL8 && p->gamma == G_LINEAR && nb == 4 &&
+      (sizeof(T) == 2 || sizeof(T) == 4)) {
+    // Linear-light unpack, 4 px/iter: the sRGB LUT and the inverse-division
+    // LUT become vpgatherdd on i32-expanded copies (1 KB each, L1-resident).
+    // premul-in:   c = premul_p8l(kFromSrgb[unpremul_p8(c, a)], a)
+    // unassoc-in:  c = premul_p8l(kFromSrgb[c], a)
+    // Bounds: unpremul products <= 255 * 0x181fff < 2**31; premul_p8l
+    // products <= 2048 * 2041 < 2**22 -- all exact in i32 lanes.
+    static const struct Tab32 {
+      int32_t from_srgb[256];
+      int32_t inv_p8[256];
+      Tab32() {
+        for (int i = 0; i < 256; i++) {
+          from_srgb[i] = kFromSrgb[i];
+          inv_p8[i] = (int32_t)kInvDivP8[i];
+        }
+      }
+    } kT32;
+    const bool unassoc_in = alpha_of(p->type_in) == A_UNASSOC;
+    const int l0 = p->lin[0], l1 = p->lin[1], l2 = p->lin[2], l3 = p->lin[3];
+    char inv[4];
+    inv[l0] = 0; inv[l1] = 1; inv[l2] = 2; inv[l3] = 3;
+    const __m128i lshuf = _mm_setr_epi8(
+        inv[0], inv[1], inv[2], inv[3],
+        (char)(4 + inv[0]), (char)(4 + inv[1]), (char)(4 + inv[2]),
+        (char)(4 + inv[3]),
+        (char)(8 + inv[0]), (char)(8 + inv[1]), (char)(8 + inv[2]),
+        (char)(8 + inv[3]),
+        (char)(12 + inv[0]), (char)(12 + inv[1]), (char)(12 + inv[2]),
+        (char)(12 + inv[3]));
+    const __m256i one = _mm256_set1_epi32(1);
+    const __m256i m255 = _mm256_set1_epi32(0xff);
+    const __m256i m7ff = _mm256_set1_epi32(0x7ff);
+    // the inverse-division factor is one value per pixel: two vmovd+
+    // vpbroadcastd from the i32 table (indexed by scalar alpha bytes read
+    // straight off the source row) beat a redundant 8-lane vpgatherdd --
+    // only the per-lane sRGB lookup keeps the gather
+    auto half = [&](__m256i x, __m256i iv) {
+      const __m256i av = _mm256_shuffle_epi32(x, 0xFF);  // per-px alpha
+      __m256i un = x;
+      if (!unassoc_in)
+        un = _mm256_and_si256(
+            _mm256_srli_epi32(_mm256_mullo_epi32(x, iv), 13), m255);
+      const __m256i s = _mm256_i32gather_epi32(kT32.from_srgb, un, 4);
+      const __m256i f = _mm256_add_epi32(_mm256_slli_epi32(av, 3), one);
+      const __m256i lin = _mm256_and_si256(
+          _mm256_srli_epi32(
+              _mm256_sub_epi32(
+                  _mm256_mullo_epi32(_mm256_add_epi32(s, one), f), one),
+              11),
+          m7ff);
+      return _mm256_blend_epi32(lin, av, 0x88);  // alpha lane rides raw
+    };
+    const int apos = (int)inv[3];
+    const __m256i zero = _mm256_setzero_si256();
+    int i = 0;
+    for (; i + 4 <= w; i += 4) {
+      const __m128i raw = _mm_loadu_si128((const __m128i *)(src + 4 * i));
+      const __m128i sh = _mm_shuffle_epi8(raw, lshuf);
+      __m256i iv01 = zero, iv23 = zero;
+      if (!unassoc_in) {
+        iv01 = _mm256_set_m128i(
+            _mm_set1_epi32(kT32.inv_p8[src[4 * i + 4 + apos]]),
+            _mm_set1_epi32(kT32.inv_p8[src[4 * i + apos]]));
+        iv23 = _mm256_set_m128i(
+            _mm_set1_epi32(kT32.inv_p8[src[4 * i + 12 + apos]]),
+            _mm_set1_epi32(kT32.inv_p8[src[4 * i + 8 + apos]]));
+      }
+      const __m256i r01 = half(_mm256_cvtepu8_epi32(sh), iv01);
+      const __m256i r23 =
+          half(_mm256_cvtepu8_epi32(_mm_srli_si128(sh, 8)), iv23);
+      if (sizeof(T) == 2) {
+        const __m256i pk = _mm256_permute4x64_epi64(
+            _mm256_packus_epi32(r01, r23), 0xD8);
+        _mm256_storeu_si256((__m256i *)((uint16_t *)dst + 4 * i), pk);
+      } else {
+        _mm256_storeu_si256((__m256i *)((int32_t *)dst + 4 * i), r01);
+        _mm256_storeu_si256((__m256i *)((int32_t *)dst + 4 * i + 8), r23);
+      }
+    }
+    for (; i < w; i++) {
+      int64_t c[4] = {0, 0, 0, 255};
+      for (int b = 0; b < 4; b++) c[p->lin[b]] = src[i * 4 + b];
+      const int64_t a = c[3];
+      for (int k = 0; k < 3; k++)
+        c[k] = unassoc_in ? premul_p8l(kFromSrgb[c[k]], a)
+                          : premul_p8l(kFromSrgb[unpremul_p8(c[k], a)], a);
+      dst[4 * i + 0] = (T)c[0]; dst[4 * i + 1] = (T)c[1];
+      dst[4 * i + 2] = (T)c[2]; dst[4 * i + 3] = (T)a;
+    }
     return;
   }
 #endif
@@ -865,6 +1044,230 @@ static void unpack_row(const Plan *p, const uint8_t *src, T *dst) {
   }
 }
 
+#if defined(__AVX2__)
+// u16-row H bilinear lerp primitive.  WIDE=false is the S64 form: mullo +
+// logical >>8 is exact mod 2**16, and the true lerp's low 8 bits live in
+// bits 8..15 of (p-q)*F regardless of sign, so the final & 0xff matches the
+// reference arithmetic.  WIDE=true is the narrow16 S128 form (lerp16_wide,
+// mod-2**16 exact for true u16 endpoints).
+template <bool WIDE>
+static inline __m256i hlerp16(__m256i p, __m256i q, __m256i f) {
+  if (WIDE) return lerp16_wide(p, q, f);
+  return _mm256_and_si256(
+      _mm256_add_epi16(
+          _mm256_srli_epi16(_mm256_mullo_epi16(_mm256_sub_epi16(p, q), f), 8),
+          q),
+      _mm256_set1_epi16(0xff));
+}
+template <bool WIDE>
+static inline __m128i hlerp16_128(__m128i p, __m128i q, __m128i f) {
+  if (WIDE) return lerp16_wide128(p, q, f);
+  return _mm_and_si128(
+      _mm_add_epi16(
+          _mm_srli_epi16(_mm_mullo_epi16(_mm_sub_epi16(p, q), f), 8), q),
+      _mm_set1_epi16(0xff));
+}
+
+// H bilinear on AoS uint16 rows, shared by S64 storage and the narrow16
+// S128 mode: one unaligned 128-bit load per sample covers BOTH bilinear
+// endpoints (pixels o and o+1 are adjacent).  This is the engine's own AoS
+// design, not the upstream's SWAR mid-order batches (avx2.c:1394-1525).
+// WIDE ladder sums stay exact: narrow16 restricts PREMUL16-compressed plans
+// to 0 halvings and linear-light values are <= 2047 with halvings <= 2.
+template <bool WIDE>
+static void hbilin_u16(const AxisPlan &ax, const uint16_t *u, uint16_t *d,
+                       int w_out) {
+  const int n = ax.halvings;
+  const __m256i m8w = _mm256_set1_epi16(0xff);
+  const __m128i m8 = _mm_set1_epi16(0xff);
+  (void)m8w; (void)m8;
+  if (n == 0) {
+    // 2 output px per iteration in one 256-bit lerp (each 128-bit half
+    // holds one sample's endpoint pair); the factor operand is one 256-bit
+    // load from the precomputed fac16 row, and the two 64-bit results are
+    // compacted by one vpermq into one store.  Even-ratio 0h plans (e.g.
+    // 2:1, lerp_stride2) read both endpoint pairs from ONE 256-bit load.
+    const uint8_t *r4 = ax.run4.data();
+    int j = 0;
+    if (ax.lerp_stride2) {
+      for (; j + 2 <= w_out; j += 2) {
+        const __m256i v =
+            _mm256_loadu_si256((const __m256i *)(u + 4 * ax.off[j]));
+        const __m256i q = _mm256_unpackhi_epi64(v, v);
+        const __m256i f =
+            _mm256_loadu_si256((const __m256i *)(ax.fac16.data() + 8 * j));
+        const __m256i r =
+            _mm256_permute4x64_epi64(hlerp16<WIDE>(v, q, f), 0xD8);
+        _mm_storeu_si128((__m128i *)(d + 4 * j), _mm256_castsi256_si128(r));
+      }
+    }
+    while (ax.run4_any && j + 2 <= w_out) {
+      if (r4[j]) {
+        // stride-1 run: outputs j..j+3 read the contiguous pixel window
+        // off[j]..off[j]+4, so p and q are two overlapping 256-bit loads
+        // and the lerp result IS the output layout -- no per-sample loads,
+        // no permutes (near-1:1 scales)
+        const uint16_t *base = u + 4 * ax.off[j];
+        const __m256i pv = _mm256_loadu_si256((const __m256i *)base);
+        const __m256i qv = _mm256_loadu_si256((const __m256i *)(base + 4));
+        const __m256i f =
+            _mm256_loadu_si256((const __m256i *)(ax.fac4.data() + 4 * j));
+        _mm256_storeu_si256((__m256i *)(d + 4 * j), hlerp16<WIDE>(pv, qv, f));
+        j += 4;
+        continue;
+      }
+      const __m256i v = _mm256_set_m128i(
+          _mm_loadu_si128((const __m128i *)(u + 4 * ax.off[j + 1])),
+          _mm_loadu_si128((const __m128i *)(u + 4 * ax.off[j])));
+      const __m256i q = _mm256_unpackhi_epi64(v, v);
+      const __m256i f =
+          _mm256_loadu_si256((const __m256i *)(ax.fac16.data() + 8 * j));
+      const __m256i r =
+          _mm256_permute4x64_epi64(hlerp16<WIDE>(v, q, f), 0xD8);
+      _mm_storeu_si128((__m128i *)(d + 4 * j), _mm256_castsi256_si128(r));
+      j += 2;
+    }
+    for (; j + 2 <= w_out; j += 2) {
+      // branch-free pair loop (no stride-1 runs in this plan)
+      const __m256i v = _mm256_set_m128i(
+          _mm_loadu_si128((const __m128i *)(u + 4 * ax.off[j + 1])),
+          _mm_loadu_si128((const __m128i *)(u + 4 * ax.off[j])));
+      const __m256i q = _mm256_unpackhi_epi64(v, v);
+      const __m256i f =
+          _mm256_loadu_si256((const __m256i *)(ax.fac16.data() + 8 * j));
+      const __m256i r =
+          _mm256_permute4x64_epi64(hlerp16<WIDE>(v, q, f), 0xD8);
+      _mm_storeu_si128((__m128i *)(d + 4 * j), _mm256_castsi256_si128(r));
+    }
+    for (; j < w_out; j++) {
+      const __m128i v = _mm_loadu_si128((const __m128i *)(u + 4 * ax.off[j]));
+      const __m128i q = _mm_unpackhi_epi64(v, v);
+      const __m128i f = _mm_set1_epi16((short)ax.fac[j]);
+      _mm_storel_epi64((__m128i *)(d + 4 * j), hlerp16_128<WIDE>(v, q, f));
+    }
+    return;
+  }
+  // ladder, two passes: (1) lerp ALL 2**n * w_out samples with the same
+  // 2-per-iteration loop as n==0 (no per-pixel fold) into a thread-local
+  // scratch row; (2) n pairwise-add passes over adjacent 4-lane quads,
+  // final pass fused with >>n (and the S64 mask) and written to dst.
+  // Summing before any shift matches the scalar semantics exactly.
+  if (n == 1 && ax.lerp_stride2) {
+    // fused 1h even-ratio ladder (e.g. 4:1): one 256-bit load per output
+    // covers both samples' endpoint pairs; the pairwise ladder fold
+    // happens in-register (no scratch round trip)
+    int j = 0;
+    for (; j + 2 <= w_out; j += 2) {
+      const __m256i v0 =
+          _mm256_loadu_si256((const __m256i *)(u + 4 * ax.off[2 * j]));
+      const __m256i q0 = _mm256_unpackhi_epi64(v0, v0);
+      const __m256i f0 =
+          _mm256_loadu_si256((const __m256i *)(ax.fac16.data() + 16 * j));
+      const __m256i r0 = hlerp16<WIDE>(v0, q0, f0);
+      const __m256i v1 =
+          _mm256_loadu_si256((const __m256i *)(u + 4 * ax.off[2 * j + 2]));
+      const __m256i q1 = _mm256_unpackhi_epi64(v1, v1);
+      const __m256i f1 = _mm256_loadu_si256(
+          (const __m256i *)(ax.fac16.data() + 16 * j + 16));
+      const __m256i r1 = hlerp16<WIDE>(v1, q1, f1);
+      __m256i s = _mm256_add_epi16(
+          _mm256_permute2x128_si256(r0, r1, 0x20),
+          _mm256_permute2x128_si256(r0, r1, 0x31));
+      s = _mm256_srli_epi16(s, 1);
+      if (!WIDE) s = _mm256_and_si256(s, m8w);
+      s = _mm256_permute4x64_epi64(s, 0xD8);
+      _mm_storeu_si128((__m128i *)(d + 4 * j), _mm256_castsi256_si128(s));
+    }
+    for (; j < w_out; j++) {
+      const __m256i v0 =
+          _mm256_loadu_si256((const __m256i *)(u + 4 * ax.off[2 * j]));
+      const __m256i q0 = _mm256_unpackhi_epi64(v0, v0);
+      const __m256i f0 =
+          _mm256_loadu_si256((const __m256i *)(ax.fac16.data() + 16 * j));
+      const __m256i r0 = hlerp16<WIDE>(v0, q0, f0);
+      __m128i s = _mm_add_epi16(_mm256_castsi256_si128(r0),
+                                _mm256_extracti128_si256(r0, 1));
+      s = _mm_srli_epi16(s, 1);
+      if (!WIDE) s = _mm_and_si128(s, m8);
+      _mm_storel_epi64((__m128i *)(d + 4 * j), s);
+    }
+    return;
+  }
+  const int ns = w_out << n;
+  static thread_local std::vector<uint16_t> scratch;
+  if ((int)scratch.size() < 4 * ns) scratch.resize(4 * ns);
+  uint16_t *t = scratch.data();
+  const uint8_t *r4 = ax.run4.data();
+  int k = 0;
+  while (ax.run4_any && k + 2 <= ns) {
+    if (r4[k]) {
+      // stride-1 sample run (d<2 stretches of non-integer ladders): same
+      // contiguous-window lerp as the n==0 path
+      const uint16_t *base = u + 4 * ax.off[k];
+      const __m256i pv = _mm256_loadu_si256((const __m256i *)base);
+      const __m256i qv = _mm256_loadu_si256((const __m256i *)(base + 4));
+      const __m256i f =
+          _mm256_loadu_si256((const __m256i *)(ax.fac4.data() + 4 * k));
+      _mm256_storeu_si256((__m256i *)(t + 4 * k), hlerp16<WIDE>(pv, qv, f));
+      k += 4;
+      continue;
+    }
+    const __m256i v =
+        ax.lerp_stride2
+            ? _mm256_loadu_si256((const __m256i *)(u + 4 * ax.off[k]))
+            : _mm256_set_m128i(
+                  _mm_loadu_si128((const __m128i *)(u + 4 * ax.off[k + 1])),
+                  _mm_loadu_si128((const __m128i *)(u + 4 * ax.off[k])));
+    const __m256i q = _mm256_unpackhi_epi64(v, v);
+    const __m256i f =
+        _mm256_loadu_si256((const __m256i *)(ax.fac16.data() + 8 * k));
+    const __m256i r = _mm256_permute4x64_epi64(hlerp16<WIDE>(v, q, f), 0xD8);
+    _mm_storeu_si128((__m128i *)(t + 4 * k), _mm256_castsi256_si128(r));
+    k += 2;
+  }
+  for (; k + 2 <= ns; k += 2) {
+    // branch-free pair loop (integer-ratio ladders land here)
+    const __m256i v =
+        ax.lerp_stride2
+            ? _mm256_loadu_si256((const __m256i *)(u + 4 * ax.off[k]))
+            : _mm256_set_m128i(
+                  _mm_loadu_si128((const __m128i *)(u + 4 * ax.off[k + 1])),
+                  _mm_loadu_si128((const __m128i *)(u + 4 * ax.off[k])));
+    const __m256i q = _mm256_unpackhi_epi64(v, v);
+    const __m256i f =
+        _mm256_loadu_si256((const __m256i *)(ax.fac16.data() + 8 * k));
+    const __m256i r = _mm256_permute4x64_epi64(hlerp16<WIDE>(v, q, f), 0xD8);
+    _mm_storeu_si128((__m128i *)(t + 4 * k), _mm256_castsi256_si128(r));
+  }
+  for (int lvl = 1; lvl <= n; lvl++) {
+    const int mo = ns >> lvl;           // output quads this pass
+    const bool last = lvl == n;
+    uint16_t *o16 = last ? d : t;
+    int o = 0;
+    for (; o + 4 <= mo; o += 4) {
+      const __m256i v0 = _mm256_loadu_si256((const __m256i *)(t + 8 * o));
+      const __m256i v1 =
+          _mm256_loadu_si256((const __m256i *)(t + 8 * o + 16));
+      __m256i s = _mm256_add_epi16(_mm256_unpacklo_epi64(v0, v1),
+                                   _mm256_unpackhi_epi64(v0, v1));
+      s = _mm256_permute4x64_epi64(s, 0xD8);  // [o0,o2|o1,o3]->[0..3]
+      if (last) {
+        s = _mm256_srli_epi16(s, n);
+        if (!WIDE) s = _mm256_and_si256(s, m8w);
+      }
+      _mm256_storeu_si256((__m256i *)(o16 + 4 * o), s);
+    }
+    for (; o < mo; o++)
+      for (int c = 0; c < 4; c++) {
+        uint16_t s = (uint16_t)(t[8 * o + c] + t[8 * o + 4 + c]);
+        o16[4 * o + c] =
+            last ? (uint16_t)((s >> n) & (WIDE ? 0xffff : 0xff)) : s;
+      }
+  }
+}
+#endif  // __AVX2__
+
+
 template <typename T>
 static void hfilter_row(const Plan *p, const T *unp, T *dst) {
   const int w_in = p->w_in, w_out = p->w_out;
@@ -881,267 +1284,15 @@ static void hfilter_row(const Plan *p, const T *unp, T *dst) {
     case F_BILIN: {
       const int n = ax.halvings;
 #if defined(__AVX2__)
-      // 8-lane lerp on AoS uint16 rows: one unaligned 128-bit load per
-      // sample covers BOTH bilinear endpoints (pixels o and o+1 are
-      // adjacent).  mullo_epi16 + logical >>8 is exact mod 2**16, and the
-      // true lerp's low 8 bits live in bits 8..15 of (p-q)*F regardless of
-      // sign, so the final & 0xff matches the reference arithmetic.  This
-      // is the engine's own AoS design, not the upstream's SWAR mid-order
-      // batches (avx2.c:1394-1525).
-      if (sizeof(T) == 2 && mask == 0xff) {
-        const uint16_t *u = (const uint16_t *)unp;
-        uint16_t *d = (uint16_t *)dst;
-        const __m128i m8 = _mm_set1_epi16(0xff);
-        if (n == 0) {
-          // 2 output px per iteration in one 256-bit lerp (each 128-bit
-          // half holds one sample's endpoint pair); the factor operand is
-          // one 256-bit load from the precomputed fac16 row, and the two
-          // 64-bit results are compacted by one vpermq into one store.
-          // Even-ratio 0h plans (e.g. 2:1, lerp_stride2) read both
-          // endpoint pairs from ONE 256-bit load.
-          const __m256i m8w = _mm256_set1_epi16(0xff);
-          const uint8_t *r4 = ax.run4.data();
-          int j = 0;
-          if (ax.lerp_stride2) {
-            for (; j + 2 <= w_out; j += 2) {
-              const __m256i v =
-                  _mm256_loadu_si256((const __m256i *)(u + 4 * ax.off[j]));
-              const __m256i q = _mm256_unpackhi_epi64(v, v);
-              const __m256i f = _mm256_loadu_si256(
-                  (const __m256i *)(ax.fac16.data() + 8 * j));
-              __m256i r = _mm256_add_epi16(
-                  _mm256_srli_epi16(
-                      _mm256_mullo_epi16(_mm256_sub_epi16(v, q), f), 8),
-                  q);
-              r = _mm256_permute4x64_epi64(_mm256_and_si256(r, m8w), 0xD8);
-              _mm_storeu_si128((__m128i *)(d + 4 * j),
-                               _mm256_castsi256_si128(r));
-            }
-          }
-          while (ax.run4_any && j + 2 <= w_out) {
-            if (r4[j]) {
-              // stride-1 run: outputs j..j+3 read the contiguous pixel
-              // window off[j]..off[j]+4, so p and q are two overlapping
-              // 256-bit loads and the masked result IS the output layout
-              // -- no per-sample loads, no permutes (near-1:1 scales)
-              const uint16_t *base = u + 4 * ax.off[j];
-              const __m256i pv =
-                  _mm256_loadu_si256((const __m256i *)base);
-              const __m256i qv =
-                  _mm256_loadu_si256((const __m256i *)(base + 4));
-              const __m256i f = _mm256_loadu_si256(
-                  (const __m256i *)(ax.fac4.data() + 4 * j));
-              const __m256i r = _mm256_add_epi16(
-                  _mm256_srli_epi16(
-                      _mm256_mullo_epi16(_mm256_sub_epi16(pv, qv), f), 8),
-                  qv);
-              _mm256_storeu_si256((__m256i *)(d + 4 * j),
-                                  _mm256_and_si256(r, m8w));
-              j += 4;
-              continue;
-            }
-            const __m256i v = _mm256_set_m128i(
-                _mm_loadu_si128((const __m128i *)(u + 4 * ax.off[j + 1])),
-                _mm_loadu_si128((const __m128i *)(u + 4 * ax.off[j])));
-            const __m256i q = _mm256_unpackhi_epi64(v, v);
-            const __m256i f = _mm256_loadu_si256(
-                (const __m256i *)(ax.fac16.data() + 8 * j));
-            __m256i r = _mm256_add_epi16(
-                _mm256_srli_epi16(
-                    _mm256_mullo_epi16(_mm256_sub_epi16(v, q), f), 8),
-                q);
-            r = _mm256_permute4x64_epi64(_mm256_and_si256(r, m8w), 0xD8);
-            _mm_storeu_si128((__m128i *)(d + 4 * j),
-                             _mm256_castsi256_si128(r));
-            j += 2;
-          }
-          for (; j + 2 <= w_out; j += 2) {
-            // branch-free pair loop (no stride-1 runs in this plan)
-            const __m256i v = _mm256_set_m128i(
-                _mm_loadu_si128((const __m128i *)(u + 4 * ax.off[j + 1])),
-                _mm_loadu_si128((const __m128i *)(u + 4 * ax.off[j])));
-            const __m256i q = _mm256_unpackhi_epi64(v, v);
-            const __m256i f = _mm256_loadu_si256(
-                (const __m256i *)(ax.fac16.data() + 8 * j));
-            __m256i r = _mm256_add_epi16(
-                _mm256_srli_epi16(
-                    _mm256_mullo_epi16(_mm256_sub_epi16(v, q), f), 8),
-                q);
-            r = _mm256_permute4x64_epi64(_mm256_and_si256(r, m8w), 0xD8);
-            _mm_storeu_si128((__m128i *)(d + 4 * j),
-                             _mm256_castsi256_si128(r));
-          }
-          for (; j < w_out; j++) {
-            const __m128i v =
-                _mm_loadu_si128((const __m128i *)(u + 4 * ax.off[j]));
-            const __m128i q = _mm_unpackhi_epi64(v, v);
-            const __m128i f = _mm_set1_epi16((short)ax.fac[j]);
-            __m128i r = _mm_add_epi16(
-                _mm_srli_epi16(_mm_mullo_epi16(_mm_sub_epi16(v, q), f), 8),
-                q);
-            r = _mm_and_si128(r, m8);
-            _mm_storel_epi64((__m128i *)(d + 4 * j), r);
-          }
-        } else {
-          // ladder, two passes: (1) lerp ALL 2**n * w_out samples with the
-          // same 2-per-iteration loop as n==0 (no per-pixel fold) into a
-          // thread-local scratch row; (2) n pairwise-add passes over
-          // adjacent 4-lane quads, final pass fused with >>n and mask and
-          // written to dst.  Summing before any shift matches the scalar
-          // semantics exactly: lanes are <=255 and 2**n <= 64, so every
-          // partial sum fits u16.
-          const __m256i m8w = _mm256_set1_epi16(0xff);
-          if (n == 1 && ax.lerp_stride2) {
-            // fused 1h even-ratio ladder (e.g. 4:1): one 256-bit load per
-            // output covers both samples' endpoint pairs; the pairwise
-            // ladder fold happens in-register (no scratch round trip)
-            int j = 0;
-            for (; j + 2 <= w_out; j += 2) {
-              const __m256i v0 = _mm256_loadu_si256(
-                  (const __m256i *)(u + 4 * ax.off[2 * j]));
-              const __m256i q0 = _mm256_unpackhi_epi64(v0, v0);
-              const __m256i f0 = _mm256_loadu_si256(
-                  (const __m256i *)(ax.fac16.data() + 16 * j));
-              const __m256i r0 = _mm256_and_si256(
-                  _mm256_add_epi16(
-                      _mm256_srli_epi16(
-                          _mm256_mullo_epi16(_mm256_sub_epi16(v0, q0), f0),
-                          8),
-                      q0),
-                  m8w);
-              const __m256i v1 = _mm256_loadu_si256(
-                  (const __m256i *)(u + 4 * ax.off[2 * j + 2]));
-              const __m256i q1 = _mm256_unpackhi_epi64(v1, v1);
-              const __m256i f1 = _mm256_loadu_si256(
-                  (const __m256i *)(ax.fac16.data() + 16 * j + 16));
-              const __m256i r1 = _mm256_and_si256(
-                  _mm256_add_epi16(
-                      _mm256_srli_epi16(
-                          _mm256_mullo_epi16(_mm256_sub_epi16(v1, q1), f1),
-                          8),
-                      q1),
-                  m8w);
-              __m256i s = _mm256_add_epi16(
-                  _mm256_permute2x128_si256(r0, r1, 0x20),
-                  _mm256_permute2x128_si256(r0, r1, 0x31));
-              s = _mm256_and_si256(_mm256_srli_epi16(s, 1), m8w);
-              s = _mm256_permute4x64_epi64(s, 0xD8);
-              _mm_storeu_si128((__m128i *)(d + 4 * j),
-                               _mm256_castsi256_si128(s));
-            }
-            for (; j < w_out; j++) {
-              const __m256i v0 = _mm256_loadu_si256(
-                  (const __m256i *)(u + 4 * ax.off[2 * j]));
-              const __m256i q0 = _mm256_unpackhi_epi64(v0, v0);
-              const __m256i f0 = _mm256_loadu_si256(
-                  (const __m256i *)(ax.fac16.data() + 16 * j));
-              const __m256i r0 = _mm256_and_si256(
-                  _mm256_add_epi16(
-                      _mm256_srli_epi16(
-                          _mm256_mullo_epi16(_mm256_sub_epi16(v0, q0), f0),
-                          8),
-                      q0),
-                  m8w);
-              __m128i s = _mm_add_epi16(_mm256_castsi256_si128(r0),
-                                        _mm256_extracti128_si256(r0, 1));
-              s = _mm_and_si128(_mm_srli_epi16(s, 1), m8);
-              _mm_storel_epi64((__m128i *)(d + 4 * j), s);
-            }
-            break;
-          }
-          const int ns = w_out << n;
-          static thread_local std::vector<uint16_t> scratch;
-          if ((int)scratch.size() < 4 * ns) scratch.resize(4 * ns);
-          uint16_t *t = scratch.data();
-          const uint8_t *r4 = ax.run4.data();
-          int k = 0;
-          while (ax.run4_any && k + 2 <= ns) {
-            if (r4[k]) {
-              // stride-1 sample run (d<2 stretches of non-integer
-              // ladders): same contiguous-window lerp as the n==0 path
-              const uint16_t *base = u + 4 * ax.off[k];
-              const __m256i pv =
-                  _mm256_loadu_si256((const __m256i *)base);
-              const __m256i qv =
-                  _mm256_loadu_si256((const __m256i *)(base + 4));
-              const __m256i f = _mm256_loadu_si256(
-                  (const __m256i *)(ax.fac4.data() + 4 * k));
-              const __m256i r = _mm256_add_epi16(
-                  _mm256_srli_epi16(
-                      _mm256_mullo_epi16(_mm256_sub_epi16(pv, qv), f), 8),
-                  qv);
-              _mm256_storeu_si256((__m256i *)(t + 4 * k),
-                                  _mm256_and_si256(r, m8w));
-              k += 4;
-              continue;
-            }
-            const __m256i v =
-                ax.lerp_stride2
-                    ? _mm256_loadu_si256(
-                          (const __m256i *)(u + 4 * ax.off[k]))
-                    : _mm256_set_m128i(
-                          _mm_loadu_si128(
-                              (const __m128i *)(u + 4 * ax.off[k + 1])),
-                          _mm_loadu_si128(
-                              (const __m128i *)(u + 4 * ax.off[k])));
-            const __m256i q = _mm256_unpackhi_epi64(v, v);
-            const __m256i f = _mm256_loadu_si256(
-                (const __m256i *)(ax.fac16.data() + 8 * k));
-            __m256i r = _mm256_add_epi16(
-                _mm256_srli_epi16(
-                    _mm256_mullo_epi16(_mm256_sub_epi16(v, q), f), 8),
-                q);
-            r = _mm256_permute4x64_epi64(_mm256_and_si256(r, m8w), 0xD8);
-            _mm_storeu_si128((__m128i *)(t + 4 * k),
-                             _mm256_castsi256_si128(r));
-            k += 2;
-          }
-          for (; k + 2 <= ns; k += 2) {
-            // branch-free pair loop (integer-ratio ladders land here)
-            const __m256i v =
-                ax.lerp_stride2
-                    ? _mm256_loadu_si256(
-                          (const __m256i *)(u + 4 * ax.off[k]))
-                    : _mm256_set_m128i(
-                          _mm_loadu_si128(
-                              (const __m128i *)(u + 4 * ax.off[k + 1])),
-                          _mm_loadu_si128(
-                              (const __m128i *)(u + 4 * ax.off[k])));
-            const __m256i q = _mm256_unpackhi_epi64(v, v);
-            const __m256i f = _mm256_loadu_si256(
-                (const __m256i *)(ax.fac16.data() + 8 * k));
-            __m256i r = _mm256_add_epi16(
-                _mm256_srli_epi16(
-                    _mm256_mullo_epi16(_mm256_sub_epi16(v, q), f), 8),
-                q);
-            r = _mm256_permute4x64_epi64(_mm256_and_si256(r, m8w), 0xD8);
-            _mm_storeu_si128((__m128i *)(t + 4 * k),
-                             _mm256_castsi256_si128(r));
-          }
-          for (int lvl = 1; lvl <= n; lvl++) {
-            const int mo = ns >> lvl;           // output quads this pass
-            const bool last = lvl == n;
-            uint16_t *o16 = last ? (uint16_t *)d : t;
-            int o = 0;
-            for (; o + 4 <= mo; o += 4) {
-              const __m256i v0 =
-                  _mm256_loadu_si256((const __m256i *)(t + 8 * o));
-              const __m256i v1 =
-                  _mm256_loadu_si256((const __m256i *)(t + 8 * o + 16));
-              __m256i s = _mm256_add_epi16(_mm256_unpacklo_epi64(v0, v1),
-                                           _mm256_unpackhi_epi64(v0, v1));
-              s = _mm256_permute4x64_epi64(s, 0xD8);  // [o0,o2|o1,o3]->[0..3]
-              if (last)
-                s = _mm256_and_si256(_mm256_srli_epi16(s, n), m8w);
-              _mm256_storeu_si256((__m256i *)(o16 + 4 * o), s);
-            }
-            for (; o < mo; o++)
-              for (int c = 0; c < 4; c++) {
-                uint16_t s = t[8 * o + c] + t[8 * o + 4 + c];
-                o16[4 * o + c] = last ? (uint16_t)((s >> n) & 0xff) : s;
-              }
-          }
-        }
+      if (sizeof(T) == 2) {
+        // u16 AoS rows: S64 storage (mask 0xff) or the narrow16 S128 mode
+        // (mask 0xffff; lerp16_wide).  Shared body in hbilin_u16.
+        if (mask == 0xff)
+          hbilin_u16<false>(ax, (const uint16_t *)unp, (uint16_t *)dst,
+                            w_out);
+        else
+          hbilin_u16<true>(ax, (const uint16_t *)unp, (uint16_t *)dst,
+                           w_out);
         break;
       }
       if (sizeof(T) == 4) {
@@ -1589,7 +1740,7 @@ static void pack_row(const Plan *p, const T *planes, uint8_t *dst) {
 #if defined(__AVX2__)
   if (p->gamma == G_COMPRESSED && nb == 4 &&
       ((sizeof(T) == 2 && p->ialpha == A_PREMUL8 && !out_premul) ||
-       (sizeof(T) == 4 && p->ialpha == A_PREMUL16))) {
+       ((sizeof(T) == 4 || sizeof(T) == 2) && p->ialpha == A_PREMUL16))) {
     // unpremultiply on 8 i32 lanes, 4 px per iteration.  PREMUL8:
     // (v * kInvDivP8[a]) >> 13, products <= 255 * 0x181fff < 2**31.
     // PREMUL16: (v * kInvDivP16[a]) >> 16 with v <= 65408 and entries
@@ -1623,8 +1774,12 @@ static void pack_row(const Plan *p, const T *planes, uint8_t *dst) {
             _mm_loadu_si128((const __m128i *)(u + 4 * i)));
         v23 = _mm256_cvtepu16_epi32(
             _mm_loadu_si128((const __m128i *)(u + 4 * i + 8)));
-        a[0] = u[4 * i + 3] & 0xff;  a[1] = u[4 * i + 7] & 0xff;
-        a[2] = u[4 * i + 11] & 0xff; a[3] = u[4 * i + 15] & 0xff;
+        // PREMUL8 alpha rides raw; narrow16 PREMUL16 alpha is (a<<8)|0x80
+        const int ash = p16 ? 8 : 0;
+        a[0] = (u[4 * i + 3] >> ash) & 0xff;
+        a[1] = (u[4 * i + 7] >> ash) & 0xff;
+        a[2] = (u[4 * i + 11] >> ash) & 0xff;
+        a[3] = (u[4 * i + 15] >> ash) & 0xff;
       } else {
         const int32_t *u = (const int32_t *)planes;
         v01 = _mm256_loadu_si256((const __m256i *)(u + 4 * i));
@@ -1763,12 +1918,17 @@ static void scale_outrow(Worker<T> *w, const uint8_t *pixels_in,
       T *accum = w->acc.data();
 #if defined(__AVX2__)
       if constexpr (sizeof(T) == 2) {
+        const bool wide = p->storage != S64;  // narrow16 S128 mode
         if (n == 0) {  // single sample: lerp straight into tmp
           const int o = ay.off[i];
           const T *top = get_hrow(w, pixels_in, rowstride_in, o);
           const T *bot = get_hrow(w, pixels_in, rowstride_in, o + 1);
-          row_lerp_u16((const uint16_t *)top, (const uint16_t *)bot,
-                       (uint16_t)ay.fac[i], (uint16_t *)tmp, n4);
+          if (wide)
+            row_lerp_u16w((const uint16_t *)top, (const uint16_t *)bot,
+                          (uint16_t)ay.fac[i], (uint16_t *)tmp, n4);
+          else
+            row_lerp_u16((const uint16_t *)top, (const uint16_t *)bot,
+                         (uint16_t)ay.fac[i], (uint16_t *)tmp, n4);
         } else {
           std::memset(accum, 0, sizeof(T) * n4);
           for (int s = 0; s < (1 << n); s++) {
@@ -1776,10 +1936,18 @@ static void scale_outrow(Worker<T> *w, const uint8_t *pixels_in,
             const int o = ay.off[k];
             const T *top = get_hrow(w, pixels_in, rowstride_in, o);
             const T *bot = get_hrow(w, pixels_in, rowstride_in, o + 1);
-            row_lerp_acc_u16((const uint16_t *)top, (const uint16_t *)bot,
-                             (uint16_t)ay.fac[k], (uint16_t *)accum, n4);
+            if (wide)
+              row_lerp_acc_u16w((const uint16_t *)top, (const uint16_t *)bot,
+                                (uint16_t)ay.fac[k], (uint16_t *)accum, n4);
+            else
+              row_lerp_acc_u16((const uint16_t *)top, (const uint16_t *)bot,
+                               (uint16_t)ay.fac[k], (uint16_t *)accum, n4);
           }
-          row_shift_mask_u16((const uint16_t *)accum, n, (uint16_t *)tmp, n4);
+          if (wide)
+            row_shift_u16w((const uint16_t *)accum, n, (uint16_t *)tmp, n4);
+          else
+            row_shift_mask_u16((const uint16_t *)accum, n, (uint16_t *)tmp,
+                               n4);
         }
         pack_row(p, tmp, row_out);
         return;
@@ -1918,7 +2086,9 @@ extern "C" {
 void sst_scale_rows(const sst_plan *p, const uint8_t *pixels_in,
                     int64_t rowstride_in, uint8_t *rows_out,
                     int64_t rowstride_out, int first, int n) {
-  if (p->storage == S64) {
+  if (p->storage == S64 || p->narrow16) {
+    // u16 lanes: S64 natively, or the narrow16 S128 mode (every true
+    // intermediate <= 65408 fits u16; lerp16_wide keeps mod-2**16 exactness)
     Worker<uint16_t> w(p);
     for (int i = first; i < first + n; i++)
       scale_outrow(&w, pixels_in, rowstride_in, i,
