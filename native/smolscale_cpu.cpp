@@ -356,6 +356,10 @@ sst_plan *sst_plan_new(int w_in, int h_in, int w_out, int h_out, int type_in,
         if (p->x.run4[s]) covered += 4;
       p->fuse_h = p->x.lerp_stride2 ||
                   covered * 2 >= p->x.run4.size();  // >=50% run4 coverage
+      // measured and NOT taken: fusing every 0h plan (vpgatherqq pair
+      // gather OR single-cvt pairs) -- upscales regress 13-23% (the
+      // once-per-input-pixel unpack amortizes better than per-output
+      // widening when w_out > w_in), mixed-stride downscales break even
     }
     // F_BOX fusion measured par-to-slower here (the span walk's serial
     // accumulate chain eats the DRAM load latency the separate unpack
@@ -498,6 +502,45 @@ static inline void row_shift_u16w(const uint16_t *acc, int sh, uint16_t *dst,
         (__m256i *)(dst + x),
         _mm256_srli_epi16(_mm256_loadu_si256((const __m256i *)(acc + x)), sh));
   for (; x < n; x++) dst[x] = (uint16_t)(acc[x] >> sh);
+}
+// fused V lerp + premul pack (S64 n==0 bilinear V, compressed premul8 out,
+// 4 bytes/px): lerps 4 px per iteration and narrows straight to output
+// bytes -- skips the tmp u16 row round trip (60 KB of L2 traffic per row)
+static inline void row_lerp_pack_u16(const uint16_t *top, const uint16_t *bot,
+                                     uint16_t f, const int *lout,
+                                     uint8_t *dst, int w) {
+  const int l0 = lout[0], l1 = lout[1], l2 = lout[2], l3 = lout[3];
+  const __m128i shuf = _mm_setr_epi8(
+      (char)l0, (char)l1, (char)l2, (char)l3,
+      (char)(4 + l0), (char)(4 + l1), (char)(4 + l2), (char)(4 + l3),
+      (char)(8 + l0), (char)(8 + l1), (char)(8 + l2), (char)(8 + l3),
+      (char)(12 + l0), (char)(12 + l1), (char)(12 + l2), (char)(12 + l3));
+  const __m256i vf = _mm256_set1_epi16((short)f);
+  const __m256i m8 = _mm256_set1_epi16(0xff);
+  int j = 0;
+  for (; j + 4 <= w; j += 4) {
+    const __m256i p = _mm256_loadu_si256((const __m256i *)(top + 4 * j));
+    const __m256i q = _mm256_loadu_si256((const __m256i *)(bot + 4 * j));
+    const __m256i r = _mm256_and_si256(
+        _mm256_add_epi16(
+            _mm256_srli_epi16(_mm256_mullo_epi16(_mm256_sub_epi16(p, q), vf),
+                              8),
+            q),
+        m8);
+    const __m128i bytes = _mm_packus_epi16(_mm256_castsi256_si128(r),
+                                           _mm256_extracti128_si256(r, 1));
+    _mm_storeu_si128((__m128i *)(dst + 4 * j), _mm_shuffle_epi8(bytes, shuf));
+  }
+  for (; j < w; j++) {
+    uint8_t px[4];
+    for (int c = 0; c < 4; c++) {
+      const int x = 4 * j + c;
+      px[c] = (uint8_t)(((((int32_t)(uint16_t)(top[x] - bot[x]) * f) >> 8) +
+                         bot[x]) & 0xff);
+    }
+    dst[4 * j + 0] = px[l0]; dst[4 * j + 1] = px[l1];
+    dst[4 * j + 2] = px[l2]; dst[4 * j + 3] = px[l3];
+  }
 }
 static inline void row_lerp_acc_u16(const uint16_t *top, const uint16_t *bot,
                                     uint16_t f, uint16_t *acc, int n) {
@@ -1640,8 +1683,14 @@ static void hfilter_row_fused_u16(const Plan *p, const uint8_t *src,
         j += 4;
         continue;
       }
+      // arbitrary-stride pair: both outputs' endpoint pairs in one 128-bit
+      // register (two 64-bit loads), ONE byte shuffle + ONE widen (the px2
+      // form paid 2 shuffles + 2 widens + an insert)
+      const __m128i pairs = _mm_unpacklo_epi64(
+          _mm_loadl_epi64((const __m128i *)(src + 4 * ax.off[j])),
+          _mm_loadl_epi64((const __m128i *)(src + 4 * ax.off[j + 1])));
       const __m256i v =
-          _mm256_set_m128i(px2(ax.off[j + 1]), px2(ax.off[j]));
+          _mm256_cvtepu8_epi16(_mm_shuffle_epi8(pairs, shuf));
       const __m256i q = _mm256_unpackhi_epi64(v, v);
       const __m256i f = _mm256_loadu_si256(
           (const __m256i *)(ax.fac16.data() + 8 * j));
@@ -1923,6 +1972,14 @@ static void scale_outrow(Worker<T> *w, const uint8_t *pixels_in,
           const int o = ay.off[i];
           const T *top = get_hrow(w, pixels_in, rowstride_in, o);
           const T *bot = get_hrow(w, pixels_in, rowstride_in, o + 1);
+          if (!wide && p->ialpha == A_PREMUL8 && p->gamma == G_COMPRESSED &&
+              alpha_of(p->type_out) == A_PREMUL8 && p->nb_out == 4) {
+            // simple premul pack fuses into the lerp: no tmp row round trip
+            row_lerp_pack_u16((const uint16_t *)top, (const uint16_t *)bot,
+                              (uint16_t)ay.fac[i], p->lout, row_out,
+                              p->w_out);
+            return;
+          }
           if (wide)
             row_lerp_u16w((const uint16_t *)top, (const uint16_t *)bot,
                           (uint16_t)ay.fac[i], (uint16_t *)tmp, n4);
