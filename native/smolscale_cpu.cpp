@@ -361,6 +361,8 @@ sst_plan *sst_plan_new(int w_in, int h_in, int w_out, int h_out, int type_in,
       // once-per-input-pixel unpack amortizes better than per-output
       // widening when w_out > w_in), mixed-stride downscales break even
     }
+    if (p->x.filter == F_BILIN && p->x.halvings == 1 && p->x.lerp_stride2)
+      p->fuse_h = true;  // fused even-ratio 1h ladder (4:1 class)
     // F_BOX fusion measured par-to-slower here (the span walk's serial
     // accumulate chain eats the DRAM load latency the separate unpack
     // sweep hides), so box plans keep unpack_row + hfilter_row.
@@ -376,7 +378,9 @@ sst_plan *sst_plan_new(int w_in, int h_in, int w_out, int h_out, int type_in,
   // Box is excluded: span accumulators reach 24 bits (mask() = 0xffffff).
   if (p->storage == S128 && p->x.filter != F_BOX && p->y.filter != F_BOX) {
     if (p->ialpha == A_PREMUL16 && p->gamma == G_COMPRESSED)
-      p->narrow16 = p->x.halvings == 0 && p->y.halvings == 0;
+      // 1-halving ladders fold with the carry-free floor average
+      // (avg_floor_u16); >=2 halvings would need true 18-bit sums
+      p->narrow16 = p->x.halvings <= 1 && p->y.halvings <= 1;
     else if (p->ialpha == A_PREMUL8 && p->gamma == G_LINEAR)
       p->narrow16 = true;
   }
@@ -459,6 +463,19 @@ static inline __m256i lerp16_wide(__m256i p, __m256i q, __m256i f) {
   const __m256i corr = _mm256_andnot_si256(nb, _mm256_slli_epi16(f, 8));
   return _mm256_add_epi16(_mm256_sub_epi16(pr, corr), q);
 }
+// exact (a + b) >> 1 for u16 lanes WITHOUT the 17-bit sum: avg_epu16 rounds
+// up ((a+b+1)>>1), so subtracting the carry bit (a^b)&1 restores the floor.
+// Lets narrow16 PREMUL16 plans (values <= 65408) run 1-halving ladders.
+static inline __m256i avg_floor_u16(__m256i a, __m256i b) {
+  return _mm256_sub_epi16(
+      _mm256_avg_epu16(a, b),
+      _mm256_and_si256(_mm256_xor_si256(a, b), _mm256_set1_epi16(1)));
+}
+static inline __m128i avg_floor_u16_128(__m128i a, __m128i b) {
+  return _mm_sub_epi16(
+      _mm_avg_epu16(a, b),
+      _mm_and_si128(_mm_xor_si128(a, b), _mm_set1_epi16(1)));
+}
 static inline __m128i lerp16_wide128(__m128i p, __m128i q, __m128i f) {
   const __m128i dm = _mm_sub_epi16(p, q);
   const __m128i pr = _mm_or_si128(
@@ -493,6 +510,25 @@ static inline void row_lerp_acc_u16w(const uint16_t *top, const uint16_t *bot,
   }
   for (; x < n; x++)
     acc[x] += (uint16_t)(((((int32_t)top[x] - bot[x]) * f) >> 8) + bot[x]);
+}
+// narrow16 1h V ladder, second sample: dst = floor((dst + lerp(top,bot,f))/2)
+// -- avg_floor keeps the 17-bit sum out of the lanes (PREMUL16 values)
+static inline void row_lerp_avg_u16w(const uint16_t *top, const uint16_t *bot,
+                                     uint16_t f, uint16_t *dst, int n) {
+  const __m256i vf = _mm256_set1_epi16((short)f);
+  int x = 0;
+  for (; x + 16 <= n; x += 16) {
+    const __m256i p = _mm256_loadu_si256((const __m256i *)(top + x));
+    const __m256i q = _mm256_loadu_si256((const __m256i *)(bot + x));
+    const __m256i d0 = _mm256_loadu_si256((const __m256i *)(dst + x));
+    _mm256_storeu_si256((__m256i *)(dst + x),
+                        avg_floor_u16(d0, lerp16_wide(p, q, vf)));
+  }
+  for (; x < n; x++) {
+    const uint32_t r =
+        (uint16_t)(((((int32_t)top[x] - bot[x]) * f) >> 8) + bot[x]);
+    dst[x] = (uint16_t)(((uint32_t)dst[x] + r) >> 1);
+  }
 }
 static inline void row_shift_u16w(const uint16_t *acc, int sh, uint16_t *dst,
                                   int n) {
@@ -538,6 +574,34 @@ static inline void row_lerp_pack_u16(const uint16_t *top, const uint16_t *bot,
       px[c] = (uint8_t)(((((int32_t)(uint16_t)(top[x] - bot[x]) * f) >> 8) +
                          bot[x]) & 0xff);
     }
+    dst[4 * j + 0] = px[l0]; dst[4 * j + 1] = px[l1];
+    dst[4 * j + 2] = px[l2]; dst[4 * j + 3] = px[l3];
+  }
+}
+// fused ladder finale + premul pack: (acc >> n) & 0xff straight to bytes
+static inline void row_shift_pack_u16(const uint16_t *acc, int sh,
+                                      const int *lout, uint8_t *dst, int w) {
+  const int l0 = lout[0], l1 = lout[1], l2 = lout[2], l3 = lout[3];
+  const __m128i shuf = _mm_setr_epi8(
+      (char)l0, (char)l1, (char)l2, (char)l3,
+      (char)(4 + l0), (char)(4 + l1), (char)(4 + l2), (char)(4 + l3),
+      (char)(8 + l0), (char)(8 + l1), (char)(8 + l2), (char)(8 + l3),
+      (char)(12 + l0), (char)(12 + l1), (char)(12 + l2), (char)(12 + l3));
+  const __m256i m8 = _mm256_set1_epi16(0xff);
+  int j = 0;
+  for (; j + 4 <= w; j += 4) {
+    const __m256i r = _mm256_and_si256(
+        _mm256_srli_epi16(
+            _mm256_loadu_si256((const __m256i *)(acc + 4 * j)), sh),
+        m8);
+    const __m128i bytes = _mm_packus_epi16(_mm256_castsi256_si128(r),
+                                           _mm256_extracti128_si256(r, 1));
+    _mm_storeu_si128((__m128i *)(dst + 4 * j), _mm_shuffle_epi8(bytes, shuf));
+  }
+  for (; j < w; j++) {
+    uint8_t px[4];
+    for (int c = 0; c < 4; c++)
+      px[c] = (uint8_t)((acc[4 * j + c] >> sh) & 0xff);
     dst[4 * j + 0] = px[l0]; dst[4 * j + 1] = px[l1];
     dst[4 * j + 2] = px[l2]; dst[4 * j + 3] = px[l3];
   }
@@ -629,6 +693,38 @@ static inline __m128i scale_span_vec4(__m128i acc_u32, uint32_t mul,
   return _mm_and_si128(r, _mm_set1_epi32((int)mask));
 }
 
+// fused box finale + premul pack: scale_span straight to bytes
+static inline void row_scale_span_pack_u16(const uint16_t *acc, uint32_t mul,
+                                           const int *lout, uint8_t *dst,
+                                           int w) {
+  const int l0 = lout[0], l1 = lout[1], l2 = lout[2], l3 = lout[3];
+  const __m128i shuf = _mm_setr_epi8(
+      (char)l0, (char)l1, (char)l2, (char)l3,
+      (char)(4 + l0), (char)(4 + l1), (char)(4 + l2), (char)(4 + l3),
+      (char)(8 + l0), (char)(8 + l1), (char)(8 + l2), (char)(8 + l3),
+      (char)(12 + l0), (char)(12 + l1), (char)(12 + l2), (char)(12 + l3));
+  int j = 0;
+  for (; j + 4 <= w; j += 4) {
+    const __m128i a0 = _mm_loadu_si128((const __m128i *)(acc + 4 * j));
+    const __m128i a1 = _mm_loadu_si128((const __m128i *)(acc + 4 * j + 8));
+    const __m128i r0 = scale_span_vec4(_mm_cvtepu16_epi32(a0), mul, 0xff);
+    const __m128i r1 = scale_span_vec4(
+        _mm_cvtepu16_epi32(_mm_srli_si128(a0, 8)), mul, 0xff);
+    const __m128i r2 = scale_span_vec4(_mm_cvtepu16_epi32(a1), mul, 0xff);
+    const __m128i r3 = scale_span_vec4(
+        _mm_cvtepu16_epi32(_mm_srli_si128(a1, 8)), mul, 0xff);
+    const __m128i bytes = _mm_packus_epi16(_mm_packus_epi32(r0, r1),
+                                           _mm_packus_epi32(r2, r3));
+    _mm_storeu_si128((__m128i *)(dst + 4 * j), _mm_shuffle_epi8(bytes, shuf));
+  }
+  for (; j < w; j++) {
+    uint8_t px[4];
+    for (int c = 0; c < 4; c++)
+      px[c] = (uint8_t)scale_span((int64_t)acc[4 * j + c], mul, S64);
+    dst[4 * j + 0] = px[l0]; dst[4 * j + 1] = px[l1];
+    dst[4 * j + 2] = px[l2]; dst[4 * j + 3] = px[l3];
+  }
+}
 // whole-row scale_span finales (box V stage)
 static inline void row_scale_span_u16(const uint16_t *acc, uint32_t mul,
                                       uint16_t *dst, int n) {
@@ -1213,11 +1309,15 @@ static void hbilin_u16(const AxisPlan &ax, const uint16_t *u, uint16_t *d,
       const __m256i f1 = _mm256_loadu_si256(
           (const __m256i *)(ax.fac16.data() + 16 * j + 16));
       const __m256i r1 = hlerp16<WIDE>(v1, q1, f1);
-      __m256i s = _mm256_add_epi16(
-          _mm256_permute2x128_si256(r0, r1, 0x20),
-          _mm256_permute2x128_si256(r0, r1, 0x31));
-      s = _mm256_srli_epi16(s, 1);
-      if (!WIDE) s = _mm256_and_si256(s, m8w);
+      const __m256i sa = _mm256_permute2x128_si256(r0, r1, 0x20);
+      const __m256i sb = _mm256_permute2x128_si256(r0, r1, 0x31);
+      __m256i s;
+      if (WIDE) {  // PREMUL16 sums exceed u16: carry-free floor average
+        s = avg_floor_u16(sa, sb);
+      } else {
+        s = _mm256_and_si256(_mm256_srli_epi16(_mm256_add_epi16(sa, sb), 1),
+                             m8w);
+      }
       s = _mm256_permute4x64_epi64(s, 0xD8);
       _mm_storeu_si128((__m128i *)(d + 4 * j), _mm256_castsi256_si128(s));
     }
@@ -1228,10 +1328,18 @@ static void hbilin_u16(const AxisPlan &ax, const uint16_t *u, uint16_t *d,
       const __m256i f0 =
           _mm256_loadu_si256((const __m256i *)(ax.fac16.data() + 16 * j));
       const __m256i r0 = hlerp16<WIDE>(v0, q0, f0);
-      __m128i s = _mm_add_epi16(_mm256_castsi256_si128(r0),
-                                _mm256_extracti128_si256(r0, 1));
-      s = _mm_srli_epi16(s, 1);
-      if (!WIDE) s = _mm_and_si128(s, m8);
+      __m128i s;
+      if (WIDE) {
+        s = avg_floor_u16_128(_mm256_castsi256_si128(r0),
+                              _mm256_extracti128_si256(r0, 1));
+      } else {
+        s = _mm_and_si128(
+            _mm_srli_epi16(
+                _mm_add_epi16(_mm256_castsi256_si128(r0),
+                              _mm256_extracti128_si256(r0, 1)),
+                1),
+            m8);
+      }
       _mm_storel_epi64((__m128i *)(d + 4 * j), s);
     }
     return;
@@ -1291,20 +1399,27 @@ static void hbilin_u16(const AxisPlan &ax, const uint16_t *u, uint16_t *d,
       const __m256i v0 = _mm256_loadu_si256((const __m256i *)(t + 8 * o));
       const __m256i v1 =
           _mm256_loadu_si256((const __m256i *)(t + 8 * o + 16));
-      __m256i s = _mm256_add_epi16(_mm256_unpacklo_epi64(v0, v1),
-                                   _mm256_unpackhi_epi64(v0, v1));
-      s = _mm256_permute4x64_epi64(s, 0xD8);  // [o0,o2|o1,o3]->[0..3]
-      if (last) {
-        s = _mm256_srli_epi16(s, n);
-        if (!WIDE) s = _mm256_and_si256(s, m8w);
+      const __m256i fa = _mm256_unpacklo_epi64(v0, v1);
+      const __m256i fb = _mm256_unpackhi_epi64(v0, v1);
+      __m256i s;
+      if (WIDE && last && n == 1) {
+        s = avg_floor_u16(fa, fb);  // PREMUL16 1h: sum would carry out
+      } else {
+        s = _mm256_add_epi16(fa, fb);
+        if (last) {
+          s = _mm256_srli_epi16(s, n);
+          if (!WIDE) s = _mm256_and_si256(s, m8w);
+        }
       }
+      s = _mm256_permute4x64_epi64(s, 0xD8);  // [o0,o2|o1,o3]->[0..3]
       _mm256_storeu_si256((__m256i *)(o16 + 4 * o), s);
     }
     for (; o < mo; o++)
       for (int c = 0; c < 4; c++) {
-        uint16_t s = (uint16_t)(t[8 * o + c] + t[8 * o + 4 + c]);
-        o16[4 * o + c] =
-            last ? (uint16_t)((s >> n) & (WIDE ? 0xffff : 0xff)) : s;
+        const uint32_t s =
+            (uint32_t)t[8 * o + c] + t[8 * o + 4 + c];  // 17-bit safe
+        o16[4 * o + c] = last ? (uint16_t)((s >> n) & (WIDE ? 0xffff : 0xff))
+                              : (uint16_t)s;
       }
   }
 }
@@ -1488,17 +1603,28 @@ static void hfilter_row(const Plan *p, const T *unp, T *dst) {
             _mm_loadl_epi64((const __m128i *)u), m8);  // weight 256 = identity
         for (int j = 0; j < w_out; j++) {
           const bool last = j == w_out - 1;
-          __m128i acc2 = _mm_setzero_si128();  // 2 pixels wide
           int nspan = ax.stride[j];
-          int sgo = nspan & ~1;
-          for (int sp = 0; sp < sgo; sp += 2, pos += 2)
+          int sp = 0;
+          __m128i acc2 = _mm_setzero_si128();  // 2 pixels wide
+          if (nspan >= 4) {
+            // 4 whole pixels per 256-bit add (wide spans, e.g. 10:1);
+            // folded to the 2-wide accumulator afterwards
+            __m256i acc4 = _mm256_setzero_si256();
+            for (; sp + 4 <= nspan; sp += 4, pos += 4)
+              acc4 = _mm256_add_epi16(
+                  acc4, _mm256_loadu_si256((const __m256i *)(u + 4 * pos)));
+            acc2 = _mm_add_epi16(_mm256_castsi256_si128(acc4),
+                                 _mm256_extracti128_si256(acc4, 1));
+          }
+          for (; sp + 2 <= nspan; sp += 2, pos += 2)
             acc2 = _mm_add_epi16(
                 acc2, _mm_loadu_si128((const __m128i *)(u + 4 * pos)));
           __m128i acc = _mm_add_epi16(acc2, _mm_unpackhi_epi64(acc2, acc2));
-          if (nspan & 1) {
+          if (sp < nspan) {
             acc = _mm_add_epi16(
                 acc, _mm_loadl_epi64((const __m128i *)(u + 4 * pos)));
             pos++;
+            sp++;
           }
           acc = _mm_add_epi16(acc, left);
           const __m128i f = _mm_set1_epi16((short)ax.fac[j]);
@@ -1650,7 +1776,58 @@ static void hfilter_row_fused_u16(const Plan *p, const uint8_t *src,
   };
   const __m128i m8 = _mm_set1_epi16(0xff);
   const __m256i m8w = _mm256_set1_epi16(0xff);
-  assert(n == 0);  // fuse_h only selects 0h bilinear plans
+  if (n == 1 && ax.lerp_stride2) {
+    // fused even-ratio 1h ladder (e.g. 4:1): one 16-byte source load +
+    // shuffle + widen covers both samples' endpoint pairs per output --
+    // the separate unpack pass disappears entirely
+    int j = 0;
+    for (; j + 2 <= w_out; j += 2) {
+      const __m256i v0 = px4(ax.off[2 * j]);
+      const __m256i q0 = _mm256_unpackhi_epi64(v0, v0);
+      const __m256i f0 = _mm256_loadu_si256(
+          (const __m256i *)(ax.fac16.data() + 16 * j));
+      const __m256i r0 = _mm256_and_si256(
+          _mm256_add_epi16(
+              _mm256_srli_epi16(
+                  _mm256_mullo_epi16(_mm256_sub_epi16(v0, q0), f0), 8),
+              q0),
+          m8w);
+      const __m256i v1 = px4(ax.off[2 * j + 2]);
+      const __m256i q1 = _mm256_unpackhi_epi64(v1, v1);
+      const __m256i f1 = _mm256_loadu_si256(
+          (const __m256i *)(ax.fac16.data() + 16 * j + 16));
+      const __m256i r1 = _mm256_and_si256(
+          _mm256_add_epi16(
+              _mm256_srli_epi16(
+                  _mm256_mullo_epi16(_mm256_sub_epi16(v1, q1), f1), 8),
+              q1),
+          m8w);
+      __m256i s = _mm256_add_epi16(
+          _mm256_permute2x128_si256(r0, r1, 0x20),
+          _mm256_permute2x128_si256(r0, r1, 0x31));
+      s = _mm256_and_si256(_mm256_srli_epi16(s, 1), m8w);
+      s = _mm256_permute4x64_epi64(s, 0xD8);
+      _mm_storeu_si128((__m128i *)(d + 4 * j), _mm256_castsi256_si128(s));
+    }
+    for (; j < w_out; j++) {
+      const __m256i v0 = px4(ax.off[2 * j]);
+      const __m256i q0 = _mm256_unpackhi_epi64(v0, v0);
+      const __m256i f0 = _mm256_loadu_si256(
+          (const __m256i *)(ax.fac16.data() + 16 * j));
+      const __m256i r0 = _mm256_and_si256(
+          _mm256_add_epi16(
+              _mm256_srli_epi16(
+                  _mm256_mullo_epi16(_mm256_sub_epi16(v0, q0), f0), 8),
+              q0),
+          m8w);
+      __m128i s = _mm_add_epi16(_mm256_castsi256_si128(r0),
+                                _mm256_extracti128_si256(r0, 1));
+      s = _mm_and_si128(_mm_srli_epi16(s, 1), m8);
+      _mm_storel_epi64((__m128i *)(d + 4 * j), s);
+    }
+    return;
+  }
+  assert(n == 0);  // fuse_h selects 0h plans and even-ratio 1h ladders
   {
     int j = 0;
     if (ax.lerp_stride2) {
@@ -1986,6 +2163,27 @@ static void scale_outrow(Worker<T> *w, const uint8_t *pixels_in,
           else
             row_lerp_u16((const uint16_t *)top, (const uint16_t *)bot,
                          (uint16_t)ay.fac[i], (uint16_t *)tmp, n4);
+        } else if (wide && n == 1) {
+          // PREMUL16 1h: two-sample sums exceed u16, so lerp sample 0 into
+          // tmp and fold sample 1 with the carry-free floor average (the
+          // 2-slot hrow cache allows only two live rows per pass)
+          const int k = i << 1;
+          {
+            const int o = ay.off[k];
+            const T *top = get_hrow(w, pixels_in, rowstride_in, o);
+            const T *bot = get_hrow(w, pixels_in, rowstride_in, o + 1);
+            row_lerp_u16w((const uint16_t *)top, (const uint16_t *)bot,
+                          (uint16_t)ay.fac[k], (uint16_t *)tmp, n4);
+          }
+          {
+            const int o = ay.off[k + 1];
+            const T *top = get_hrow(w, pixels_in, rowstride_in, o);
+            const T *bot = get_hrow(w, pixels_in, rowstride_in, o + 1);
+            row_lerp_avg_u16w((const uint16_t *)top, (const uint16_t *)bot,
+                              (uint16_t)ay.fac[k + 1], (uint16_t *)tmp, n4);
+          }
+          pack_row(p, tmp, row_out);
+          return;
         } else {
           std::memset(accum, 0, sizeof(T) * n4);
           for (int s = 0; s < (1 << n); s++) {
@@ -1999,6 +2197,12 @@ static void scale_outrow(Worker<T> *w, const uint8_t *pixels_in,
             else
               row_lerp_acc_u16((const uint16_t *)top, (const uint16_t *)bot,
                                (uint16_t)ay.fac[k], (uint16_t *)accum, n4);
+          }
+          if (!wide && p->ialpha == A_PREMUL8 && p->gamma == G_COMPRESSED &&
+              alpha_of(p->type_out) == A_PREMUL8 && p->nb_out == 4) {
+            row_shift_pack_u16((const uint16_t *)accum, n, p->lout, row_out,
+                               p->w_out);
+            return;
           }
           if (wide)
             row_shift_u16w((const uint16_t *)accum, n, (uint16_t *)tmp, n4);
@@ -2068,6 +2272,13 @@ static void scale_outrow(Worker<T> *w, const uint8_t *pixels_in,
         for (int yy = y0 + 1; yy < y1; yy++) {
           const T *mid = get_hrow(w, pixels_in, rowstride_in, yy);
           row_add_u16((const uint16_t *)mid, (uint16_t *)accum, n4);
+        }
+        if (p->ialpha == A_PREMUL8 && p->gamma == G_COMPRESSED &&
+            alpha_of(p->type_out) == A_PREMUL8 && p->nb_out == 4) {
+          row_scale_span_pack_u16((const uint16_t *)accum,
+                                  (uint32_t)ay.span_mul, p->lout, row_out,
+                                  p->w_out);
+          return;
         }
         row_scale_span_u16((const uint16_t *)accum, (uint32_t)ay.span_mul,
                            (uint16_t *)tmp, n4);
