@@ -99,6 +99,21 @@ static inline int64_t scale_span(int64_t acc, int64_t mul, Storage st) {
   return v & (st == S64 ? 0xff : 0xffff);
 }
 
+#if defined(__AVX2__)
+// i32-expanded LUT copies for vpgatherdd / vpbroadcastd (1 KB each,
+// L1-resident; built once at load)
+static const struct Tab32 {
+  int32_t from_srgb[256];
+  int32_t inv_p8[256];
+  Tab32() {
+    for (int i = 0; i < 256; i++) {
+      from_srgb[i] = kFromSrgb[i];
+      inv_p8[i] = (int32_t)kInvDivP8[i];
+    }
+  }
+} kT32;
+#endif
+
 // ---- plan ------------------------------------------------------------------
 struct AxisPlan {
   int dim_in = 0, dim_out = 0;
@@ -1063,16 +1078,6 @@ static void unpack_row(const Plan *p, const uint8_t *src, T *dst) {
     // unassoc-in:  c = premul_p8l(kFromSrgb[c], a)
     // Bounds: unpremul products <= 255 * 0x181fff < 2**31; premul_p8l
     // products <= 2048 * 2041 < 2**22 -- all exact in i32 lanes.
-    static const struct Tab32 {
-      int32_t from_srgb[256];
-      int32_t inv_p8[256];
-      Tab32() {
-        for (int i = 0; i < 256; i++) {
-          from_srgb[i] = kFromSrgb[i];
-          inv_p8[i] = (int32_t)kInvDivP8[i];
-        }
-      }
-    } kT32;
     const bool unassoc_in = alpha_of(p->type_in) == A_UNASSOC;
     const int l0 = p->lin[0], l1 = p->lin[1], l2 = p->lin[2], l3 = p->lin[3];
     char inv[4];
@@ -1144,6 +1149,52 @@ static void unpack_row(const Plan *p, const uint8_t *src, T *dst) {
                           : premul_p8l(kFromSrgb[unpremul_p8(c[k], a)], a);
       dst[4 * i + 0] = (T)c[0]; dst[4 * i + 1] = (T)c[1];
       dst[4 * i + 2] = (T)c[2]; dst[4 * i + 3] = (T)a;
+    }
+    return;
+  }
+  if (p->ialpha == A_PREMUL16 && p->gamma == G_LINEAR && nb == 4 &&
+      sizeof(T) == 4) {
+    // linear PREMUL16 (unassoc<->unassoc with sRGB): c = kFromSrgb[c] * a
+    // (<= 2047*255 < 2**19, i32-exact), alpha (a<<8)|0x80.  One sRGB
+    // gather per half; the alpha lane's wasted lookup rides along.
+    const int l0 = p->lin[0], l1 = p->lin[1], l2 = p->lin[2], l3 = p->lin[3];
+    char inv[4];
+    inv[l0] = 0; inv[l1] = 1; inv[l2] = 2; inv[l3] = 3;
+    const __m128i lshuf = _mm_setr_epi8(
+        inv[0], inv[1], inv[2], inv[3],
+        (char)(4 + inv[0]), (char)(4 + inv[1]), (char)(4 + inv[2]),
+        (char)(4 + inv[3]),
+        (char)(8 + inv[0]), (char)(8 + inv[1]), (char)(8 + inv[2]),
+        (char)(8 + inv[3]),
+        (char)(12 + inv[0]), (char)(12 + inv[1]), (char)(12 + inv[2]),
+        (char)(12 + inv[3]));
+    const __m256i v80 = _mm256_set1_epi32(0x80);
+    auto half = [&](__m256i x) {
+      const __m256i av = _mm256_shuffle_epi32(x, 0xFF);
+      const __m256i s = _mm256_i32gather_epi32(kT32.from_srgb, x, 4);
+      const __m256i aenc =
+          _mm256_or_si256(_mm256_slli_epi32(av, 8), v80);
+      return _mm256_blend_epi32(_mm256_mullo_epi32(s, av), aenc, 0x88);
+    };
+    int32_t *d = (int32_t *)dst;
+    int i = 0;
+    for (; i + 4 <= w; i += 4) {
+      const __m128i raw = _mm_loadu_si128((const __m128i *)(src + 4 * i));
+      const __m128i sh = _mm_shuffle_epi8(raw, lshuf);
+      _mm256_storeu_si256((__m256i *)(d + 4 * i),
+                          half(_mm256_cvtepu8_epi32(sh)));
+      _mm256_storeu_si256(
+          (__m256i *)(d + 4 * i + 8),
+          half(_mm256_cvtepu8_epi32(_mm_srli_si128(sh, 8))));
+    }
+    for (; i < w; i++) {
+      int64_t c[4] = {0, 0, 0, 255};
+      for (int b = 0; b < 4; b++) c[p->lin[b]] = src[i * 4 + b];
+      const int64_t a = c[3];
+      dst[4 * i + 0] = (T)((int64_t)kFromSrgb[c[0]] * a);
+      dst[4 * i + 1] = (T)((int64_t)kFromSrgb[c[1]] * a);
+      dst[4 * i + 2] = (T)((int64_t)kFromSrgb[c[2]] * a);
+      dst[4 * i + 3] = (T)((a << 8) | 0x80);
     }
     return;
   }
