@@ -886,6 +886,7 @@ static void unpack_row(const Plan *p, const uint8_t *src, T *dst) {
             (char)(12 + inv[3]));
         int i = 0;
         for (; i + 4 <= w; i += 4) {
+          _mm_prefetch((const char *)(src + 4 * i) + 512, _MM_HINT_T0);
           const __m128i v = _mm_loadu_si128((const __m128i *)(src + 4 * i));
           _mm256_storeu_si256(
               (__m256i *)(d + 4 * i),
@@ -1833,6 +1834,12 @@ static void hfilter_row_fused_u16(const Plan *p, const uint8_t *src,
     // the separate unpack pass disappears entirely
     int j = 0;
     for (; j + 2 <= w_out; j += 2) {
+      // DRAM-resident inputs (UHD+) need the stream prefetched ~8
+      // iterations ahead -- without it the per-output load+shuffle+widen
+      // chain exposes full memory latency and fusion loses to the
+      // separate unpack sweep
+      _mm_prefetch((const char *)(src + 4 * ax.off[2 * j]) + 512,
+                   _MM_HINT_T0);
       const __m256i v0 = px4(ax.off[2 * j]);
       const __m256i q0 = _mm256_unpackhi_epi64(v0, v0);
       const __m256i f0 = _mm256_loadu_si256(
@@ -1883,6 +1890,8 @@ static void hfilter_row_fused_u16(const Plan *p, const uint8_t *src,
     int j = 0;
     if (ax.lerp_stride2) {
       for (; j + 2 <= w_out; j += 2) {
+        _mm_prefetch((const char *)(src + 4 * ax.off[j]) + 512,
+                     _MM_HINT_T0);
         const __m256i v = px4(ax.off[j]);
         const __m256i q = _mm256_unpackhi_epi64(v, v);
         const __m256i f = _mm256_loadu_si256(
@@ -1898,6 +1907,8 @@ static void hfilter_row_fused_u16(const Plan *p, const uint8_t *src,
     const uint8_t *r4 = ax.run4.data();
     while (j + 2 <= w_out) {
       if (r4[j]) {
+        _mm_prefetch((const char *)(src + 4 * ax.off[j]) + 512,
+                     _MM_HINT_T0);
         const __m256i pv = px4(ax.off[j]);
         const __m256i qv = px4(ax.off[j] + 1);
         const __m256i f = _mm256_loadu_si256(
@@ -1914,6 +1925,7 @@ static void hfilter_row_fused_u16(const Plan *p, const uint8_t *src,
       // arbitrary-stride pair: both outputs' endpoint pairs in one 128-bit
       // register (two 64-bit loads), ONE byte shuffle + ONE widen (the px2
       // form paid 2 shuffles + 2 widens + an insert)
+      _mm_prefetch((const char *)(src + 4 * ax.off[j]) + 512, _MM_HINT_T0);
       const __m128i pairs = _mm_unpacklo_epi64(
           _mm_loadl_epi64((const __m128i *)(src + 4 * ax.off[j])),
           _mm_loadl_epi64((const __m128i *)(src + 4 * ax.off[j + 1])));
