@@ -89,39 +89,45 @@ def _nb(pt: int) -> int:
     return 3 if pt >= 8 else 4
 
 
-def _time_ref(lib, img, tin, wo, ho, tout, srgb, reps) -> float:
-    hi, wi = img.shape[:2]
-    flat = np.ascontiguousarray(img).reshape(hi, wi * _nb(tin))
-    out = np.empty((ho, wo * _nb(tout)), np.uint8)
-    best = math.inf
-    for _ in range(reps):
-        t0 = time.perf_counter()
-        lib.smol_scale_simple(
-            flat.ctypes.data_as(ctypes.c_void_p), tin, wi, hi, wi * _nb(tin),
-            out.ctypes.data_as(ctypes.c_void_p), tout, wo, ho, wo * _nb(tout),
-            1 if srgb else 0,
-        )
-        best = min(best, time.perf_counter() - t0)
-    return best
-
-
-def _time_native(plan, img, reps) -> float:
-    native.scale(plan, img)  # warm (plan build, lib load)
-    best = math.inf
-    for _ in range(reps):
-        t0 = time.perf_counter()
-        native.scale(plan, img)
-        best = min(best, time.perf_counter() - t0)
-    return best
+def _ref_call(lib, flat, out, tin, wi, hi, wo, ho, tout, srgb):
+    lib.smol_scale_simple(
+        flat.ctypes.data_as(ctypes.c_void_p), tin, wi, hi, wi * _nb(tin),
+        out.ctypes.data_as(ctypes.c_void_p), tout, wo, ho, wo * _nb(tout),
+        1 if srgb else 0,
+    )
 
 
 def bench_cell(libs, name, wi, hi, tin, wo, ho, tout, srgb, reps, rng):
     img = rng.integers(0, 256, (hi, wi, _nb(tin)), np.uint8)
     plan = ScalePlan(wi, hi, wo, ho, tin, tout, srgb)
     pps = (wi * hi + wo * ho) / 1e6
-    t_gen = _time_ref(libs["generic"], img, int(tin), wo, ho, int(tout), srgb, reps)
-    t_avx = _time_ref(libs["avx2"], img, int(tin), wo, ho, int(tout), srgb, reps)
-    t_nat = _time_native(plan, img, reps)
+    flat = np.ascontiguousarray(img).reshape(hi, wi * _nb(tin))
+    out = np.empty((ho, wo * _nb(tout)), np.uint8)
+    # INTERLEAVED reps: generic, avx2 and native take one rep each per
+    # round so ambient CPU drift on the single-core VM hits all three
+    # engines equally -- sequential per-engine timing skewed full-run
+    # ratios by up to 1.5x on the fast conversion cells.
+    native.scale(plan, img)  # warm (plan build, lib load)
+    _ref_call(libs["generic"], flat, out, int(tin), wi, hi, wo, ho,
+              int(tout), srgb)
+    _ref_call(libs["avx2"], flat, out, int(tin), wi, hi, wo, ho,
+              int(tout), srgb)
+    t_gen = t_avx = t_nat = math.inf
+    for _ in range(max(1, reps // 3)):
+        for _ in range(3):  # blocks of 3: drift-fair, engine stays warm
+            t0 = time.perf_counter()
+            _ref_call(libs["generic"], flat, out, int(tin), wi, hi, wo, ho,
+                      int(tout), srgb)
+            t_gen = min(t_gen, time.perf_counter() - t0)
+        for _ in range(3):
+            t0 = time.perf_counter()
+            _ref_call(libs["avx2"], flat, out, int(tin), wi, hi, wo, ho,
+                      int(tout), srgb)
+            t_avx = min(t_avx, time.perf_counter() - t0)
+        for _ in range(3):
+            t0 = time.perf_counter()
+            native.scale(plan, img)
+            t_nat = min(t_nat, time.perf_counter() - t0)
     rec = {
         "cell": name,
         "pps_generic": round(pps / t_gen, 1),
@@ -145,7 +151,7 @@ def main():
         "avx2": _wrap(_build_ref(True)),
     }
     rng = np.random.default_rng(0)
-    reps = 3 if args.quick else 5
+    reps = 5 if args.quick else 12
     results = []
 
     # bench.sh:42-43 proportional recipes (reduced step count)
@@ -183,7 +189,7 @@ def main():
         for tout in types:
             results.append(bench_cell(
                 libs, f"conv {tin.name}->{tout.name}", 1024, 1024,
-                tin, 1023, 1023, tout, False, max(2, reps - 2), rng))
+                tin, 1023, 1023, tout, False, max(3, reps - 4), rng))
 
     def geomean(key):
         vals = [r[key] for r in results]
