@@ -378,6 +378,8 @@ sst_plan *sst_plan_new(int w_in, int h_in, int w_out, int h_out, int type_in,
     }
     if (p->x.filter == F_BILIN && p->x.halvings == 1 && p->x.lerp_stride2)
       p->fuse_h = true;  // fused even-ratio 1h ladder (4:1 class)
+    if (p->x.filter == F_BOX)
+      p->fuse_h = true;  // fused box span walk (direct source loads)
     // F_BOX fusion measured par-to-slower here (the span walk's serial
     // accumulate chain eats the DRAM load latency the separate unpack
     // sweep hides), so box plans keep unpack_row + hfilter_row.
@@ -886,7 +888,7 @@ static void unpack_row(const Plan *p, const uint8_t *src, T *dst) {
             (char)(12 + inv[3]));
         int i = 0;
         for (; i + 4 <= w; i += 4) {
-          _mm_prefetch((const char *)(src + 4 * i) + 512, _MM_HINT_T0);
+          _mm_prefetch((const char *)(src + 4 * i) + 1536, _MM_HINT_T0);
           const __m128i v = _mm_loadu_si128((const __m128i *)(src + 4 * i));
           _mm256_storeu_si256(
               (__m256i *)(d + 4 * i),
@@ -1828,6 +1830,64 @@ static void hfilter_row_fused_u16(const Plan *p, const uint8_t *src,
   };
   const __m128i m8 = _mm_set1_epi16(0xff);
   const __m256i m8w = _mm256_set1_epi16(0xff);
+  // 1 pixel (o) as 4 u16 lanes -- exact 4-byte load, no row overread
+  const auto px1 = [&](int o) {
+    return _mm_cvtepu8_epi16(_mm_shuffle_epi8(
+        _mm_cvtsi32_si128(*(const int32_t *)(src + 4 * o)), shuf));
+  };
+  if (ax.filter == F_BOX) {
+    // fused box span walk: whole pixels accumulate straight from the
+    // source bytes (load+shuffle+widen) -- the separate unpack pass and
+    // its row round trip disappear.  Same arithmetic as the unp-based
+    // walk in hfilter_row: 4 px per 256-bit add on wide spans, px pairs
+    // at 128 bits, single pixels and fractional edges at 4-byte width.
+    int pos = 1;
+    __m128i left = _mm_and_si128(px1(0), m8);  // weight 256 = identity
+    for (int j = 0; j < w_out; j++) {
+      const bool last = j == w_out - 1;
+      int nspan = ax.stride[j];
+      int sp = 0;
+      __m128i acc2 = _mm_setzero_si128();
+      if (nspan >= 4) {
+        __m256i acc4 = _mm256_setzero_si256();
+        for (; sp + 4 <= nspan; sp += 4, pos += 4) {
+          _mm_prefetch((const char *)(src + 4 * pos) + 1536, _MM_HINT_T0);
+          acc4 = _mm256_add_epi16(acc4, px4(pos));
+        }
+        acc2 = _mm_add_epi16(_mm256_castsi256_si128(acc4),
+                             _mm256_extracti128_si256(acc4, 1));
+      }
+      for (; sp + 2 <= nspan; sp += 2, pos += 2)
+        acc2 = _mm_add_epi16(acc2, px2(pos));  // 2 px in 8 lanes
+      __m128i acc = _mm_add_epi16(acc2, _mm_unpackhi_epi64(acc2, acc2));
+      if (sp < nspan) {
+        acc = _mm_add_epi16(acc, px1(pos));
+        pos++;
+      }
+      acc = _mm_add_epi16(acc, left);
+      const __m128i f = _mm_set1_epi16((short)ax.fac[j]);
+      if (!last) {
+        const __m128i r = px1(pos);
+        pos++;
+        acc = _mm_add_epi16(
+            acc,
+            _mm_and_si128(_mm_srli_epi16(_mm_mullo_epi16(r, f), 8), m8));
+        const __m128i r255 = _mm_mullo_epi16(r, _mm_set1_epi16(255));
+        left = _mm_and_si128(
+            _mm_srli_epi16(_mm_sub_epi16(r255, _mm_mullo_epi16(r, f)), 8),
+            m8);
+      } else if (ax.fac[j] > 0) {
+        const __m128i r = px1(pos);
+        acc = _mm_add_epi16(
+            acc,
+            _mm_and_si128(_mm_srli_epi16(_mm_mullo_epi16(r, f), 8), m8));
+      }
+      const __m128i r = scale_span_vec4(_mm_cvtepu16_epi32(acc),
+                                        (uint32_t)ax.span_mul, 0xff);
+      _mm_storel_epi64((__m128i *)(d + 4 * j), _mm_packus_epi32(r, r));
+    }
+    return;
+  }
   if (n == 1 && ax.lerp_stride2) {
     // fused even-ratio 1h ladder (e.g. 4:1): one 16-byte source load +
     // shuffle + widen covers both samples' endpoint pairs per output --
@@ -1838,7 +1898,7 @@ static void hfilter_row_fused_u16(const Plan *p, const uint8_t *src,
       // iterations ahead -- without it the per-output load+shuffle+widen
       // chain exposes full memory latency and fusion loses to the
       // separate unpack sweep
-      _mm_prefetch((const char *)(src + 4 * ax.off[2 * j]) + 512,
+      _mm_prefetch((const char *)(src + 4 * ax.off[2 * j]) + 1536,
                    _MM_HINT_T0);
       const __m256i v0 = px4(ax.off[2 * j]);
       const __m256i q0 = _mm256_unpackhi_epi64(v0, v0);
@@ -1890,7 +1950,7 @@ static void hfilter_row_fused_u16(const Plan *p, const uint8_t *src,
     int j = 0;
     if (ax.lerp_stride2) {
       for (; j + 2 <= w_out; j += 2) {
-        _mm_prefetch((const char *)(src + 4 * ax.off[j]) + 512,
+        _mm_prefetch((const char *)(src + 4 * ax.off[j]) + 1536,
                      _MM_HINT_T0);
         const __m256i v = px4(ax.off[j]);
         const __m256i q = _mm256_unpackhi_epi64(v, v);
@@ -1907,7 +1967,7 @@ static void hfilter_row_fused_u16(const Plan *p, const uint8_t *src,
     const uint8_t *r4 = ax.run4.data();
     while (j + 2 <= w_out) {
       if (r4[j]) {
-        _mm_prefetch((const char *)(src + 4 * ax.off[j]) + 512,
+        _mm_prefetch((const char *)(src + 4 * ax.off[j]) + 1536,
                      _MM_HINT_T0);
         const __m256i pv = px4(ax.off[j]);
         const __m256i qv = px4(ax.off[j] + 1);
@@ -1925,7 +1985,7 @@ static void hfilter_row_fused_u16(const Plan *p, const uint8_t *src,
       // arbitrary-stride pair: both outputs' endpoint pairs in one 128-bit
       // register (two 64-bit loads), ONE byte shuffle + ONE widen (the px2
       // form paid 2 shuffles + 2 widens + an insert)
-      _mm_prefetch((const char *)(src + 4 * ax.off[j]) + 512, _MM_HINT_T0);
+      _mm_prefetch((const char *)(src + 4 * ax.off[j]) + 1536, _MM_HINT_T0);
       const __m128i pairs = _mm_unpacklo_epi64(
           _mm_loadl_epi64((const __m128i *)(src + 4 * ax.off[j])),
           _mm_loadl_epi64((const __m128i *)(src + 4 * ax.off[j + 1])));
