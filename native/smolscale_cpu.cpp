@@ -105,11 +105,15 @@ static inline int64_t scale_span(int64_t acc, int64_t mul, Storage st) {
 static const struct Tab32 {
   int32_t from_srgb[256];
   int32_t inv_p8[256];
+  int32_t inv_p8l[256];
+  int32_t to_srgb[2048];
   Tab32() {
     for (int i = 0; i < 256; i++) {
       from_srgb[i] = kFromSrgb[i];
       inv_p8[i] = (int32_t)kInvDivP8[i];
+      inv_p8l[i] = (int32_t)kInvDivP8L[i];
     }
+    for (int i = 0; i < 2048; i++) to_srgb[i] = kToSrgb[i];
   }
 } kT32;
 #endif
@@ -2177,6 +2181,79 @@ static void pack_row(const Plan *p, const T *planes, uint8_t *dst) {
         for (int k = 0; k < 3; k++) c[k] = unpremul_p8(px[k], av);
         c[3] = av;
       }
+      for (int bq = 0; bq < 4; bq++)
+        dst[i * 4 + bq] = (uint8_t)(c[p->lout[bq]] & 0xff);
+    }
+    return;
+  }
+  if (sizeof(T) == 2 && p->ialpha == A_PREMUL8 && p->gamma == G_LINEAR &&
+      nb == 4) {
+    // linear-light pack, 4 px/iter (narrow16 u16 planes): unpremultiply in
+    // linear space ((v * kInvDivP8L[a]) >> 10 & 0x7ff -- products <=
+    // 2047 * 258779 < 2**31, i32-exact), sRGB-encode via one vpgatherdd on
+    // the i32 kToSrgb copy per half, re-premultiply for premul outputs
+    // (premul_p8 products fit i32), alpha byte rides raw via 0x88 blend.
+    const int l0 = p->lout[0], l1 = p->lout[1], l2 = p->lout[2],
+              l3 = p->lout[3];
+    static const char kPos[4] = {0, 8, 4, 12};
+    const __m128i shuf = _mm_setr_epi8(
+        (char)(kPos[0] + l0), (char)(kPos[0] + l1), (char)(kPos[0] + l2),
+        (char)(kPos[0] + l3),
+        (char)(kPos[1] + l0), (char)(kPos[1] + l1), (char)(kPos[1] + l2),
+        (char)(kPos[1] + l3),
+        (char)(kPos[2] + l0), (char)(kPos[2] + l1), (char)(kPos[2] + l2),
+        (char)(kPos[2] + l3),
+        (char)(kPos[3] + l0), (char)(kPos[3] + l1), (char)(kPos[3] + l2),
+        (char)(kPos[3] + l3));
+    const __m256i one = _mm256_set1_epi32(1);
+    const __m256i m7ff = _mm256_set1_epi32(0x7ff);
+    const __m256i m255 = _mm256_set1_epi32(0xff);
+    const uint16_t *u = (const uint16_t *)planes;
+    auto half = [&](__m256i v, int aa, int ab) {
+      const __m256i iv = _mm256_set_m128i(
+          _mm_set1_epi32(kT32.inv_p8l[ab]), _mm_set1_epi32(kT32.inv_p8l[aa]));
+      const __m256i un = _mm256_and_si256(
+          _mm256_srli_epi32(_mm256_mullo_epi32(v, iv), 10), m7ff);
+      const __m256i s = _mm256_i32gather_epi32(kT32.to_srgb, un, 4);
+      const __m256i av = _mm256_set_m128i(_mm_set1_epi32(ab),
+                                          _mm_set1_epi32(aa));
+      __m256i r = s;
+      if (out_premul)
+        r = _mm256_and_si256(
+            _mm256_srli_epi32(
+                _mm256_sub_epi32(
+                    _mm256_mullo_epi32(_mm256_add_epi32(s, one),
+                                       _mm256_add_epi32(av, one)),
+                    one),
+                8),
+            m255);
+      return _mm256_blend_epi32(r, av, 0x88);
+    };
+    int i = 0;
+    for (; i + 4 <= w; i += 4) {
+      const __m256i row = _mm256_loadu_si256((const __m256i *)(u + 4 * i));
+      const int a0 = u[4 * i + 3] & 0xff, a1 = u[4 * i + 7] & 0xff;
+      const int a2 = u[4 * i + 11] & 0xff, a3 = u[4 * i + 15] & 0xff;
+      const __m256i r01 = half(
+          _mm256_cvtepu16_epi32(_mm256_castsi256_si128(row)), a0, a1);
+      const __m256i r23 = half(
+          _mm256_cvtepu16_epi32(_mm256_extracti128_si256(row, 1)), a2, a3);
+      const __m256i y = _mm256_packus_epi32(r01, r23);  // [px0,px2|px1,px3]
+      const __m256i b = _mm256_packus_epi16(y, y);
+      const __m128i combined = _mm_unpacklo_epi64(
+          _mm256_castsi256_si128(b), _mm256_extracti128_si256(b, 1));
+      _mm_storeu_si128((__m128i *)(dst + 4 * i),
+                       _mm_shuffle_epi8(combined, shuf));
+    }
+    for (; i < w; i++) {
+      const uint16_t *px = u + 4 * i;
+      const int64_t a = px[3] & 0xff;
+      int64_t c[4];
+      for (int k = 0; k < 3; k++) {
+        const int64_t t = kToSrgb[unpremul_p8l(px[k], a)];
+        c[k] = out_premul ? premul_p8(t, a) : t;
+      }
+      c[3] = a;
       for (int bq = 0; bq < 4; bq++)
         dst[i * 4 + bq] = (uint8_t)(c[p->lout[bq]] & 0xff);
     }
