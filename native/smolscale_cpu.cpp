@@ -2259,6 +2259,67 @@ static void pack_row(const Plan *p, const T *planes, uint8_t *dst) {
     }
     return;
   }
+  if (sizeof(T) == 2 && p->ialpha == A_PREMUL8 && p->gamma == G_LINEAR &&
+      nb == 3) {
+    // 24bpp linear-light pack: pack24_direct plans (the reference's
+    // to-sRGB-of-premul asymmetry, generic.c:922-935) skip the
+    // unpremultiply -- one gather per half; the non-direct form shares
+    // the unpremul+gather pipeline of the 4-byte branch.  12 bytes per
+    // 4 px; the 4 garbage bytes past each store are overwritten by the
+    // next iteration (tail is scalar).
+    const bool direct = p->pack24_direct;
+    const int l0 = p->lout[0], l1 = p->lout[1], l2 = p->lout[2];
+    static const char kPos[4] = {0, 8, 4, 12};
+    const __m128i shuf = _mm_setr_epi8(
+        (char)(kPos[0] + l0), (char)(kPos[0] + l1), (char)(kPos[0] + l2),
+        (char)(kPos[1] + l0), (char)(kPos[1] + l1), (char)(kPos[1] + l2),
+        (char)(kPos[2] + l0), (char)(kPos[2] + l1), (char)(kPos[2] + l2),
+        (char)(kPos[3] + l0), (char)(kPos[3] + l1), (char)(kPos[3] + l2),
+        -1, -1, -1, -1);
+    const __m256i m7ff = _mm256_set1_epi32(0x7ff);
+    const uint16_t *u = (const uint16_t *)planes;
+    auto half = [&](__m256i v, int aa, int ab) {
+      __m256i un;
+      if (direct) {
+        un = _mm256_and_si256(v, m7ff);
+      } else {
+        const __m256i iv = _mm256_set_m128i(
+            _mm_set1_epi32(kT32.inv_p8l[ab]),
+            _mm_set1_epi32(kT32.inv_p8l[aa]));
+        un = _mm256_and_si256(
+            _mm256_srli_epi32(_mm256_mullo_epi32(v, iv), 10), m7ff);
+      }
+      return _mm256_i32gather_epi32(kT32.to_srgb, un, 4);
+    };
+    int i = 0;
+    for (; i + 4 <= w && 3 * i + 16 <= 3 * w; i += 4) {
+      const __m256i row = _mm256_loadu_si256((const __m256i *)(u + 4 * i));
+      const int a0 = u[4 * i + 3] & 0xff, a1 = u[4 * i + 7] & 0xff;
+      const int a2 = u[4 * i + 11] & 0xff, a3 = u[4 * i + 15] & 0xff;
+      const __m256i r01 = half(
+          _mm256_cvtepu16_epi32(_mm256_castsi256_si128(row)), a0, a1);
+      const __m256i r23 = half(
+          _mm256_cvtepu16_epi32(_mm256_extracti128_si256(row, 1)), a2, a3);
+      const __m256i y = _mm256_packus_epi32(r01, r23);  // [px0,px2|px1,px3]
+      const __m256i b = _mm256_packus_epi16(y, y);
+      const __m128i combined = _mm_unpacklo_epi64(
+          _mm256_castsi256_si128(b), _mm256_extracti128_si256(b, 1));
+      _mm_storeu_si128((__m128i *)(dst + 3 * i),
+                       _mm_shuffle_epi8(combined, shuf));
+    }
+    for (; i < w; i++) {
+      const uint16_t *px = u + 4 * i;
+      const int64_t a = px[3] & 0xff;
+      int64_t c[4];
+      for (int k = 0; k < 3; k++)
+        c[k] = direct ? kToSrgb[px[k] & 0x7ff]
+                      : kToSrgb[unpremul_p8l(px[k], a)];
+      c[3] = a;
+      for (int bq = 0; bq < 3; bq++)
+        dst[i * 3 + bq] = (uint8_t)(c[p->lout[bq]] & 0xff);
+    }
+    return;
+  }
   if (sizeof(T) == 2 && p->ialpha == A_PREMUL8 && p->gamma == G_COMPRESSED &&
       out_premul && nb == 3) {
     // 24bpp output of premul values: bytes through the same packus +
