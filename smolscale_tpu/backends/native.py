@@ -37,14 +37,18 @@ def build() -> Path:
         or _LIB_PATH.stat().st_mtime < src.stat().st_mtime
         or _LIB_PATH.stat().st_mtime < inc.stat().st_mtime
     ):
-        cmd = ["g++", "-O3", "-mavx2", "-fPIC", "-shared", "-std=c++17",
-               str(src), "-o", str(_LIB_PATH), "-lpthread"]
-        try:
-            subprocess.run(cmd, check=True, capture_output=True)
-        except subprocess.CalledProcessError:
-            # non-AVX2 host: plain -O3 (the engine has scalar fallbacks)
-            cmd.remove("-mavx2")
-            subprocess.run(cmd, check=True)
+        # -march=native first (BMI/addressing codegen on top of the AVX2
+        # intrinsics: +1-6% per cell on the bench host), then -mavx2, then
+        # plain -O3 (the engine has scalar fallbacks everywhere)
+        for arch in (["-march=native"], ["-mavx2"], []):
+            cmd = ["g++", "-O3", *arch, "-fPIC", "-shared", "-std=c++17",
+                   str(src), "-o", str(_LIB_PATH), "-lpthread"]
+            try:
+                subprocess.run(cmd, check=True, capture_output=True)
+                break
+            except subprocess.CalledProcessError:
+                if not arch:
+                    raise
     return _LIB_PATH
 
 
