@@ -746,6 +746,22 @@ static inline void row_scale_span_pack_u16(const uint16_t *acc, uint32_t mul,
     dst[4 * j + 2] = px[l2]; dst[4 * j + 3] = px[l3];
   }
 }
+// 8-lane scale_span on a 256-bit i32 vector (two box spans at once):
+// same exact u64-product arithmetic as scale_span_vec4
+static inline __m256i scale_span_vec8(__m256i acc_u32, uint32_t mul,
+                                      uint32_t mask) {
+  const __m256i vm = _mm256_set1_epi32((int)mul);
+  const __m256i bias = _mm256_set1_epi64x(1ll << 23);
+  __m256i lo = _mm256_mul_epu32(acc_u32, vm);                     // 0,2,4,6
+  __m256i hi = _mm256_mul_epu32(_mm256_srli_si256(acc_u32, 4), vm);
+  lo = _mm256_srli_epi64(_mm256_add_epi64(lo, bias), 24);
+  hi = _mm256_srli_epi64(_mm256_add_epi64(hi, bias), 24);
+  const __m256i r = _mm256_unpacklo_epi32(
+      _mm256_shuffle_epi32(lo, _MM_SHUFFLE(3, 1, 2, 0)),
+      _mm256_shuffle_epi32(hi, _MM_SHUFFLE(3, 1, 2, 0)));
+  return _mm256_and_si256(r, _mm256_set1_epi32((int)mask));
+}
+
 // whole-row scale_span finales (box V stage)
 static inline void row_scale_span_u16(const uint16_t *acc, uint32_t mul,
                                       uint16_t *dst, int n) {
@@ -1847,9 +1863,9 @@ static void hfilter_row_fused_u16(const Plan *p, const uint8_t *src,
     // at 128 bits, single pixels and fractional edges at 4-byte width.
     int pos = 1;
     __m128i left = _mm_and_si128(px1(0), m8);  // weight 256 = identity
-    for (int j = 0; j < w_out; j++) {
-      const bool last = j == w_out - 1;
-      int nspan = ax.stride[j];
+    // whole-pixel accumulate for one span (shared by the pair loop and
+    // the tail): 4 px per 256-bit add, pairs at 128, one single
+    const auto span_acc = [&](int nspan) {
       int sp = 0;
       __m128i acc2 = _mm_setzero_si128();
       if (nspan >= 4) {
@@ -1868,7 +1884,44 @@ static void hfilter_row_fused_u16(const Plan *p, const uint8_t *src,
         acc = _mm_add_epi16(acc, px1(pos));
         pos++;
       }
-      acc = _mm_add_epi16(acc, left);
+      return acc;
+    };
+    int j = 0;
+    // span PAIRS: both spans' fractional edges, left-edge carries and
+    // scale_span normalizations run side by side in 8 u16 / 8 i32 lanes
+    // -- per-span bookkeeping is the box walk's cost at 10:1 spans.
+    // w_out-1 excludes the last output (its fac>0 edge rule differs).
+    for (; j + 2 <= w_out - 1; j += 2) {
+      const __m128i acc_a = span_acc(ax.stride[j]);
+      const __m128i r_a = px1(pos);
+      pos++;
+      const __m128i acc_b = span_acc(ax.stride[j + 1]);
+      const __m128i r_b = px1(pos);
+      pos++;
+      const __m128i A0 = _mm_unpacklo_epi64(acc_a, acc_b);
+      const __m128i R = _mm_unpacklo_epi64(r_a, r_b);
+      const __m128i F = _mm_unpacklo_epi64(
+          _mm_set1_epi16((short)ax.fac[j]),
+          _mm_set1_epi16((short)ax.fac[j + 1]));
+      const __m128i RF = _mm_mullo_epi16(R, F);
+      const __m128i E = _mm_and_si128(_mm_srli_epi16(RF, 8), m8);
+      // next-lefts for spans j+1 and j+2: (r*255 - r*f) >> 8 & 0xff
+      const __m128i Lnext = _mm_and_si128(
+          _mm_srli_epi16(
+              _mm_sub_epi16(_mm_mullo_epi16(R, _mm_set1_epi16(255)), RF), 8),
+          m8);
+      const __m128i L = _mm_unpacklo_epi64(left, Lnext);
+      left = _mm_unpackhi_epi64(Lnext, Lnext);
+      const __m128i A = _mm_add_epi16(_mm_add_epi16(A0, E), L);
+      const __m256i r8 = scale_span_vec8(_mm256_cvtepu16_epi32(A),
+                                         (uint32_t)ax.span_mul, 0xff);
+      const __m128i packed = _mm_packus_epi32(
+          _mm256_castsi256_si128(r8), _mm256_extracti128_si256(r8, 1));
+      _mm_storeu_si128((__m128i *)(d + 4 * j), packed);
+    }
+    for (; j < w_out; j++) {
+      const bool last = j == w_out - 1;
+      __m128i acc = _mm_add_epi16(span_acc(ax.stride[j]), left);
       const __m128i f = _mm_set1_epi16((short)ax.fac[j]);
       if (!last) {
         const __m128i r = px1(pos);
