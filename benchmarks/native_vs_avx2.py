@@ -159,9 +159,12 @@ def main():
     scales = [0.05, 0.1, 0.25, 0.5, 0.75, 0.9, 1.1, 1.5, 2.0]
     if args.quick:
         scales = [0.1, 0.5, 0.9, 1.5]
-    for wi, hi, tag in [(1920, 1080, "fhd"), (3840, 2160, "uhd")]:
+    tiers = [(1920, 1080, "fhd"), (3840, 2160, "uhd")]
+    if not args.quick:
+        tiers.append((7680, 4320, "8k"))  # bench.sh:44 (scale capped at 1.0)
+    for wi, hi, tag in tiers:
         for s in scales:
-            if tag == "uhd" and s > 1.0:
+            if tag in ("uhd", "8k") and s > 1.0:
                 continue  # bench.sh:44 caps 8K at 1.0; we cap UHD likewise
             wo, ho = max(1, int(wi * s)), max(1, int(hi * s))
             results.append(bench_cell(
