@@ -23,12 +23,40 @@ reported 2.85.)
 """
 
 import json
+import subprocess
 import sys
 
 import numpy as np
 
 
+def _device_reachable(timeout_s: int = 240) -> bool:
+    """Probe device init in a subprocess: when the axon TPU tunnel is down,
+    jax's backend init HANGS (no error), which would hang this whole
+    benchmark.  A probe that cannot list devices within the timeout makes
+    the benchmark fail fast with a structured line instead."""
+    try:
+        r = subprocess.run(
+            [sys.executable, "-c", "import jax; jax.devices(); print('ok')"],
+            timeout=timeout_s, capture_output=True, text=True,
+        )
+        return "ok" in r.stdout
+    except subprocess.TimeoutExpired:
+        return False
+
+
 def main() -> int:
+    if not _device_reachable():
+        print(json.dumps({
+            "metric": "Mpix/s/chip, batched RGBA 4096^2->256^2 box downscale,"
+                      " bit-exact vs C ref",
+            "value": 0.0,
+            "unit": "Mpix/s",
+            "vs_baseline": 0.0,
+            "error": "device backend unreachable (axon TPU tunnel down;"
+                     " init hung past the probe timeout)",
+        }))
+        return 1
+
     import jax
     import jax.numpy as jnp
 
