@@ -132,6 +132,12 @@ struct AxisPlan {
   std::vector<uint16_t> fac4;  // fac[s] repeated 4x: compact factor row for
                                // the stride-1 run fast path (4 samples per
                                // 256-bit lerp)
+  std::vector<uint16_t> fac16q;  // quad-order factor row for the 4-sample
+                                 // batch lerp: per quad k, [f(k),f(k+2),
+                                 // f(k+1),f(k+3)] each repeated 4x -- the
+                                 // lane order 64-bit unpacks produce, so
+                                 // one permute4x64 after the lerp restores
+                                 // output order
   std::vector<uint8_t> run4;   // run4[s]=1 iff off[s+i]==off[s]+i for
                                // i=1..3: samples s..s+3 read one contiguous
                                // 5-pixel window (near-1:1 scales and the
@@ -333,6 +339,13 @@ sst_plan *sst_plan_new(int w_in, int h_in, int w_out, int h_out, int type_in,
     for (size_t s = 0; s < ns; s++)
       for (int l = 0; l < 4; l++)
         p->x.fac4[4 * s + l] = (uint16_t)p->x.fac[s];
+    p->x.fac16q.resize(4 * (ns & ~size_t(3)));
+    for (size_t k = 0; k + 4 <= ns; k += 4) {
+      static const int ord[4] = {0, 2, 1, 3};
+      for (int i = 0; i < 4; i++)
+        for (int l = 0; l < 4; l++)
+          p->x.fac16q[4 * k + 4 * i + l] = (uint16_t)p->x.fac[k + ord[i]];
+    }
     p->x.run4.assign(ns, 0);
     for (size_t s = 0; s + 4 <= ns; s++) {
       p->x.run4[s] = p->x.off[s + 1] == p->x.off[s] + 1 &&
@@ -374,11 +387,14 @@ sst_plan *sst_plan_new(int w_in, int h_in, int w_out, int h_out, int type_in,
       for (size_t s = 0; s < p->x.run4.size(); s++)
         if (p->x.run4[s]) covered += 4;
       p->fuse_h = p->x.lerp_stride2 ||
-                  covered * 2 >= p->x.run4.size();  // >=50% run4 coverage
-      // measured and NOT taken: fusing every 0h plan (vpgatherqq pair
-      // gather OR single-cvt pairs) -- upscales regress 13-23% (the
-      // once-per-input-pixel unpack amortizes better than per-output
-      // widening when w_out > w_in), mixed-stride downscales break even
+                  covered * 2 >= p->x.run4.size() ||  // >=50% run4 coverage
+                  w_out < w_in;  // mixed-stride downscales: the 4-output
+                                 // P/Q-quad batch made fusion win (8K rows
+                                 // outgrow L1; the u16 round trip was the
+                                 // loss vs the reference AVX2 at x0.75)
+      // measured and NOT taken: fusing upscales (vpgatherqq pair gather OR
+      // single-cvt pairs) -- they regress 13-23% (the once-per-input-pixel
+      // unpack amortizes better than per-output widening when w_out > w_in)
     }
     if (p->x.filter == F_BILIN && p->x.halvings == 1 && p->x.lerp_stride2)
       p->fuse_h = true;  // fused even-ratio 1h ladder (4:1 class)
@@ -1340,8 +1356,28 @@ static void hbilin_u16(const AxisPlan &ax, const uint16_t *u, uint16_t *d,
       _mm_storeu_si128((__m128i *)(d + 4 * j), _mm256_castsi256_si128(r));
       j += 2;
     }
+    for (; j + 4 <= w_out; j += 4) {
+      // 4-sample batch (no stride-1 runs in this plan): two pair registers
+      // [p,q|p,q], 64-bit unpacks split them into a P quad and a Q quad, so
+      // the 256-bit lerp produces 4 useful pixels instead of 2 and the
+      // store goes out at full width (the reference AVX2 batch gets its
+      // density the same way, avx2.c:1470-1505)
+      const __m256i v0 = _mm256_set_m128i(
+          _mm_loadu_si128((const __m128i *)(u + 4 * ax.off[j + 1])),
+          _mm_loadu_si128((const __m128i *)(u + 4 * ax.off[j])));
+      const __m256i v1 = _mm256_set_m128i(
+          _mm_loadu_si128((const __m128i *)(u + 4 * ax.off[j + 3])),
+          _mm_loadu_si128((const __m128i *)(u + 4 * ax.off[j + 2])));
+      const __m256i P = _mm256_unpacklo_epi64(v0, v1);
+      const __m256i Q = _mm256_unpackhi_epi64(v0, v1);
+      const __m256i f =
+          _mm256_loadu_si256((const __m256i *)(ax.fac16q.data() + 4 * j));
+      const __m256i r =
+          _mm256_permute4x64_epi64(hlerp16<WIDE>(P, Q, f), 0xD8);
+      _mm256_storeu_si256((__m256i *)(d + 4 * j), r);
+    }
     for (; j + 2 <= w_out; j += 2) {
-      // branch-free pair loop (no stride-1 runs in this plan)
+      // pair tail
       const __m256i v = _mm256_set_m128i(
           _mm_loadu_si128((const __m128i *)(u + 4 * ax.off[j + 1])),
           _mm_loadu_si128((const __m128i *)(u + 4 * ax.off[j])));
@@ -1450,8 +1486,31 @@ static void hbilin_u16(const AxisPlan &ax, const uint16_t *u, uint16_t *d,
     _mm_storeu_si128((__m128i *)(t + 4 * k), _mm256_castsi256_si128(r));
     k += 2;
   }
+  for (; k + 4 <= ns; k += 4) {
+    // 4-sample batch (integer-ratio and mixed-stride ladders): P/Q quads
+    // via 64-bit unpacks -> full-density 256-bit lerp + full-width store
+    // (see the n==0 quad loop)
+    const __m256i v0 =
+        ax.lerp_stride2
+            ? _mm256_loadu_si256((const __m256i *)(u + 4 * ax.off[k]))
+            : _mm256_set_m128i(
+                  _mm_loadu_si128((const __m128i *)(u + 4 * ax.off[k + 1])),
+                  _mm_loadu_si128((const __m128i *)(u + 4 * ax.off[k])));
+    const __m256i v1 =
+        ax.lerp_stride2
+            ? _mm256_loadu_si256((const __m256i *)(u + 4 * ax.off[k + 2]))
+            : _mm256_set_m128i(
+                  _mm_loadu_si128((const __m128i *)(u + 4 * ax.off[k + 3])),
+                  _mm_loadu_si128((const __m128i *)(u + 4 * ax.off[k + 2])));
+    const __m256i P = _mm256_unpacklo_epi64(v0, v1);
+    const __m256i Q = _mm256_unpackhi_epi64(v0, v1);
+    const __m256i f =
+        _mm256_loadu_si256((const __m256i *)(ax.fac16q.data() + 4 * k));
+    const __m256i r = _mm256_permute4x64_epi64(hlerp16<WIDE>(P, Q, f), 0xD8);
+    _mm256_storeu_si256((__m256i *)(t + 4 * k), r);
+  }
   for (; k + 2 <= ns; k += 2) {
-    // branch-free pair loop (integer-ratio ladders land here)
+    // pair tail
     const __m256i v =
         ax.lerp_stride2
             ? _mm256_loadu_si256((const __m256i *)(u + 4 * ax.off[k]))
@@ -2022,7 +2081,7 @@ static void hfilter_row_fused_u16(const Plan *p, const uint8_t *src,
       }
     }
     const uint8_t *r4 = ax.run4.data();
-    while (j + 2 <= w_out) {
+    while (ax.run4_any && j + 2 <= w_out) {
       if (r4[j]) {
         _mm_prefetch((const char *)(src + 4 * ax.off[j]) + 1536,
                      _MM_HINT_T0);
@@ -2043,6 +2102,50 @@ static void hfilter_row_fused_u16(const Plan *p, const uint8_t *src,
       // register (two 64-bit loads), ONE byte shuffle + ONE widen (the px2
       // form paid 2 shuffles + 2 widens + an insert)
       _mm_prefetch((const char *)(src + 4 * ax.off[j]) + 1536, _MM_HINT_T0);
+      const __m128i pairs = _mm_unpacklo_epi64(
+          _mm_loadl_epi64((const __m128i *)(src + 4 * ax.off[j])),
+          _mm_loadl_epi64((const __m128i *)(src + 4 * ax.off[j + 1])));
+      const __m256i v =
+          _mm256_cvtepu8_epi16(_mm_shuffle_epi8(pairs, shuf));
+      const __m256i q = _mm256_unpackhi_epi64(v, v);
+      const __m256i f = _mm256_loadu_si256(
+          (const __m256i *)(ax.fac16.data() + 8 * j));
+      __m256i r = _mm256_add_epi16(
+          _mm256_srli_epi16(
+              _mm256_mullo_epi16(_mm256_sub_epi16(v, q), f), 8),
+          q);
+      r = _mm256_permute4x64_epi64(_mm256_and_si256(r, m8w), 0xD8);
+      _mm_storeu_si128((__m128i *)(d + 4 * j), _mm256_castsi256_si128(r));
+      j += 2;
+    }
+    for (; j + 4 <= w_out; j += 4) {
+      // 4-output fused batch (mixed-stride downscales, no stride-1 runs):
+      // four 4-byte-pixel pair loads straight from the source bytes, two
+      // shuffle+widen ops, then the same P/Q-quad full-density lerp as
+      // hbilin_u16 -- the separate unpack pass and its u16 row round trip
+      // disappear (the win that matters once rows outgrow L1)
+      _mm_prefetch((const char *)(src + 4 * ax.off[j]) + 1536, _MM_HINT_T0);
+      const __m128i pa = _mm_unpacklo_epi64(
+          _mm_loadl_epi64((const __m128i *)(src + 4 * ax.off[j])),
+          _mm_loadl_epi64((const __m128i *)(src + 4 * ax.off[j + 1])));
+      const __m128i pb = _mm_unpacklo_epi64(
+          _mm_loadl_epi64((const __m128i *)(src + 4 * ax.off[j + 2])),
+          _mm_loadl_epi64((const __m128i *)(src + 4 * ax.off[j + 3])));
+      const __m256i v0 = _mm256_cvtepu8_epi16(_mm_shuffle_epi8(pa, shuf));
+      const __m256i v1 = _mm256_cvtepu8_epi16(_mm_shuffle_epi8(pb, shuf));
+      const __m256i P = _mm256_unpacklo_epi64(v0, v1);
+      const __m256i Q = _mm256_unpackhi_epi64(v0, v1);
+      const __m256i f = _mm256_loadu_si256(
+          (const __m256i *)(ax.fac16q.data() + 4 * j));
+      __m256i r = _mm256_add_epi16(
+          _mm256_srli_epi16(
+              _mm256_mullo_epi16(_mm256_sub_epi16(P, Q), f), 8),
+          Q);
+      r = _mm256_permute4x64_epi64(_mm256_and_si256(r, m8w), 0xD8);
+      _mm256_storeu_si256((__m256i *)(d + 4 * j), r);
+    }
+    while (j + 2 <= w_out) {
+      // fused pair tail
       const __m128i pairs = _mm_unpacklo_epi64(
           _mm_loadl_epi64((const __m128i *)(src + 4 * ax.off[j])),
           _mm_loadl_epi64((const __m128i *)(src + 4 * ax.off[j + 1])));
