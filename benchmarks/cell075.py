@@ -9,6 +9,7 @@ import sys, time, math, json
 from pathlib import Path
 
 sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+sys.path.insert(0, str(Path(__file__).resolve().parent))
 import numpy as np
 from smolscale_tpu.plan import ScalePlan
 from smolscale_tpu.formats import PixelType
