@@ -183,6 +183,15 @@ def main():
     results.append(bench_config(
         "9: RGBA premul 4096^2->12^2 ragged deep box (341.3:1), batch 8",
         ScalePlan(4096, 4096, 12, 12, 0, 0, False), batch=8, n_long=8))
+    results.append(bench_config(
+        "9b: RGBA unassoc->unassoc 2048^2->12^2 ragged deep (PREMUL16), batch 8",
+        ScalePlan(2048, 2048, 12, 12, 4, 4, False), batch=8, n_long=8))
+    results.append(bench_config(
+        "9c: RGBA premul 2000^2->7^2 ragged deep, sRGB linear light, batch 8",
+        ScalePlan(2000, 2000, 7, 7, 0, 0, True), batch=8, n_long=8))
+    results.append(bench_config(
+        "9d: RGB24 3000^2->9^2 ragged deep, batch 8",
+        ScalePlan(3000, 3000, 9, 9, 8, 8, False), batch=8, n_long=8))
 
     if args.json:
         with open(args.json, "w") as f:

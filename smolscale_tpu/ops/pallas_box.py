@@ -60,15 +60,40 @@ def applicable(plan: ScalePlan) -> bool:
         and plan.y.filter == FilterType.BOX
         and _box_uniform_applicable(plan.x)
         and _box_uniform_applicable(plan.y)
-        # VMEM budget: int8 span matrix + input tile
+        # VMEM budget: int8 span matrix + input tile (the block-diagonal
+        # chunked matrix is compact: 128 columns regardless of w_out)
         and plan.width_in % 128 == 0
-        and plan.width_in * plan.width_out < 4 * 2**20
+        and plan.width_in
+        * (_CHUNK_COLS if _span_chunks(plan.x) > 1 else plan.width_out)
+        < 4 * 2**20
         and _pick_rows_t(plan) is not None
     )
 
 
+_CHUNK_COLS = 128  # one MXU column tile per block-diagonal chunk
+
+
+def _span_chunks(ax) -> int:
+    """Block-diagonal column chunks for the span matmul (1 = dense).
+
+    Uniform integer-ratio spans never cross a 128-output-column boundary:
+    chunk c's columns [128c, 128(c+1)) read only lanes
+    [c*r*128, (c+1)*r*128).  Splitting the matmul into per-chunk
+    (M, r*128) @ (r*128, 128) products cuts the MXU work by w_out/128 --
+    the dense form pays full K against every 128-wide column tile -- and
+    is bit-identical because the dropped off-diagonal blocks are all
+    zero.  Lane slices at r*128 multiples keep Mosaic's 128-alignment."""
+    w_out = ax.dim_out
+    if w_out > _CHUNK_COLS and w_out % _CHUNK_COLS == 0:
+        return w_out // _CHUNK_COLS
+    return 1
+
+
 def _span_matrix(ax):
-    """S: 0/1 span-sum matrix, (W, w_out) int8."""
+    """S: 0/1 span-sum matrix.  Dense (W, w_out) int8, or -- when
+    _span_chunks splits the matmul -- the compact (W, 128) stack of the
+    block-diagonal chunks (rows [c*K_c, (c+1)*K_c) hold chunk c's
+    columns)."""
     w_in, w_out = ax.dim_in, ax.dim_out
     r = w_in // w_out
     m = np.zeros((w_in, w_out), dtype=np.int8)
@@ -77,7 +102,17 @@ def _span_matrix(ax):
         if j == w_out - 1:
             hi -= 1  # the reference drops the final input element
         m[lo:hi, j] = 1
-    return m
+    n_c = _span_chunks(ax)
+    if n_c == 1:
+        return m
+    k_c = w_in // n_c
+    mc = np.zeros((w_in, _CHUNK_COLS), dtype=np.int8)
+    for c in range(n_c):
+        mc[c * k_c : (c + 1) * k_c, :] = m[
+            c * k_c : (c + 1) * k_c,
+            c * _CHUNK_COLS : (c + 1) * _CHUNK_COLS,
+        ]
+    return mc
 
 
 def _make_kernel(plan: ScalePlan, rows_t: int, planes=False,
@@ -94,6 +129,7 @@ def _make_kernel(plan: ScalePlan, rows_t: int, planes=False,
     h_out = plan.y.dim_out
     rx = w_in // w_out
     ry = plan.y.dim_in // plan.y.dim_out
+    n_chunks = _span_chunks(plan.x)
     in_layout = plan.meta_in.layout
     out_layout = plan.meta_out.layout
     span_mul_x = int(plan.x.span_mul)
@@ -143,7 +179,21 @@ def _make_kernel(plan: ScalePlan, rows_t: int, planes=False,
             # x - [x>0] otherwise; rides through the span sum exactly
             chp = ch_vals - (adj_lane & (ch_vals > 0)).astype(jnp.int32)
             xb = (chp - 128).astype(jnp.int8)
-            y = jnp.dot(xb, m8, preferred_element_type=jnp.int32)
+            if n_chunks > 1:
+                k_c = w_in // n_chunks
+                y = jnp.concatenate(
+                    [
+                        jnp.dot(
+                            xb[:, c * k_c : (c + 1) * k_c],
+                            m8[c * k_c : (c + 1) * k_c, :],
+                            preferred_element_type=jnp.int32,
+                        )
+                        for c in range(n_chunks)
+                    ],
+                    axis=1,
+                )
+            else:
+                y = jnp.dot(xb, m8, preferred_element_type=jnp.int32)
             # undo the -128 offset: colsum is rx per span column (rx-1 for
             # the final span, whose last element the matrix drops)
             acc = y + (128 * rx) - jnp.where(col_last, 128, 0)
@@ -231,7 +281,7 @@ def _built(plan: ScalePlan, batch: int):
                 memory_space=pltpu.VMEM,
             ),
             pl.BlockSpec(
-                (plan.width_in, plan.width_out),
+                m.shape,
                 lambda b, g: (0, 0),
                 memory_space=pltpu.VMEM,
             ),
@@ -296,7 +346,7 @@ def _built_planes(plan: ScalePlan, batch: int, skip_alpha: bool):
                 memory_space=pltpu.VMEM,
             ),
             pl.BlockSpec(
-                (plan.width_in, plan.width_out),
+                m.shape,
                 lambda b, g: (0, 0),
                 memory_space=pltpu.VMEM,
             ),

@@ -31,6 +31,8 @@ _ORIG = pl.pallas_call
         (384, 256, 3, 2, 0, 1),     # deep ratio, format reorder
         (512, 512, 4, 4, 2, 3),     # ARGB->ABGR
         (1280, 640, 128, 64, 1, 1), # 10:1
+        (4096, 128, 256, 8, 0, 0),  # 16:1, block-diagonal chunked matmul
+        (3840, 120, 384, 12, 2, 3), # 10:1, 3 column chunks + reorder
     ],
 )
 def test_pallas_box_exact(wi, hi, wo, ho, ti, to):
