@@ -8,7 +8,7 @@ multi-group) output row block for tiny outputs (fixed in
 ops/pallas_bilinear._geometry / ops/pallas_box._pick_rows_t).
 
 Usage: python benchmarks/fuzz_tpu.py [N] [seed] [--edges] [--mixed] [--box3]
-                                     [--deep]
+                                     [--deep] [--boxchunk]
   --edges weights toward tiny dims, deep up/downscales, 1x1 outputs.
   --mixed targets COPY/ONE mixed-axis plans (box-x-copy, ladder-x-one,
           copy-x-box, ...): one axis is forced to COPY (dim_out == dim_in)
@@ -18,6 +18,10 @@ Usage: python benchmarks/fuzz_tpu.py [N] [seed] [--edges] [--mixed] [--box3]
   --deep  targets the chunk-centric ragged deep-box kernel: resamples
           until pallas_deep._chunk_centric accepts the plan (exercises the
           channel-stacked matmuls across gammas/storages).
+  --boxchunk targets pallas_box's block-diagonal chunked span matmul:
+          structured integer-ratio box plans with w_out a >128 multiple
+          of 128 (n_chunks > 1), including dims the dense matrix's VMEM
+          budget rejected.
 """
 
 import sys
@@ -42,6 +46,7 @@ def main():
     mixed = "--mixed" in sys.argv
     box3 = "--box3" in sys.argv
     deep = "--deep" in sys.argv
+    boxchunk = "--boxchunk" in sys.argv
     n = int(args[0]) if args else 24
     seed = int(args[1]) if len(args) > 1 else 20260816
     rng = np.random.default_rng(seed)
@@ -49,7 +54,30 @@ def main():
 
     fails = []
     for i in range(n):
-        if deep:
+        if boxchunk:
+            # structured dims: integer-ratio box both axes, w_out a >128
+            # multiple of 128 so _span_chunks splits the matmul; resample
+            # until pallas_box takes the plan (4-byte formats, 64bpp)
+            from smolscale_tpu.ops import pallas_box
+
+            while True:
+                wo = 128 * int(rng.integers(2, 9))  # 256..1024
+                rx = int(rng.integers(8, 17))  # box needs ratio > 8191/256
+                wi = wo * rx
+                ho = int(rng.integers(2, 65)) * 8
+                ry = int(rng.integers(9, 17))
+                hi = ho * ry
+                if wi * hi * 4 > 256 * 2**20:  # keep uploads tunnel-safe
+                    continue
+                ti, to = int(rng.integers(0, 10)), int(rng.integers(0, 10))
+                srgb = False
+                p = st.ScalePlan(wi, hi, wo, ho, ti, to, with_srgb=srgb)
+                if (
+                    pallas_box.applicable(p)
+                    and pallas_box._span_chunks(p.x) > 1
+                ):
+                    break
+        elif deep:
             # resample until the plan dispatches to the chunk-centric
             # ragged deep-box kernel (deep box both axes, every V span
             # >= 8 rows, not the uniform fast path)
@@ -111,7 +139,7 @@ def main():
             wi, hi = int(rng.integers(16, 1600)), int(rng.integers(16, 1200))
             wo = int(rng.integers(1, max(2, wi * 2)))
             ho = int(rng.integers(1, max(2, hi * 2)))
-        if box3:
+        if box3 or boxchunk:
             srgb = False  # ti/to fixed by the resample loop above
         elif deep:
             pass  # ti/to/srgb fixed by the resample loop above

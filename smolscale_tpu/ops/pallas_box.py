@@ -226,8 +226,17 @@ def _pick_rows_t(plan: ScalePlan):
     h_out = plan.y.dim_out
     ry = plan.y.dim_in // h_out
     # 4 MB input blocks: measured best on v5e (2.70 ms vs 2.80 at 2 MB for
-    # the 4096->256 headline); double-buffered they stay well inside VMEM
-    budget_rows = max(1, (4 * 2**20) // (plan.width_in * 4 * ry))
+    # the 4096->256 headline); double-buffered they stay well inside VMEM.
+    # Unassociated INPUT premultiplies in-kernel, and its extra live
+    # window-sized temporaries (a_vals held across channels + the premul
+    # intermediates) hit a Mosaic scoped-VMEM cliff on wide blocks: on-chip
+    # fuzz (seed 20260823 --boxchunk) crashed the compiler at 3.87-4.13 MB
+    # blocks while 3.19 MB passed, so those plans cap at 3.25 MB (larger
+    # ones fall back to the XLA path).
+    budget = 4 * 2**20
+    if plan.meta_in.alpha == AlphaType.UNASSOCIATED:
+        budget = 3_407_872  # 3.25 MB
+    budget_rows = max(1, budget // (plan.width_in * 4 * ry))
     for t in range(min(budget_rows, h_out), 0, -1):
         if h_out % t == 0 and (t % 8 == 0 or t == h_out):
             return t

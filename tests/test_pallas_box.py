@@ -135,3 +135,26 @@ def test_rows_t_mosaic_legal():
         plan = ScalePlan(wi, hi, wo, ho, 0, 0, False)
         rt = pallas_box._pick_rows_t(plan)
         assert rt is not None and (rt % 8 == 0 or rt == ho), (plan.key, rt)
+
+
+def test_unassoc_in_wide_block_cap():
+    """Unassociated INPUT plans cap the row block at 3.25 MB.
+
+    The in-kernel premultiply holds extra window-sized temporaries; on-chip
+    fuzz (seed 20260823 --boxchunk) crashed the Mosaic compiler at
+    3.87-4.13 MB blocks (9216x448->768x32 t4, 12288x2640->768x264 t5,
+    8064x1560->896x104 t5) while a 3.19 MB unassoc block and 4 MB premul
+    blocks compile fine.  Oversized plans must fall back to XLA.
+    """
+    for wi, hi, wo, ho, ti in [(9216, 448, 768, 32, 4),
+                               (12288, 2640, 768, 264, 5),
+                               (8064, 1560, 896, 104, 5)]:
+        plan = ScalePlan(wi, hi, wo, ho, ti, 1, False)
+        assert pallas_box._pick_rows_t(plan) is None, plan.key
+        assert not pallas_box.applicable(plan)
+    # the same geometry with premultiplied input keeps the 4 MB budget
+    p = ScalePlan(9216, 448, 768, 32, 0, 1, False)
+    assert pallas_box._pick_rows_t(p) == 8
+    # widest observed-good unassoc block (3.19 MB, 7680x3016 t6) stays in
+    p = ScalePlan(7680, 3016, 768, 232, 6, 1, False)
+    assert pallas_box._pick_rows_t(p) == 8
