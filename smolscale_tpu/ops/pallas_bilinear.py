@@ -65,6 +65,24 @@ def _limbs8(plan: ScalePlan, post_h: bool) -> int:
     return 2 if linear else 1
 
 
+def _u7s(plan: ScalePlan, post_h: bool):
+    """Shift for the unbiased split-limb matmul (_span_mm_u7), or None.
+
+    Applicable when the stage's value bound is < 2**14 but > 255 (two
+    limbs either way, so the cheaper unbiased prep wins; byte values keep
+    the single biased matmul): exactly the P8L linear class (values
+    <= 2047), except V stages behind a box H, which see the <= 0xFFFF
+    normalized values.
+    """
+    if plan.storage != StorageType.S64 and (
+        plan.internal_alpha != AlphaType.PREMUL16
+        and plan.gamma == GammaType.SRGB_LINEAR
+        and not (post_h and plan.x.filter == FilterType.BOX)
+    ):
+        return 7
+    return None
+
+
 def _wrap_i32(v):
     """mod-2**32 bias corrections as int32 (the accumulator contract)."""
     return (
@@ -110,13 +128,15 @@ def applicable(plan: ScalePlan) -> bool:
     return geo is not None
 
 
+_GEO_OVERRIDE: dict = {}  # timing-only probe knob (benchmarks/probe_geo)
+
+
 def _geo_kw(plan: ScalePlan) -> dict:
-    """Per-class geometry overrides (none currently: widening column
-    tiles for COPY-H plans was measured SLOWER on v5e -- strip config
-    4096^2 -> 4096x256 ran 32.1 Gpix/s at jc_out=256 vs 28.9 at 1024,
-    the narrow tiles pipeline DMA/compute better despite 8x the grid
-    steps)."""
-    return {}
+    """Per-class geometry overrides (widening column tiles for COPY-H
+    plans was measured SLOWER on v5e -- strip config 4096^2 -> 4096x256
+    ran 32.1 Gpix/s at jc_out=256 vs 28.9 at 1024, the narrow tiles
+    pipeline DMA/compute better despite 8x the grid steps)."""
+    return dict(_GEO_OVERRIDE)
 
 
 @functools.cache
@@ -722,6 +742,7 @@ def _geometry_for_t(plan: ScalePlan, t: int, jc_out_max: int = 256,
         h_box3=h_box3, v_box3=v_box3,
         h_lmap=h_lmap is not None, v_lmap=v_lmap is not None,
         l8_in=_limbs8(plan, False), l8_v=_limbs8(plan, True),
+        u7_in=_u7s(plan, False), u7_v=_u7s(plan, True),
         span_mul_x=int(plan.x.span_mul), span_mul_y=int(plan.y.span_mul),
     )
 
@@ -784,6 +805,27 @@ def _span_mm_i8(x_i32, mat_i8, n_limbs, transpose=False):
     return out
 
 
+def _span_mm_u7(x_i32, mat_i8, s, transpose=False):
+    """Exact span sums for values < 2**(s+7) via two UNBIASED int8 limbs.
+
+    ``hi = x >> s`` fits int8 because the caller guarantees x < 2**(s+7)
+    (s <= 7 keeps ``lo = x & (2**s - 1)`` in range too); both limbs are
+    nonnegative, so no bias correction is needed at all.  Two int8 matmuls
+    like the biased path, but limb prep is 2 VPU ops instead of 6 and the
+    per-column correction add disappears -- measured on the window-sized
+    operands of the lerp-first stages, where prep dominates (the matmuls
+    themselves are far from the MXU roofline).  Per-limb int32 sums are
+    exact (counts * 127 << 2**31); recombination is mod-2**32 exact as in
+    _span_mm_i8."""
+    def mm(v):
+        vb = v.astype(jnp.int8)
+        if transpose:
+            return jnp.dot(mat_i8, vb, preferred_element_type=jnp.int32)
+        return jnp.dot(vb, mat_i8, preferred_element_type=jnp.int32)
+
+    return mm(x_i32 & ((1 << s) - 1)) + (mm(x_i32 >> s) << s)
+
+
 def _span_bias_factor(n_limbs8: int) -> int:
     """Static multiplier for the biased-limb correction: 128 * sum(2**8l)."""
     return 128 * sum(1 << (8 * l) for l in range(n_limbs8))
@@ -823,10 +865,13 @@ def _h_lerpmap_stage(ch, mh_i8, hfac_ref, geo, mask, n_limbs8):
     count-matrix matmul with jc_out columns (vs the dense weighted
     gather's jc).  Per-column bias correction rides hfac row 1."""
     f = hfac_ref[0, 0:1, :]  # (1, win_c), broadcasts over rows
-    corr = hfac_ref[0, 1:2, : geo["jc_out"]]
     q = jnp.roll(ch, -1, axis=1)
     lerped = fp.lerp256(ch, q, f, mask)
-    y = _span_mm_i8b(lerped, mh_i8, corr, n_limbs8)
+    if geo["u7_in"] is not None:  # P8L <= 2047: cheaper unbiased limbs
+        y = _span_mm_u7(lerped, mh_i8, geo["u7_in"])
+    else:
+        corr = hfac_ref[0, 1:2, : geo["jc_out"]]
+        y = _span_mm_i8b(lerped, mh_i8, corr, n_limbs8)
     kh = geo["kh"]
     return ((y >> kh) & mask) if kh else y
 
@@ -836,10 +881,13 @@ def _v_lerpmap_stage(s, mv_i8, vfac_ref, geo, mask, n_limbs8):
     then the biased int8 count-matrix ladder matmul; per-row corrections
     ride vfac lane 2)."""
     f = vfac_ref[0][:, 0:1]  # (win_r, 1), broadcasts over lanes
-    corr = vfac_ref[0][: geo["t"], 2:3]
     q = jnp.roll(s, -1, axis=0)
     lerped = fp.lerp256(s, q, f, mask)
-    y = _span_mm_i8b(lerped, mv_i8, corr, n_limbs8, transpose=True)
+    if geo["u7_v"] is not None:  # P8L <= 2047: cheaper unbiased limbs
+        y = _span_mm_u7(lerped, mv_i8, geo["u7_v"], transpose=True)
+    else:
+        corr = vfac_ref[0][: geo["t"], 2:3]
+        y = _span_mm_i8b(lerped, mv_i8, corr, n_limbs8, transpose=True)
     kv = geo["kv"]
     return ((y >> kv) & mask) if kv else y
 
@@ -908,12 +956,17 @@ def _h_box_fold_stage(ch, mh_i8, hfac_ref, geo, span_mul_x, wmask,
     jc_out = geo["jc_out"]
     lw = hfac_ref[0, 0:1, :]
     rf = hfac_ref[0, 1:2, :]
-    corr_a = hfac_ref[0, 2:3, :jc_out]
-    corr_r = hfac_ref[0, 3:4, :jc_out]
     adj = fp.weight256(ch, lw, wmask)
     zr = fp.weight256(ch, rf, wmask)
-    y = (_span_mm_i8b(adj, mh_i8[:, :jc_out], corr_a, n_limbs8)
-         + _span_mm_i8b(zr, mh_i8[:, jc_out:], corr_r, n_limbs8))
+    if geo["u7_in"] is not None:  # P8L <= 2047: cheaper unbiased limbs
+        s7 = geo["u7_in"]
+        y = (_span_mm_u7(adj, mh_i8[:, :jc_out], s7)
+             + _span_mm_u7(zr, mh_i8[:, jc_out:], s7))
+    else:
+        corr_a = hfac_ref[0, 2:3, :jc_out]
+        corr_r = hfac_ref[0, 3:4, :jc_out]
+        y = (_span_mm_i8b(adj, mh_i8[:, :jc_out], corr_a, n_limbs8)
+             + _span_mm_i8b(zr, mh_i8[:, jc_out:], corr_r, n_limbs8))
     return _mul_shift_round24(y, jnp.int32(span_mul_x)) & norm_mask
 
 
@@ -925,12 +978,17 @@ def _v_box_fold_stage(s, mv_i8, vfac_ref, geo, span_mul_y, wmask,
     t = geo["t"]
     w1 = vfac_ref[0][:, 0:1]
     w2 = vfac_ref[0][:, 1:2]
-    corr_a = vfac_ref[0][:t, 2:3]
-    corr_r = vfac_ref[0][:t, 3:4]
     adj = fp.weight256(s, w1, wmask)
     zr = fp.weight256(s, w2, wmask)
-    yv = (_span_mm_i8b(adj, mv_i8[:t], corr_a, n_limbs8, transpose=True)
-          + _span_mm_i8b(zr, mv_i8[t:], corr_r, n_limbs8, transpose=True))
+    if geo["u7_v"] is not None:  # P8L <= 2047: cheaper unbiased limbs
+        s7 = geo["u7_v"]
+        yv = (_span_mm_u7(adj, mv_i8[:t], s7, transpose=True)
+              + _span_mm_u7(zr, mv_i8[t:], s7, transpose=True))
+    else:
+        corr_a = vfac_ref[0][:t, 2:3]
+        corr_r = vfac_ref[0][:t, 3:4]
+        yv = (_span_mm_i8b(adj, mv_i8[:t], corr_a, n_limbs8, transpose=True)
+              + _span_mm_i8b(zr, mv_i8[t:], corr_r, n_limbs8, transpose=True))
     return _mul_shift_round24(yv, jnp.int32(span_mul_y)) & norm_mask
 
 

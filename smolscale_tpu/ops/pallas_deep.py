@@ -180,6 +180,11 @@ def _unpack_plane(px, a_vals, inv_vals, ch_lane, in_layout, premul16,
         return ((a_vals << 8) | 0x80) if premul16 else a_vals
     if planes:
         v8 = px[byte_pos].astype(jnp.int32)
+        if linear and not premul16:
+            # constant-alpha-255 composite folded into table row 1
+            # (pallas_srgb._lut_tables): one gather replaces
+            # unpremul + linearize + premul_ul_to_p8l
+            return pallas_srgb.lut_gather(v8, tbl[1:2], None)
     else:
         v8 = ((px >> (8 * byte_pos)) & jnp.uint32(0xFF)).astype(jnp.int32)
     if linear:
@@ -562,12 +567,16 @@ def _make_general_kernel(plan: ScalePlan, C: int, k: int, w_pad: int,
                         cr = hf_ref[7:8, :w_out_pad]
                     else:
                         nl, ca, cr = nl8, corr_a, corr_r
-                    y_a = pg._span_mm_i8b(adj, m8[:, :w_out_pad], ca, nl)
-                    y_r = pg._span_mm_i8b(
-                        ch, m8[:, w_out_pad : 2 * w_out_pad]
-                        if raw else m8[:, w_out_pad:],
-                        cr, nl,
-                    )
+                    mr = (m8[:, w_out_pad : 2 * w_out_pad]
+                          if raw else m8[:, w_out_pad:])
+                    if linear and not premul16 and nl == nl8:
+                        # P8L colors <= 2047: unbiased split limbs
+                        # (pg._span_mm_u7), 2 prep ops and no correction
+                        y_a = pg._span_mm_u7(adj, m8[:, :w_out_pad], 7)
+                        y_r = pg._span_mm_u7(ch, mr, 7)
+                    else:
+                        y_a = pg._span_mm_i8b(adj, m8[:, :w_out_pad], ca, nl)
+                        y_r = pg._span_mm_i8b(ch, mr, cr, nl)
                     y = y_a + (
                         (y_r.astype(jnp.uint32) * rf >> 8) & wmask
                     ).astype(jnp.int32)
@@ -959,12 +968,15 @@ def _make_chunk_kernel(plan: ScalePlan, C: int, w_pad: int, w_out_pad: int,
                 ys = []
                 for g, nl, ca, cr in groups:
                     adj = fp.weight256(g, lw, wmask_i)
-                    y_a = pg._span_mm_i8b(adj, m8[:, :w_out_pad], ca, nl)
-                    y_r = pg._span_mm_i8b(
-                        g, m8[:, w_out_pad : 2 * w_out_pad]
-                        if raw else m8[:, w_out_pad:],
-                        cr, nl,
-                    )
+                    mr = (m8[:, w_out_pad : 2 * w_out_pad]
+                          if raw else m8[:, w_out_pad:])
+                    if linear and not premul16 and nl == nl8:
+                        # P8L colors <= 2047: unbiased split limbs
+                        y_a = pg._span_mm_u7(adj, m8[:, :w_out_pad], 7)
+                        y_r = pg._span_mm_u7(g, mr, 7)
+                    else:
+                        y_a = pg._span_mm_i8b(adj, m8[:, :w_out_pad], ca, nl)
+                        y_r = pg._span_mm_i8b(g, mr, cr, nl)
                     y = y_a + (
                         (y_r.astype(jnp.uint32) * rf >> 8) & wmask
                     ).astype(jnp.int32)

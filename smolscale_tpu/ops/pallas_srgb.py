@@ -96,10 +96,23 @@ def _lut_tables():
     entry l = t[l] | (t[l+128] << 16), so one gather + a top-bit shift
     replaces two gathers + a select.  inv_div_p8 entries reach 2**21
     (smolscale.c:276) and don't pack; rows 2/3 are its halves.
+
+    Row 1 packs the WHOLE constant-alpha-255 P8L channel transform of the
+    24bpp planes feed: unpremul_p8 at a=255 ((v*inv_div_p8[255])>>13, the
+    identity -- verified exhaustively), from_srgb, then premul_ul_to_p8l
+    at a=255 (((l+1)*2041-1)>>11, generic.c:261-269) composed per entry at
+    table-build time.  Folded values top out at 2040 (11 bits), so both
+    halves pack like row 0 and the planes kernels replace
+    unpremul + gather + premul (~8 VPU ops/element) with ONE gather.
     """
     t = np.zeros((4, 128), dtype=np.int32)
     fs = np.asarray(luts.FROM_SRGB, dtype=np.int64)
     t[0] = (fs[:128] | (fs[128:] << 16)).astype(np.int32)
+    inv255 = int(luts.INV_DIV_P8[255])
+    v = np.arange(256, dtype=np.int64)
+    l11 = fs[((v * inv255) >> 13) & 0xFF]
+    f255 = (((l11 + 1) * ((255 << 3) + 1) - 1) >> 11) & 0x7FF
+    t[1] = (f255[:128] | (f255[128:] << 16)).astype(np.int32)
     t[2] = luts.INV_DIV_P8[:128]
     t[3] = luts.INV_DIV_P8[128:]
     return t
@@ -202,6 +215,12 @@ def _make_kernel(plan: ScalePlan, geo, planes=False):
                     ch = jnp.full((win_r, win_c), const, jnp.int32)
                 else:
                     ch = ((a_vals << 8) | 0x80) if premul16 else a_vals
+            elif planes and not premul16 and _ABLATE is None:
+                # 24bpp planes: the constant-alpha-255 unpremul ->
+                # linearize -> premul_ul_to_p8l composite is ONE gather
+                # from the folded table row (see _lut_tables row 1)
+                ch = lut_gather(px[byte_pos].astype(jnp.int32),
+                                tbl[1:2], None)
             else:
                 if planes:
                     v8 = px[byte_pos].astype(jnp.int32)
