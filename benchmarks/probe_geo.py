@@ -30,6 +30,7 @@ def main():
         ("2: 512->1024 up 0h", ScalePlan(512, 512, 1024, 1024, 1, 0, False), 8),
         ("3b: 4096->3000 0h", ScalePlan(4096, 4096, 3000, 3000, 0, 0, False), 2),
         ("3c: 4096->700 2h", ScalePlan(4096, 4096, 700, 700, 0, 0, False), 4),
+        ("3a4: 4096->1371 1h", ScalePlan(4096, 4096, 1371, 1371, 0, 0, False), 4),
     ]
     names = sys.argv[1:]
     for name, plan, B in cfgs:

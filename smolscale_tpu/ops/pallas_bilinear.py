@@ -132,11 +132,25 @@ _GEO_OVERRIDE: dict = {}  # timing-only probe knob (benchmarks/probe_geo)
 
 
 def _geo_kw(plan: ScalePlan) -> dict:
-    """Per-class geometry overrides (widening column tiles for COPY-H
-    plans was measured SLOWER on v5e -- strip config 4096^2 -> 4096x256
-    ran 32.1 Gpix/s at jc_out=256 vs 28.9 at 1024, the narrow tiles
-    pipeline DMA/compute better despite 8x the grid steps)."""
-    return dict(_GEO_OVERRIDE)
+    """Per-class geometry overrides.
+
+    Bilinear-x-bilinear plans run hundreds of sub-us grid steps under the
+    default t_max=64 and are step-overhead-bound; probe_geo on v5e:
+    0h-x-0h upscale 512->1024 0.488 -> 0.178 ms at t=256/jc_out=512
+    (2.7x), 0h-x-0h downscale 4096->3000 1.57 -> 1.01 ms at t=256 (but
+    jc_out=512 LOSES there -- wider tiles re-read 1.37x-ratio windows),
+    1h ladder 4096->1371 1.43 -> 1.22 ms at t_max=256, 2h ladder
+    unchanged (its narrow-tile pick already maxed t).  Widening column
+    tiles for COPY-H plans was also measured SLOWER (strip config
+    4096^2 -> 4096x256: 32.1 Gpix/s at jc_out=256 vs 28.9 at 1024), so
+    jc_out=512 stays upscale-only."""
+    kw: dict = {}
+    if plan.x.filter.is_bilinear and plan.y.filter.is_bilinear:
+        kw["t_max"] = 256
+        if plan.width_out >= plan.width_in:
+            kw["jc_out_max"] = 512
+    kw.update(_GEO_OVERRIDE)
+    return kw
 
 
 @functools.cache
