@@ -255,10 +255,17 @@ def _make_kernel(plan: ScalePlan, C: int, k: int, w_pad: int, w_out_pad: int,
     h_last_short = int(plan.x.strides[-1]) == r_x - 2
     r_y = int(plan.y.strides[0]) + 1
     v_last_short = int(plan.y.strides[-1]) == r_y - 2
-    n_limbs = 3 if premul16 else 2
     linear = plan.gamma == GammaType.SRGB_LINEAR
-
-    def kernel(x_ref, m_ref, tbl_ref, o_ref, acc_ref):
+    # Cheapest exact span-matmul form per value bound: compressed bytes
+    # (<= 255) take ONE biased-8 limb, compressed PREMUL16 (<= 65025) two
+    # (vs two/three 7-bit limbs); linear P8L (<= 2047) the unbiased split
+    # pair; linear PREMUL16 (< 2**19) keeps three 7-bit limbs (three
+    # biased limbs cost more prep for the same matmul count).
+    if linear:
+        mm_mode = ("i8", 3) if premul16 else ("u7", 7)
+    else:
+        mm_mode = ("i8b", 2 if premul16 else 1)
+    def kernel(x_ref, m_ref, corr_ref, tbl_ref, o_ref, acc_ref):
         oi = pl.program_id(1)
         c = pl.program_id(2)
         px = x_ref[0]  # (C, w_pad) u32, or (3, C, w_pad) u8 with planes
@@ -288,7 +295,17 @@ def _make_kernel(plan: ScalePlan, C: int, k: int, w_pad: int, w_out_pad: int,
             adj = ch - jnp.where(span_first, (ch + 255) >> 8, 0)
             if h_last_short:
                 adj = jnp.where(lane == w_out * r_x - 1, 0, adj)
-            y = pg._span_mm_i8(adj, m8, n_limbs)
+            kind, arg = mm_mode
+            if kind == "i8b":
+                # PREMUL16 alpha rides as (a<<8)|0x80 <= 65408 (2 limbs,
+                # same as the colors); plain P8 alpha is a byte too
+                y = pg._span_mm_i8b(adj, m8, corr_ref[...], arg)
+            elif kind == "u7":
+                # linear P8L colors <= 2047; the alpha plane is <= 255,
+                # still < 2**14, so the same split is exact
+                y = pg._span_mm_u7(adj, m8, arg)
+            else:
+                y = pg._span_mm_i8(adj, m8, arg)
             hrow = fp.mul_shift_round24(y, jnp.int32(span_mul_x)) & norm_mask
             # V: chunk partial sum; span-first row weighted on chunk 0
             h0 = hrow[0:1]
@@ -342,6 +359,16 @@ def _built(plan: ScalePlan, batch: int, planes: bool = False):
     w_out_pad = pg._round_up(w_out, 128)
     kernel = _make_kernel(plan, C, k, w_pad, w_out_pad, planes=planes)
     m = _span_matrix(plan, w_pad, w_out_pad)
+    # per-column bias correction for the biased-limb compressed path
+    # (zeros when the kernel's mm_mode doesn't read it)
+    premul16 = plan.internal_alpha == AlphaType.PREMUL16
+    if plan.gamma == GammaType.SRGB_LINEAR:
+        corr = np.zeros((1, w_out_pad), dtype=np.int32)
+    else:
+        corr = pg._wrap_i32(
+            m.astype(np.int64).sum(0)
+            * pg._span_bias_factor(2 if premul16 else 1)
+        )[None, :]
     grid = (batch, h_out, k)
 
     if planes:
@@ -366,6 +393,10 @@ def _built(plan: ScalePlan, batch: int, planes: bool = False):
             px_spec,
             pl.BlockSpec(
                 (w_pad, w_out_pad), lambda b, oi, c: (0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(
+                (1, w_out_pad), lambda b, oi, c: (0, 0),
                 memory_space=pltpu.VMEM,
             ),
             pl.BlockSpec(
@@ -404,7 +435,8 @@ def _built(plan: ScalePlan, batch: int, planes: bool = False):
             px = jnp.pad(px, [(0, 0), (0, 0), (0, w_pad - w_in)])
         from . import pallas_srgb
 
-        out = call(px, jnp.asarray(m), jnp.asarray(pallas_srgb._lut_tables()))
+        out = call(px, jnp.asarray(m), jnp.asarray(corr),
+                   jnp.asarray(pallas_srgb._lut_tables()))
         return _pack(plan, out[:, :, :, :w_out])
 
     return fn
