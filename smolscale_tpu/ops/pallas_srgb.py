@@ -85,6 +85,19 @@ def _geo(plan: ScalePlan):
                          uniform_ok=True)
         if g is not None:
             return g
+    from ..backends.xla import _box_uniform_applicable
+
+    if all(
+        ax.filter == FilterType.BOX and _box_uniform_applicable(ax)
+        for ax in (plan.x, plan.y)
+    ):
+        # uniform box x box has NO 3*jc_out box matrices (plain span-sum
+        # matrix, reshape-reduce V), so the larger row group is safe;
+        # measured 1.272 -> 1.158 ms on config 6 (2048^2->256^2 sRGB, v5e)
+        g = pg._geometry(plan, jc_out_max=128, budget_mb=6, t_max=32,
+                         uniform_ok=True)
+        if g is not None and g["h_uniform"] and g["v_uniform"]:
+            return g
     return pg._geometry(plan, jc_out_max=128, budget_mb=4, t_max=16,
                         uniform_ok=True)
 
