@@ -128,6 +128,22 @@ def applicable(plan: ScalePlan) -> bool:
     return geo is not None
 
 
+def _lad_uniform(ax):
+    """(stride, frac, first_offset) when every bilinear sample sits at
+    a constant integer stride >= 2 with a constant fraction (true for
+    power-of-two-ish downscales, e.g. 2048->256 2h: d=2, f=128), else
+    None.  d >= 2 guarantees sample pair (o, o+1) never crosses the
+    window end, so the lerp neighbor is a single lane roll."""
+    o = np.asarray(ax.offsets, dtype=np.int64)
+    f = np.asarray(ax.factors, dtype=np.int64)
+    if len(o) < 2:
+        return None
+    d = int(o[1] - o[0])
+    if d < 2 or not ((np.diff(o) == d).all() and (f == f[0]).all()):
+        return None
+    return d, int(f[0]), int(o[0])
+
+
 _GEO_OVERRIDE: dict = {}  # timing-only probe knob (benchmarks/probe_geo)
 
 
@@ -145,7 +161,17 @@ def _geo_kw(plan: ScalePlan) -> dict:
     4096^2 -> 4096x256: 32.1 Gpix/s at jc_out=256 vs 28.9 at 1024), so
     jc_out=512 stays upscale-only."""
     kw: dict = {}
-    if plan.x.filter.is_bilinear and plan.y.filter.is_bilinear:
+    if (
+        plan.x.filter.is_bilinear
+        and plan.y.filter.is_bilinear
+        # uniform-constant-stride ladders (e.g. 2048->256 2h, config 1b)
+        # keep the default: their windows grow 2**k * d per output row, so
+        # raising t_max only shifts the candidate ladder past the VMEM
+        # budget onto a SMALLER final t (measured 64.5 -> 35.8 Gpix/s on
+        # 1b).  The probe-measured wins are all non-uniform classes.
+        and _lad_uniform(plan.x) is None
+        and _lad_uniform(plan.y) is None
+    ):
         kw["t_max"] = 256
         if plan.width_out >= plan.width_in:
             kw["jc_out_max"] = 512
@@ -251,21 +277,6 @@ def _geometry_for_t(plan: ScalePlan, t: int, jc_out_max: int = 256,
     v_uniform = uniform_ok and v_is_box and _box_uniform_applicable(plan.y)
     r_x = int(plan.x.strides[0]) + 1 if h_uniform else 0
     r_y = int(plan.y.strides[0]) + 1 if v_uniform else 0
-
-    def _lad_uniform(ax):
-        """(stride, frac, first_offset) when every bilinear sample sits at
-        a constant integer stride >= 2 with a constant fraction (true for
-        power-of-two-ish downscales, e.g. 2048->256 2h: d=2, f=128), else
-        None.  d >= 2 guarantees sample pair (o, o+1) never crosses the
-        window end, so the lerp neighbor is a single lane roll."""
-        o = np.asarray(ax.offsets, dtype=np.int64)
-        f = np.asarray(ax.factors, dtype=np.int64)
-        if len(o) < 2:
-            return None
-        d = int(o[1] - o[0])
-        if d < 2 or not ((np.diff(o) == d).all() and (f == f[0]).all()):
-            return None
-        return d, int(f[0]), int(o[0])
 
     h_lad = (_lad_uniform(plan.x)
              if uniform_ok and plan.x.filter.is_bilinear else None)
