@@ -31,6 +31,7 @@ def main():
         ("3b: 4096->3000 0h", ScalePlan(4096, 4096, 3000, 3000, 0, 0, False), 2),
         ("3c: 4096->700 2h", ScalePlan(4096, 4096, 700, 700, 0, 0, False), 4),
         ("3a4: 4096->1371 1h", ScalePlan(4096, 4096, 1371, 1371, 0, 0, False), 4),
+        ("8: 4096->4096x256 strip", ScalePlan(4096, 4096, 4096, 256, 0, 0, False), 8),
     ]
     names = sys.argv[1:]
     for name, plan, B in cfgs:
@@ -43,9 +44,15 @@ def main():
             jnp.asarray(imgs.reshape(B, hi, wi * 4).view(np.uint32))
         )
         np.asarray(x[0, 0, 0])
-        for t_max, jm in [(64, 256), (128, 256), (256, 256), (128, 512),
-                          (256, 512)]:
-            pb._GEO_OVERRIDE = dict(t_max=t_max, jc_out_max=jm)
+        import os
+        combos = [(64, 4096, 512), (64, 2048, 512), (64, 1024, 512),
+                  (24, 4096, 512)] if os.environ.get("GEO_WIDE") else [
+                  (64, 256, 512), (128, 256, 2048), (256, 256, 4096),
+                  (128, 512, 2048)] if os.environ.get("GEO_WINROWS") else [
+                  (64, 256, 512), (128, 256, 512), (256, 256, 512),
+                  (128, 512, 512), (256, 512, 512)]
+        for t_max, jm, wr in combos:
+            pb._GEO_OVERRIDE = dict(t_max=t_max, jc_out_max=jm, win_rows=wr)
             pb._geometry.cache_clear()
             pb._geometry_for_t.cache_clear()
             pb._built.cache_clear()
@@ -57,7 +64,7 @@ def main():
             r = chain_timer(step, x)
             steps = B * geo["n_rg"] * geo["n_ct"]
             print(
-                f"{name} t_max={t_max} jc={jm}: t={geo['t']} "
+                f"{name} t_max={t_max} jc={jm} wr={wr}: t={geo['t']} "
                 f"jc_out={geo['jc_out']} steps={steps} "
                 f"{r.per*1e3:7.3f} ms/batch "
                 f"{B*hi*wi/1e6/r.per:8.0f} Mpix/s ±{r.rel*100:.0f}% n={r.n_long}",

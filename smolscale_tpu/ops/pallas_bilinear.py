@@ -181,7 +181,8 @@ def _geo_kw(plan: ScalePlan) -> dict:
 
 @functools.cache
 def _geometry(plan: ScalePlan, jc_out_max: int = 256, budget_mb: int = 12,
-              t_max: int = 64, uniform_ok: bool = False):
+              t_max: int = 64, uniform_ok: bool = False,
+              win_rows: int = 512):
     """Largest-tile geometry that fits the VMEM budget, or None.
 
     Tries the requested column-tile width and a narrower 128-lane variant:
@@ -201,7 +202,7 @@ def _geometry(plan: ScalePlan, jc_out_max: int = 256, budget_mb: int = 12,
         est = 1
     else:
         est = (1 << kv) + 1
-    t0 = max(1, min(t_max, 512 // est))
+    t0 = max(1, min(t_max, win_rows // est))
 
     def best(jm):
         # Mosaic requires the output row-block to be 8-aligned unless the
@@ -232,8 +233,11 @@ def _geometry(plan: ScalePlan, jc_out_max: int = 256, budget_mb: int = 12,
                 # (kh >= 1) nearly halve the gather-matmul FLOPs with the
                 # narrow tile and win (3a 4.66 -> 4.01 ms); 0h and upscale
                 # configs lose to the extra window re-reads (3b 1.36 ->
-                # 2.40 ms) -- measured on v5e.
-                prefer_narrow = (
+                # 2.40 ms) -- measured on v5e.  COPY-H also prefers narrow
+                # (strip config 36.5 vs 32.6 Gpix/s at jc_out=256 and 28.4
+                # at 1024: the small per-step DMAs pipeline better and the
+                # identity axis never re-reads).
+                prefer_narrow = geo["h_copy"] or (
                     geo["kh"] >= 1
                     and not geo["h_is_box"]
                     and geo["h_lad"] is None
