@@ -831,8 +831,14 @@ def pad_rows(plan: ScalePlan, tables, img):
 # -- entry points -------------------------------------------------------------
 
 _FORCE_PALLAS = None  # None = auto (TPU + applicable), False = never
-_RGB24_PLANES = False  # channel-major u8 planes feed for 24bpp inputs
-# (pallas_bilinear.scale_fn_planes); off until validated on hardware
+_RGB24_PLANES = True  # channel-major u8 planes feed for 24bpp inputs.
+# Validated on v5e (benchmarks/probe_planes.py, all bit-exact through the
+# full dispatch): wins every 24bpp class over the pad+bitcast u32 feed --
+# 3a 32.6->64.8 Gpix/s, 3b 31.9->42.4, 16:1 box 34.3->65.5, 6b sRGB
+# 11.9->17.4, ragged deep 29.8->57.8, uniform deep 83.1->211.9, sRGB
+# ragged deep 18.8->39.6.  The moveaxis transpose costs ~2 HBM passes
+# where pad-to-32bpp + u8->u32 bitcast costs ~3 plus 33% more window DMA
+# and the synthesized alpha's filter work.
 
 # 24bpp types mapped to byte-compatible 32bpp premultiplied surrogates
 # (RGB8 bytes == first 3 bytes of RGBA; BGR8 == first 3 of BGRA).
