@@ -252,3 +252,64 @@ def test_halving_gap_width_exact():
     want = numpy_ref.scale(plan, img[0])[None]
     assert np.array_equal(want, got)
     pallas_bilinear._built.cache_clear()
+
+
+def test_span_mm_u7_exact():
+    """Unbiased split-limb matmul: exact for values < 2**(s+7), both
+    orientations, vs the int64 ground truth."""
+    import jax.numpy as jnp
+
+    rng = np.random.default_rng(7)
+    for s, bound in [(4, 2047), (7, 2047), (7, (1 << 14) - 1)]:
+        x = rng.integers(0, bound + 1, (24, 160)).astype(np.int64)
+        m = rng.integers(0, 2, (160, 48)).astype(np.int8)
+        want = (x @ m.astype(np.int64)) & 0xFFFFFFFF
+        got = np.asarray(
+            pallas_bilinear._span_mm_u7(jnp.asarray(x, jnp.int32),
+                                        jnp.asarray(m), s)
+        ).astype(np.uint32)
+        assert np.array_equal(got, want.astype(np.uint32)), s
+        mt = rng.integers(0, 2, (48, 24)).astype(np.int8)
+        want_t = (mt.astype(np.int64) @ x) & 0xFFFFFFFF
+        got_t = np.asarray(
+            pallas_bilinear._span_mm_u7(jnp.asarray(x, jnp.int32),
+                                        jnp.asarray(mt), s, transpose=True)
+        ).astype(np.uint32)
+        assert np.array_equal(got_t, want_t.astype(np.uint32)), s
+
+
+def test_u7s_gate():
+    """The unbiased split applies exactly to the P8L-linear class and
+    never behind a box H (0xFFFF-normalized values)."""
+    # P8L linear bilinear x bilinear: u7 on both stages
+    p = ScalePlan(1920, 1080, 400, 225, 8, 8, True)
+    assert pallas_bilinear._u7s(p, False) == 7
+    assert pallas_bilinear._u7s(p, True) == 7
+    # box H: V sees <= 0xFFFF
+    pb = ScalePlan(2048, 2048, 190, 225, 8, 8, True)
+    if pb.x.filter.name == "BOX":
+        assert pallas_bilinear._u7s(pb, True) is None
+    # S64 (bytes): single biased limb is cheaper
+    assert pallas_bilinear._u7s(
+        ScalePlan(1024, 1024, 300, 300, 0, 0, False), False) is None
+    # PREMUL16 linear: < 2**19, too wide
+    assert pallas_bilinear._u7s(
+        ScalePlan(2048, 2048, 256, 256, 4, 4, True), False) is None
+
+
+def test_folded_a255_lut_row():
+    """LUT row 1 == unpremul(a=255) -> from_srgb -> premul_ul_to_p8l(a=255)
+    composed per entry, packed halves."""
+    from smolscale_tpu import luts
+    from smolscale_tpu.ops import pallas_srgb
+
+    t = pallas_srgb._lut_tables()
+    fs = np.asarray(luts.FROM_SRGB, dtype=np.int64)
+    inv255 = int(luts.INV_DIV_P8[255])
+    v = np.arange(256, dtype=np.int64)
+    l11 = fs[((v * inv255) >> 13) & 0xFF]
+    want = (((l11 + 1) * ((255 << 3) + 1) - 1) >> 11) & 0x7FF
+    got = np.where(v < 128, t[1][v & 127] & 0xFFFF,
+                   (t[1][v & 127] >> 16) & 0xFFFF)
+    assert np.array_equal(got, want)
+    assert want.max() <= 2047  # both halves pack per i32 entry
