@@ -8,7 +8,7 @@ multi-group) output row block for tiny outputs (fixed in
 ops/pallas_bilinear._geometry / ops/pallas_box._pick_rows_t).
 
 Usage: python benchmarks/fuzz_tpu.py [N] [seed] [--edges] [--mixed] [--box3]
-                                     [--deep] [--boxchunk]
+                                     [--deep] [--boxchunk] [--copyaxes]
   --edges weights toward tiny dims, deep up/downscales, 1x1 outputs.
   --mixed targets COPY/ONE mixed-axis plans (box-x-copy, ladder-x-one,
           copy-x-box, ...): one axis is forced to COPY (dim_out == dim_in)
@@ -22,6 +22,9 @@ Usage: python benchmarks/fuzz_tpu.py [N] [seed] [--edges] [--mixed] [--box3]
           structured integer-ratio box plans with w_out a >128 multiple
           of 128 (n_chunks > 1), including dims the dense matrix's VMEM
           budget rejected.
+  --copyaxes targets pallas_box's COPY-axis forms (copy-H x box-V strip
+          and box-H x copy-V): resamples until pallas_box takes a plan
+          with exactly one COPY axis.
 """
 
 import sys
@@ -47,6 +50,7 @@ def main():
     box3 = "--box3" in sys.argv
     deep = "--deep" in sys.argv
     boxchunk = "--boxchunk" in sys.argv
+    copyaxes = "--copyaxes" in sys.argv
     n = int(args[0]) if args else 24
     seed = int(args[1]) if len(args) > 1 else 20260816
     rng = np.random.default_rng(seed)
@@ -75,6 +79,33 @@ def main():
                 if (
                     pallas_box.applicable(p)
                     and pallas_box._span_chunks(p.x) > 1
+                ):
+                    break
+        elif copyaxes:
+            # resample until pallas_box takes a plan with exactly one
+            # COPY axis (the other integer-ratio box)
+            from smolscale_tpu.ops import pallas_box
+
+            while True:
+                if rng.integers(0, 2):  # copy-H x box-V
+                    wi = 128 * int(rng.integers(1, 33))
+                    wo = wi
+                    ry = int(rng.integers(9, 33))
+                    ho = int(rng.integers(1, 65)) * 8
+                    hi = ho * ry
+                else:  # box-H x copy-V
+                    rx = int(rng.integers(9, 33))
+                    wo = int(rng.integers(1, 1025))
+                    wi = wo * rx
+                    hi = int(rng.integers(8, 3000))
+                    ho = hi
+                if wi % 128 or wi * hi * 4 > 256 * 2**20:
+                    continue
+                ti, to = int(rng.integers(0, 10)), int(rng.integers(0, 10))
+                srgb = False
+                p = st.ScalePlan(wi, hi, wo, ho, ti, to, with_srgb=srgb)
+                if pallas_box.applicable(p) and FilterType.COPY in (
+                    p.x.filter, p.y.filter
                 ):
                     break
         elif deep:
@@ -139,7 +170,7 @@ def main():
             wi, hi = int(rng.integers(16, 1600)), int(rng.integers(16, 1200))
             wo = int(rng.integers(1, max(2, wi * 2)))
             ho = int(rng.integers(1, max(2, hi * 2)))
-        if box3 or boxchunk:
+        if box3 or boxchunk or copyaxes:
             srgb = False  # ti/to fixed by the resample loop above
         elif deep:
             pass  # ti/to/srgb fixed by the resample loop above

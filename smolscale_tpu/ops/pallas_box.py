@@ -25,12 +25,15 @@ Key reformulations (all bit-exact to the generic C backend):
 * Box normalization (acc*span_mul + 2**23) >> 24 uses the proven int32
   split (ops.fixedpoint.mul_shift_round24).
 
-Applicability: both axes integer-ratio box (uniform strides, zero fracs),
-64bpp storage (internal PREMUL8), 4-byte pixel formats.  Unassociated
-*input* is premultiplied in-kernel; unassociated *output* is handled by an
-output-sized XLA epilogue (unpremul_p8 at pack, generic.c:227-236) -- the
-output is ~R^2 x smaller than the input, so the epilogue is noise.
-Everything else falls back to the XLA path.
+Applicability: each axis is either integer-ratio box (uniform strides,
+zero fracs) or COPY (identity, dim_in == dim_out -- the reference's
+interp_horizontal_copy / scale_outrow_copy, generic.c:1594-1611,
+2302-2318), with at least one box axis; 64bpp storage (internal PREMUL8),
+4-byte pixel formats.  A COPY H axis skips the span matmul entirely (the
+kernel is a pure VPU vertical reduce); a COPY V axis passes the h-row
+through.  Unassociated *input* is premultiplied in-kernel; unassociated
+*output* is handled by an output-sized XLA epilogue (unpremul_p8 at pack,
+generic.c:227-236).  Everything else falls back to the XLA path.
 """
 
 from __future__ import annotations
@@ -48,24 +51,34 @@ from ..ops import fixedpoint as fp
 from ..plan import FilterType, ScalePlan
 
 
-def applicable(plan: ScalePlan) -> bool:
+def _axis_ok(ax) -> bool:
     from ..backends.xla import _box_uniform_applicable  # avoid cycle
 
+    if ax.filter == FilterType.COPY:
+        return True
+    return ax.filter == FilterType.BOX and _box_uniform_applicable(ax)
+
+
+def applicable(plan: ScalePlan) -> bool:
     return (
         plan.storage == StorageType.S64
         and plan.internal_alpha == AlphaType.PREMUL8
         and plan.meta_in.n_bytes == 4
         and plan.meta_out.n_bytes == 4
-        and plan.x.filter == FilterType.BOX
-        and plan.y.filter == FilterType.BOX
-        and _box_uniform_applicable(plan.x)
-        and _box_uniform_applicable(plan.y)
+        and _axis_ok(plan.x)
+        and _axis_ok(plan.y)
+        # at least one box axis: pure COPYxCOPY repacks stay on XLA
+        and FilterType.BOX in (plan.x.filter, plan.y.filter)
         # VMEM budget: int8 span matrix + input tile (the block-diagonal
-        # chunked matrix is compact: 128 columns regardless of w_out)
+        # chunked matrix is compact: 128 columns regardless of w_out;
+        # a COPY H axis has no matrix at all)
         and plan.width_in % 128 == 0
-        and plan.width_in
-        * (_CHUNK_COLS if _span_chunks(plan.x) > 1 else plan.width_out)
-        < 4 * 2**20
+        and (
+            plan.x.filter == FilterType.COPY
+            or plan.width_in
+            * (_CHUNK_COLS if _span_chunks(plan.x) > 1 else plan.width_out)
+            < 4 * 2**20
+        )
         and _pick_rows_t(plan) is not None
     )
 
@@ -115,6 +128,19 @@ def _span_matrix(ax):
     return mc
 
 
+def _vspan_matrix(rows_t: int, ry: int):
+    """Mv^T: (rows_t, rows_t*ry) 0/1 matrix contracting each V span's ry
+    rows on the MXU (COPY-H plans, where there is no H matmul to shrink
+    the width first: the full-width VPU reshape-reduce measured 2.9 ms vs
+    0.86 ms for the matmul form on the 4096^2->4096x256 strip).  The
+    image's final-row drop is block-dependent and applied as a subtraction
+    in the kernel, so every column holds exactly ry ones."""
+    m = np.zeros((rows_t, rows_t * ry), dtype=np.int8)
+    for j in range(rows_t):
+        m[j, j * ry : (j + 1) * ry] = 1
+    return m
+
+
 def _make_kernel(plan: ScalePlan, rows_t: int, planes=False,
                  skip_alpha=False):
     """Kernel over one (batch, row-group) tile.
@@ -127,9 +153,11 @@ def _make_kernel(plan: ScalePlan, rows_t: int, planes=False,
     """
     w_in, w_out = plan.x.dim_in, plan.x.dim_out
     h_out = plan.y.dim_out
-    rx = w_in // w_out
+    h_copy = plan.x.filter == FilterType.COPY
+    v_copy = plan.y.filter == FilterType.COPY
+    rx = w_in // w_out  # 1 for COPY (dim_in == dim_out)
     ry = plan.y.dim_in // plan.y.dim_out
-    n_chunks = _span_chunks(plan.x)
+    n_chunks = 0 if h_copy else _span_chunks(plan.x)
     in_layout = plan.meta_in.layout
     out_layout = plan.meta_out.layout
     span_mul_x = int(plan.x.span_mul)
@@ -139,19 +167,19 @@ def _make_kernel(plan: ScalePlan, rows_t: int, planes=False,
     alpha_byte = in_layout.index(3)
     assert not planes or (alpha_byte == 3 and not unassoc_in)
 
-    def kernel(x_ref, m_ref, o_ref):
-        g = pl.program_id(1)
-        px = x_ref[0]  # (rows_t*ry, w_in) u32, or (3, rows_t*ry, w_in) u8
-        m8 = m_ref[...]
-        # output-row index within the whole image, for edge-weight selection
-        row_ids = g * rows_t + jax.lax.broadcasted_iota(
-            jnp.int32, (rows_t, w_out), 0
-        )
-        lane = jax.lax.broadcasted_iota(jnp.int32, (rows_t * ry, w_in), 1)
-        adj_lane = (lane > 0) & (lane % rx == 0)  # span-first, span 0 exempt
-        col_last = (
-            jax.lax.broadcasted_iota(jnp.int32, (1, w_out), 1) == w_out - 1
-        )
+    def body(px, m8, o_ref, g):
+        # px: (rows_t*ry, w_in) u32, or (3, rows_t*ry, w_in) u8
+        if not v_copy:
+            # output-row index in the whole image, for edge-weight selection
+            row_ids = g * rows_t + jax.lax.broadcasted_iota(
+                jnp.int32, (rows_t, w_out), 0
+            )
+        if not h_copy:
+            lane = jax.lax.broadcasted_iota(jnp.int32, (rows_t * ry, w_in), 1)
+            adj_lane = (lane > 0) & (lane % rx == 0)  # span-first, 0 exempt
+            col_last = (
+                jax.lax.broadcasted_iota(jnp.int32, (1, w_out), 1) == w_out - 1
+            )
 
         if planes:
             a_vals = None
@@ -175,43 +203,66 @@ def _make_kernel(plan: ScalePlan, rows_t: int, planes=False,
             if unassoc_in and byte_pos != alpha_byte:
                 # premultiply in-kernel (premul_u_to_p8, generic.c:238-244)
                 ch_vals = (((ch_vals + 1) * (a_vals + 1) - 1) >> 8) & 0xFF
-            # left-edge weight folded into the input: identity for span 0,
-            # x - [x>0] otherwise; rides through the span sum exactly
-            chp = ch_vals - (adj_lane & (ch_vals > 0)).astype(jnp.int32)
-            xb = (chp - 128).astype(jnp.int8)
-            if n_chunks > 1:
-                k_c = w_in // n_chunks
-                y = jnp.concatenate(
-                    [
-                        jnp.dot(
-                            xb[:, c * k_c : (c + 1) * k_c],
-                            m8[c * k_c : (c + 1) * k_c, :],
-                            preferred_element_type=jnp.int32,
-                        )
-                        for c in range(n_chunks)
-                    ],
-                    axis=1,
-                )
+            if h_copy:
+                # interp_horizontal_copy (generic.c:1594-1611): the h-row
+                # is the unpacked (premultiplied) channel itself
+                hrow = ch_vals
             else:
-                y = jnp.dot(xb, m8, preferred_element_type=jnp.int32)
-            # undo the -128 offset: colsum is rx per span column (rx-1 for
-            # the final span, whose last element the matrix drops)
-            acc = y + (128 * rx) - jnp.where(col_last, 128, 0)
-            hrow = fp.mul_shift_round24(acc, jnp.int32(span_mul_x)) & 0xFF
-            # vertical: groups of ry rows
-            gv = hrow.reshape(rows_t, ry, w_out)
-            fsv = jnp.sum(gv, axis=1)
-            first = gv[:, 0, :]
-            accv = fsv - jnp.where(
-                (row_ids > 0) & (first > 0), jnp.int32(1), jnp.int32(0)
-            )
-            # drop the final input row of the image (reference precalc clamp)
-            accv = accv - jnp.where(row_ids == h_out - 1, gv[:, ry - 1, :], 0)
-            out_ch = fp.mul_shift_round24(accv, jnp.int32(span_mul_y)) & 0xFF
+                # left-edge weight folded into the input: identity for span
+                # 0, x - [x>0] otherwise; rides through the span sum exactly
+                chp = ch_vals - (adj_lane & (ch_vals > 0)).astype(jnp.int32)
+                xb = (chp - 128).astype(jnp.int8)
+                if n_chunks > 1:
+                    k_c = w_in // n_chunks
+                    y = jnp.concatenate(
+                        [
+                            jnp.dot(
+                                xb[:, c * k_c : (c + 1) * k_c],
+                                m8[c * k_c : (c + 1) * k_c, :],
+                                preferred_element_type=jnp.int32,
+                            )
+                            for c in range(n_chunks)
+                        ],
+                        axis=1,
+                    )
+                else:
+                    y = jnp.dot(xb, m8, preferred_element_type=jnp.int32)
+                # undo the -128 offset: colsum is rx per span column (rx-1
+                # for the final span, whose last element the matrix drops)
+                acc = y + (128 * rx) - jnp.where(col_last, 128, 0)
+                hrow = fp.mul_shift_round24(acc, jnp.int32(span_mul_x)) & 0xFF
+            if v_copy:
+                # scale_outrow_copy (generic.c:2302-2318)
+                out_ch = hrow
+            else:
+                # vertical: groups of ry rows
+                gv = hrow.reshape(rows_t, ry, w_out)
+                fsv = jnp.sum(gv, axis=1)
+                first = gv[:, 0, :]
+                accv = fsv - jnp.where(
+                    (row_ids > 0) & (first > 0), jnp.int32(1), jnp.int32(0)
+                )
+                # drop the image's final input row (reference precalc clamp)
+                accv = accv - jnp.where(
+                    row_ids == h_out - 1, gv[:, ry - 1, :], 0
+                )
+                out_ch = (
+                    fp.mul_shift_round24(accv, jnp.int32(span_mul_y)) & 0xFF
+                )
             # place channel into its output byte
             out_byte = out_layout.index(in_layout[byte_pos])
             out_px = out_px | (out_ch.astype(jnp.uint32) << (8 * out_byte))
         o_ref[0] = out_px
+
+    if h_copy:
+
+        def kernel(x_ref, o_ref):
+            body(x_ref[0], None, o_ref, pl.program_id(1))
+
+    else:
+
+        def kernel(x_ref, m_ref, o_ref):
+            body(x_ref[0], m_ref[...], o_ref, pl.program_id(1))
 
     return kernel
 
@@ -236,6 +287,12 @@ def _pick_rows_t(plan: ScalePlan):
     budget = 4 * 2**20
     if plan.meta_in.alpha == AlphaType.UNASSOCIATED:
         budget = 3_407_872  # 3.25 MB
+    if plan.x.filter == FilterType.COPY:
+        # no H matmul means the per-channel int32 temporaries stay full
+        # width (the box-H kernel shrinks them to w_out columns): the live
+        # set is ~4.5x the block, and a 4 MB block OOMs the 16 MB scoped
+        # VMEM (17.95M measured on 4096^2->4096x256)
+        budget = min(budget, 2 * 2**20)
     budget_rows = max(1, budget // (plan.width_in * 4 * ry))
     for t in range(min(budget_rows, h_out), 0, -1):
         if h_out % t == 0 and (t % 8 == 0 or t == h_out):
@@ -275,26 +332,28 @@ def _built(plan: ScalePlan, batch: int):
     h_out = plan.y.dim_out
     ry = plan.y.dim_in // plan.y.dim_out
     rows_t = _pick_rows_t(plan)
-    m = _span_matrix(plan.x)
+    h_copy = plan.x.filter == FilterType.COPY
+    m = None if h_copy else _span_matrix(plan.x)
     kernel = _make_kernel(plan, rows_t)
     grid = (batch, h_out // rows_t)
 
+    in_specs = [
+        pl.BlockSpec(
+            (1, rows_t * ry, plan.width_in),
+            lambda b, g: (b, g, 0),
+            memory_space=pltpu.VMEM,
+        ),
+    ]
+    if not h_copy:
+        in_specs.append(
+            pl.BlockSpec(m.shape, lambda b, g: (0, 0),
+                         memory_space=pltpu.VMEM)
+        )
     call = pl.pallas_call(
         kernel,
         out_shape=jax.ShapeDtypeStruct((batch, h_out, plan.width_out), jnp.uint32),
         grid=grid,
-        in_specs=[
-            pl.BlockSpec(
-                (1, rows_t * ry, plan.width_in),
-                lambda b, g: (b, g, 0),
-                memory_space=pltpu.VMEM,
-            ),
-            pl.BlockSpec(
-                m.shape,
-                lambda b, g: (0, 0),
-                memory_space=pltpu.VMEM,
-            ),
-        ],
+        in_specs=in_specs,
         out_specs=pl.BlockSpec(
             (1, rows_t, plan.width_out), lambda b, g: (b, g, 0),
             memory_space=pltpu.VMEM,
@@ -312,7 +371,7 @@ def _built(plan: ScalePlan, batch: int):
             px = imgs
         else:
             px = jax.lax.bitcast_convert_type(imgs, jnp.uint32)
-        out = call(px, jnp.asarray(m))
+        out = call(px) if h_copy else call(px, jnp.asarray(m))
         if unassoc_out:
             out = _unpremul_epilogue(plan, out)
         return jax.lax.bitcast_convert_type(out, jnp.uint8)
@@ -338,28 +397,30 @@ def _built_planes(plan: ScalePlan, batch: int, skip_alpha: bool):
     h_out = plan.y.dim_out
     ry = plan.y.dim_in // plan.y.dim_out
     rows_t = _pick_rows_t(plan)
-    m = _span_matrix(plan.x)
+    h_copy = plan.x.filter == FilterType.COPY
+    m = None if h_copy else _span_matrix(plan.x)
     kernel = _make_kernel(plan, rows_t, planes=True, skip_alpha=skip_alpha)
     grid = (batch, h_out // rows_t)
 
+    in_specs = [
+        pl.BlockSpec(
+            (1, 3, rows_t * ry, plan.width_in),
+            lambda b, g: (b, 0, g, 0),
+            memory_space=pltpu.VMEM,
+        ),
+    ]
+    if not h_copy:
+        in_specs.append(
+            pl.BlockSpec(m.shape, lambda b, g: (0, 0),
+                         memory_space=pltpu.VMEM)
+        )
     call = pl.pallas_call(
         kernel,
         out_shape=jax.ShapeDtypeStruct(
             (batch, h_out, plan.width_out), jnp.uint32
         ),
         grid=grid,
-        in_specs=[
-            pl.BlockSpec(
-                (1, 3, rows_t * ry, plan.width_in),
-                lambda b, g: (b, 0, g, 0),
-                memory_space=pltpu.VMEM,
-            ),
-            pl.BlockSpec(
-                m.shape,
-                lambda b, g: (0, 0),
-                memory_space=pltpu.VMEM,
-            ),
-        ],
+        in_specs=in_specs,
         out_specs=pl.BlockSpec(
             (1, rows_t, plan.width_out), lambda b, g: (b, g, 0),
             memory_space=pltpu.VMEM,
@@ -370,7 +431,7 @@ def _built_planes(plan: ScalePlan, batch: int, skip_alpha: bool):
     assert not (skip_alpha and unassoc_out)
 
     def fn(pls):
-        out = call(pls, jnp.asarray(m))
+        out = call(pls) if h_copy else call(pls, jnp.asarray(m))
         if unassoc_out:
             out = _unpremul_epilogue(plan, out)
         return jax.lax.bitcast_convert_type(out, jnp.uint8)

@@ -12,7 +12,7 @@ from jax.experimental import pallas as pl
 
 from smolscale_tpu.backends import numpy_ref
 from smolscale_tpu.ops import pallas_box
-from smolscale_tpu.plan import ScalePlan
+from smolscale_tpu.plan import FilterType, ScalePlan
 
 RNG = np.random.default_rng(31337)
 
@@ -158,3 +158,69 @@ def test_unassoc_in_wide_block_cap():
     # widest observed-good unassoc block (3.19 MB, 7680x3016 t6) stays in
     p = ScalePlan(7680, 3016, 768, 232, 6, 1, False)
     assert pallas_box._pick_rows_t(p) == 8
+
+
+@pytest.mark.parametrize(
+    "wi,hi,wo,ho,ti,to",
+    [
+        (256, 128, 256, 8, 0, 0),   # copy-H x box-V 16:1
+        (256, 128, 16, 128, 0, 0),  # box-H 16:1 x copy-V
+        (384, 64, 384, 4, 2, 3),    # copy-H x box-V, ARGB->ABGR
+        (384, 64, 3, 64, 1, 1),     # deep box-H x copy-V, unassoc in+out
+        (256, 60, 256, 6, 1, 0),    # copy-H x box-V 10:1, unassoc in
+        (256, 64, 16, 64, 0, 1),    # box-H x copy-V, unassoc-out epilogue
+        (3840, 120, 384, 120, 2, 3),  # chunked box-H matmul x copy-V
+    ],
+)
+def test_pallas_box_copy_axes(wi, hi, wo, ho, ti, to):
+    """COPY as a first-class axis (interp_horizontal_copy
+    generic.c:1594-1611 / scale_outrow_copy generic.c:2302-2318): a COPY
+    H axis skips the span matmul, a COPY V axis passes the h-row
+    through."""
+    plan = ScalePlan(wi, hi, wo, ho, ti, to, False)
+    assert FilterType.COPY in (plan.x.filter, plan.y.filter)
+    assert pallas_box.applicable(plan)
+    pallas_box._built.cache_clear()
+    img = RNG.integers(0, 256, (2, hi, wi, 4), dtype=np.uint8)
+    with mock.patch.object(pl, "pallas_call", _interp_call):
+        got = np.asarray(pallas_box.scale_fn(plan, img))
+    want = np.stack([numpy_ref.scale(plan, img[i]) for i in range(2)])
+    assert np.array_equal(want, got)
+    pallas_box._built.cache_clear()
+
+
+@pytest.mark.parametrize(
+    "wi,hi,wo,ho,ti,to",
+    [
+        (256, 128, 256, 8, 8, 8),   # RGB24 copy-H x box-V (alpha skipped)
+        (256, 128, 16, 128, 9, 8),  # BGR24 box-H x copy-V
+        (384, 64, 384, 4, 8, 0),    # copy-H x box-V, RGB24->RGBA
+    ],
+)
+def test_pallas_box_copy_axes_planes(wi, hi, wo, ho, ti, to):
+    """24bpp channel-major planes feed with a COPY axis."""
+    import jax
+
+    from smolscale_tpu.backends import xla
+
+    plan = ScalePlan(wi, hi, wo, ho, ti, to, False)
+    adapted = xla._adapt_24bpp(plan)
+    assert adapted is not None and pallas_box.applicable(adapted[0])
+    pallas_box._built_planes.cache_clear()
+    img = RNG.integers(0, 256, (2, hi, wi, 3), dtype=np.uint8)
+    xla._FORCE_PALLAS = True
+    xla._RGB24_PLANES = True
+    try:
+        with mock.patch.object(pl, "pallas_call", _interp_call):
+            got = np.asarray(jax.jit(lambda v: xla.scale_fn(plan, v))(img))
+    finally:
+        xla._FORCE_PALLAS = None
+        xla._RGB24_PLANES = False
+        pallas_box._built_planes.cache_clear()
+    want = np.stack([numpy_ref.scale(plan, img[i]) for i in range(2)])
+    assert np.array_equal(want, got)
+
+
+def test_copy_copy_not_applicable():
+    # pure repack (COPYxCOPY) stays on the XLA path
+    assert not pallas_box.applicable(ScalePlan(256, 128, 256, 128, 0, 1, False))
