@@ -29,8 +29,10 @@ Applicability: each axis is either integer-ratio box (uniform strides,
 zero fracs) or COPY (identity, dim_in == dim_out -- the reference's
 interp_horizontal_copy / scale_outrow_copy, generic.c:1594-1611,
 2302-2318), with at least one box axis; 64bpp storage (internal PREMUL8),
-4-byte pixel formats.  A COPY H axis skips the span matmul entirely (the
-kernel is a pure VPU vertical reduce); a COPY V axis passes the h-row
+4-byte pixel formats.  A COPY H axis has no H span matmul; its V box
+contracts on the MXU instead (_vspan_matrix -- the full-width
+reshape-reduce was 3.4x slower, the (rows_t, ry, w) reshape being a
+sublane relayout of the whole block).  A COPY V axis passes the h-row
 through.  Unassociated *input* is premultiplied in-kernel; unassociated
 *output* is handled by an output-sized XLA epilogue (unpremul_p8 at pack,
 generic.c:227-236).  Everything else falls back to the XLA path.
@@ -129,12 +131,15 @@ def _span_matrix(ax):
 
 
 def _vspan_matrix(rows_t: int, ry: int):
-    """Mv^T: (rows_t, rows_t*ry) 0/1 matrix contracting each V span's ry
+    """Mv: (rows_t, rows_t*ry) 0/1 matrix contracting each V span's ry
     rows on the MXU (COPY-H plans, where there is no H matmul to shrink
     the width first: the full-width VPU reshape-reduce measured 2.9 ms vs
-    0.86 ms for the matmul form on the 4096^2->4096x256 strip).  The
-    image's final-row drop is block-dependent and applied as a subtraction
-    in the kernel, so every column holds exactly ry ones."""
+    0.86 ms for the matmul form on the 4096^2->4096x256 strip -- the
+    (rows_t, ry, w) reshape is a sublane relayout of the whole block).
+    Every row holds exactly ry ones; the per-row edge adjustments
+    (255/256 span-first weight, the image's final-input-row drop) fold
+    into the *input* before the matmul exactly like the H path, so the
+    biased -128 offset is undone by the uniform +128*ry per output row."""
     m = np.zeros((rows_t, rows_t * ry), dtype=np.int8)
     for j in range(rows_t):
         m[j, j * ry : (j + 1) * ry] = 1
@@ -167,9 +172,21 @@ def _make_kernel(plan: ScalePlan, rows_t: int, planes=False,
     alpha_byte = in_layout.index(3)
     assert not planes or (alpha_byte == 3 and not unassoc_in)
 
+    v_mm = h_copy and not v_copy  # MXU V-span matmul (see _vspan_matrix)
+
     def body(px, m8, o_ref, g):
         # px: (rows_t*ry, w_in) u32, or (3, rows_t*ry, w_in) u8
-        if not v_copy:
+        if v_mm:
+            # input-row index in the whole image: span-first rows (255/256
+            # weight) and the final input row (reference precalc drop) are
+            # folded into the matmul operand
+            row_l = jax.lax.broadcasted_iota(
+                jnp.int32, (rows_t * ry, w_in), 0
+            )
+            grow = g * (rows_t * ry) + row_l
+            vspan_first = (row_l % ry == 0) & (grow > 0)
+            last_in_row = h_out * ry - 1
+        elif not v_copy:
             # output-row index in the whole image, for edge-weight selection
             row_ids = g * rows_t + jax.lax.broadcasted_iota(
                 jnp.int32, (rows_t, w_out), 0
@@ -234,6 +251,24 @@ def _make_kernel(plan: ScalePlan, rows_t: int, planes=False,
             if v_copy:
                 # scale_outrow_copy (generic.c:2302-2318)
                 out_ch = hrow
+            elif v_mm:
+                # MXU span contraction: subtract the span-first 255/256
+                # identity ((v*255)>>8 == v - [v>0]) and zero the dropped
+                # final input row IN THE OPERAND, then bias to int8; the
+                # dropped row's -128 bias is restored by the uniform
+                # +128*ry (its adjusted value is 0, so it contributes
+                # nothing) -- additively identical to the reshape-reduce
+                # form, hence bit-exact
+                adjv = hrow - (vspan_first & (hrow > 0)).astype(jnp.int32)
+                adjv = jnp.where(grow == last_in_row, 0, adjv)
+                yb = jnp.dot(
+                    m8, (adjv - 128).astype(jnp.int8),
+                    preferred_element_type=jnp.int32,
+                )
+                accv = yb + 128 * ry
+                out_ch = (
+                    fp.mul_shift_round24(accv, jnp.int32(span_mul_y)) & 0xFF
+                )
             else:
                 # vertical: groups of ry rows
                 gv = hrow.reshape(rows_t, ry, w_out)
@@ -254,15 +289,11 @@ def _make_kernel(plan: ScalePlan, rows_t: int, planes=False,
             out_px = out_px | (out_ch.astype(jnp.uint32) << (8 * out_byte))
         o_ref[0] = out_px
 
-    if h_copy:
-
-        def kernel(x_ref, o_ref):
-            body(x_ref[0], None, o_ref, pl.program_id(1))
-
-    else:
-
-        def kernel(x_ref, m_ref, o_ref):
-            body(x_ref[0], m_ref[...], o_ref, pl.program_id(1))
+    # every reachable form carries a matrix operand now: box-H plans the
+    # span-sum matrix, COPY-H plans the V-span contraction matrix
+    # (applicable() guarantees at least one box axis)
+    def kernel(x_ref, m_ref, o_ref):
+        body(x_ref[0], m_ref[...], o_ref, pl.program_id(1))
 
     return kernel
 
@@ -333,7 +364,7 @@ def _built(plan: ScalePlan, batch: int):
     ry = plan.y.dim_in // plan.y.dim_out
     rows_t = _pick_rows_t(plan)
     h_copy = plan.x.filter == FilterType.COPY
-    m = None if h_copy else _span_matrix(plan.x)
+    m = _vspan_matrix(rows_t, ry) if h_copy else _span_matrix(plan.x)
     kernel = _make_kernel(plan, rows_t)
     grid = (batch, h_out // rows_t)
 
@@ -343,12 +374,9 @@ def _built(plan: ScalePlan, batch: int):
             lambda b, g: (b, g, 0),
             memory_space=pltpu.VMEM,
         ),
+        pl.BlockSpec(m.shape, lambda b, g: (0, 0),
+                     memory_space=pltpu.VMEM),
     ]
-    if not h_copy:
-        in_specs.append(
-            pl.BlockSpec(m.shape, lambda b, g: (0, 0),
-                         memory_space=pltpu.VMEM)
-        )
     call = pl.pallas_call(
         kernel,
         out_shape=jax.ShapeDtypeStruct((batch, h_out, plan.width_out), jnp.uint32),
@@ -371,7 +399,7 @@ def _built(plan: ScalePlan, batch: int):
             px = imgs
         else:
             px = jax.lax.bitcast_convert_type(imgs, jnp.uint32)
-        out = call(px) if h_copy else call(px, jnp.asarray(m))
+        out = call(px, jnp.asarray(m))
         if unassoc_out:
             out = _unpremul_epilogue(plan, out)
         return jax.lax.bitcast_convert_type(out, jnp.uint8)
@@ -398,7 +426,7 @@ def _built_planes(plan: ScalePlan, batch: int, skip_alpha: bool):
     ry = plan.y.dim_in // plan.y.dim_out
     rows_t = _pick_rows_t(plan)
     h_copy = plan.x.filter == FilterType.COPY
-    m = None if h_copy else _span_matrix(plan.x)
+    m = _vspan_matrix(rows_t, ry) if h_copy else _span_matrix(plan.x)
     kernel = _make_kernel(plan, rows_t, planes=True, skip_alpha=skip_alpha)
     grid = (batch, h_out // rows_t)
 
@@ -408,12 +436,9 @@ def _built_planes(plan: ScalePlan, batch: int, skip_alpha: bool):
             lambda b, g: (b, 0, g, 0),
             memory_space=pltpu.VMEM,
         ),
+        pl.BlockSpec(m.shape, lambda b, g: (0, 0),
+                     memory_space=pltpu.VMEM),
     ]
-    if not h_copy:
-        in_specs.append(
-            pl.BlockSpec(m.shape, lambda b, g: (0, 0),
-                         memory_space=pltpu.VMEM)
-        )
     call = pl.pallas_call(
         kernel,
         out_shape=jax.ShapeDtypeStruct(
@@ -431,7 +456,7 @@ def _built_planes(plan: ScalePlan, batch: int, skip_alpha: bool):
     assert not (skip_alpha and unassoc_out)
 
     def fn(pls):
-        out = call(pls) if h_copy else call(pls, jnp.asarray(m))
+        out = call(pls, jnp.asarray(m))
         if unassoc_out:
             out = _unpremul_epilogue(plan, out)
         return jax.lax.bitcast_convert_type(out, jnp.uint8)
