@@ -72,8 +72,9 @@ def applicable(plan: ScalePlan) -> bool:
         # at least one box axis: pure COPYxCOPY repacks stay on XLA
         and FilterType.BOX in (plan.x.filter, plan.y.filter)
         # VMEM budget: int8 span matrix + input tile (the block-diagonal
-        # chunked matrix is compact: 128 columns regardless of w_out;
-        # a COPY H axis has no matrix at all)
+        # chunked matrix is compact: 128 columns regardless of w_out; a
+        # COPY H axis instead carries the (rows_t, rows_t*ry) V-span
+        # matrix, bounded inside _pick_rows_t)
         and plan.width_in % 128 == 0
         and (
             plan.x.filter == FilterType.COPY
@@ -318,17 +319,29 @@ def _pick_rows_t(plan: ScalePlan):
     budget = 4 * 2**20
     if plan.meta_in.alpha == AlphaType.UNASSOCIATED:
         budget = 3_407_872  # 3.25 MB
-    if plan.x.filter == FilterType.COPY:
+    h_copy = plan.x.filter == FilterType.COPY
+    if h_copy:
         # no H matmul means the per-channel int32 temporaries stay full
         # width (the box-H kernel shrinks them to w_out columns): the live
         # set is ~4.5x the block, and a 4 MB block OOMs the 16 MB scoped
-        # VMEM (17.95M measured on 4096^2->4096x256)
+        # VMEM (17.95M measured on 4096^2->4096x256).  On top of that the
+        # kernel holds the resident (rows_t, rows_t*ry) int8 V-span matrix
+        # plus the full-width (rows_t, W) int32 matmul result; _fits_copy_h
+        # bounds those per candidate so tall-output plans (e.g.
+        # 128x16016->128x1001: rows_t=1001, ry=16 -> 15.3 MB matrix) fall
+        # back to XLA instead of crashing Mosaic at compile time.
         budget = min(budget, 2 * 2**20)
+
+    def _fits_copy_h(t: int) -> bool:
+        if not h_copy:
+            return True
+        return t * t * ry + t * plan.width_in * 4 <= 2 * 2**20
+
     budget_rows = max(1, budget // (plan.width_in * 4 * ry))
     for t in range(min(budget_rows, h_out), 0, -1):
-        if h_out % t == 0 and (t % 8 == 0 or t == h_out):
+        if h_out % t == 0 and (t % 8 == 0 or t == h_out) and _fits_copy_h(t):
             return t
-    if plan.width_in * 4 * plan.y.dim_in <= 8 * 2**20:
+    if plan.width_in * 4 * plan.y.dim_in <= 8 * 2**20 and _fits_copy_h(h_out):
         return h_out  # whole output in one block
     return None
 

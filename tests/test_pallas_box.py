@@ -221,6 +221,28 @@ def test_pallas_box_copy_axes_planes(wi, hi, wo, ho, ti, to):
     assert np.array_equal(want, got)
 
 
+def test_copy_h_vspan_matrix_bounded():
+    """COPY-H plans must bound the resident (rows_t, rows_t*ry) V-span
+    matrix: 128x16016->128x1001 reaches the whole-output fallback
+    (rows_t=1001, ry=16 -> a 15.3 MB int8 matrix) and would crash Mosaic's
+    16 MB scoped VMEM at compile time, so it must fall back to XLA."""
+    bad = ScalePlan(128, 16016, 128, 1001, 0, 0, False)
+    assert bad.x.filter == FilterType.COPY
+    assert pallas_box._pick_rows_t(bad) is None
+    assert not pallas_box.applicable(bad)
+    # fitting whole-output fallback stays in: h_out=25 has no 8-aligned
+    # divisor and budget_rows (23) < h_out, so rows_t=25 comes from the
+    # fallback, whose 10 KB matrix passes the bound
+    ok = ScalePlan(1408, 400, 1408, 25, 0, 0, False)
+    assert ok.x.filter == FilterType.COPY
+    rt = pallas_box._pick_rows_t(ok)
+    assert rt == 25 and rt * rt * 16 + rt * 1408 * 4 <= 2 * 2**20
+    assert pallas_box.applicable(ok)
+    # the certified strip geometry (4096^2 -> 4096x256) keeps its tile
+    strip = ScalePlan(4096, 4096, 4096, 256, 0, 0, False)
+    assert pallas_box._pick_rows_t(strip) == 8
+
+
 def test_copy_copy_not_applicable():
     # pure repack (COPYxCOPY) stays on the XLA path
     assert not pallas_box.applicable(ScalePlan(256, 128, 256, 128, 0, 1, False))
