@@ -214,20 +214,37 @@ def bench_row_stream():
     tables = xla.RowShardTables(plan, n_chunks)
     rng = np.random.default_rng(0)
     img = rng.integers(0, 256, (8192, 8192, 4), dtype=np.uint8)
-    x = jax.device_put(jnp.asarray(img))
+    # free host u32 pixel view (skips the on-device u8->u32 relayout copy)
+    x = jax.device_put(jnp.asarray(img.reshape(8192, 8192 * 4).view(np.uint32)))
     _ = np.asarray(x[0, 0])
 
-    # One dispatch computes every chunk through the windowed row machinery
-    # (separate dispatches would measure the axon tunnel's ~80ms RTT per
-    # fetch, not compute; a real streaming consumer overlaps them).
-    @jax.jit
-    def all_chunks(v):
-        padded = xla.pad_rows(plan, tables, v)
-        outs = [
-            xla.row_shard_fn(plan, tables, padded, jnp.int32(i))
-            for i in range(n_chunks)
-        ]
-        return jnp.concatenate(outs, axis=0)[0, 0, 0]
+    # One dispatch computes every chunk (separate dispatches would measure
+    # the axon tunnel's ~80ms RTT per fetch, not compute; a real streaming
+    # consumer overlaps them).  Chunks run the fused Pallas row-range
+    # kernel when the plan qualifies (the scale_rows dispatch path),
+    # falling back to the windowed op-graph row machinery.
+    step = plan.height_out // n_chunks
+    use_fused = xla._pallas_rows_ok(plan)
+
+    if use_fused:
+        from smolscale_tpu.ops import pallas_bilinear
+
+        @jax.jit
+        def all_chunks(v):
+            outs = [
+                pallas_bilinear.scale_rows_fn(plan, v, i * step, step)
+                for i in range(n_chunks)
+            ]
+            return jnp.concatenate(outs, axis=0)[0, 0, 0]
+    else:
+        @jax.jit
+        def all_chunks(v):
+            padded = xla.pad_rows(plan, tables, v)
+            outs = [
+                xla.row_shard_fn(plan, tables, padded, jnp.int32(i))
+                for i in range(n_chunks)
+            ]
+            return jnp.concatenate(outs, axis=0)[0, 0, 0]
 
     res = _chain_timer(all_chunks, x, n_short=1, n_long=5)
     per = res.per

@@ -1010,6 +1010,32 @@ def _jitted_rows(plan: ScalePlan, n: int, post_fn=None):
     return jax.jit(fn)
 
 
+def _pallas_rows_ok(plan: ScalePlan) -> bool:
+    """True when the fused Pallas row-range kernel should serve scale_rows
+    (TPU + 64bpp general-kernel plan; other classes keep the windowed
+    op-graph path)."""
+    from ..ops import pallas_bilinear
+
+    use_pallas = _FORCE_PALLAS
+    if use_pallas is None:
+        try:
+            use_pallas = jax.default_backend() == "tpu"
+        except RuntimeError:  # pragma: no cover
+            use_pallas = False
+    return bool(use_pallas) and pallas_bilinear.applicable(plan)
+
+
+@functools.cache
+def _jitted_rows_fused(plan: ScalePlan, first: int, n: int, post_fn=None):
+    from ..ops import pallas_bilinear
+
+    def fn(img):
+        out = pallas_bilinear.scale_rows_fn(plan, img, first, n)
+        return post_fn(out) if post_fn is not None else out
+
+    return jax.jit(fn)
+
+
 def scale_rows(plan: ScalePlan, img, first_out_row: int, n_out_rows: int,
                post_fn=None) -> np.ndarray:
     """post_fn, if given, is fused into the chunk's compiled program (the
@@ -1018,6 +1044,18 @@ def scale_rows(plan: ScalePlan, img, first_out_row: int, n_out_rows: int,
     if first < 0 or n < 1 or first + n > plan.height_out:
         raise ValueError(
             f"row range [{first}, {first + n}) outside [0, {plan.height_out})"
+        )
+    if _pallas_rows_ok(plan):
+        x = img
+        if (
+            isinstance(x, np.ndarray)
+            and plan.meta_in.n_bytes == 4
+            and x.dtype == np.uint8
+        ):
+            # free host u32 pixel view (skips the on-device relayout copy)
+            x = np.ascontiguousarray(x).view(np.uint32)[..., 0]
+        return np.asarray(
+            _jitted_rows_fused(plan, first, n, post_fn)(jnp.asarray(x))
         )
     img = jnp.asarray(img)
     return np.asarray(_jitted_rows(plan, n, post_fn)(img, jnp.int32(first)))

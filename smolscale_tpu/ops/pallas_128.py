@@ -104,15 +104,15 @@ def _make_kernel(plan: ScalePlan, geo):
                     # premul_u_to_p8 (generic.c:238-244)
                     ch = (((v8 + 1) * (a_vals + 1) - 1) >> 8) & 0xFF
             if geo["h_uniform"]:
-                # PREMUL16 compressed values <= 65535 need 3 int8 limbs;
-                # deep-box PREMUL8 values <= 255 need 2
+                # PREMUL16 compressed <= 65535: two biased-8 limbs;
+                # deep-box PREMUL8 <= 255: one (see _uniform_span_mm)
                 s = pg._h_uniform_stage(
-                    ch, mh, geo, cs, plan.width_out, span_mul_x, 0xFFFF,
-                    3 if premul16 else 2,
+                    ch, mh, hfac_ref, geo, cs, plan.width_out, span_mul_x,
+                    0xFFFF, 3 if premul16 else 2,
                 )
             elif geo["h_lad"] is not None:
                 s = pg._h_uniform_ladder_stage(
-                    ch, mh, geo, MASK, 3 if premul16 else 2
+                    ch, mh, hfac_ref, geo, MASK, 3 if premul16 else 2
                 )
             elif geo["h_lmap"]:
                 s = pg._h_lerpmap_stage(
@@ -124,7 +124,8 @@ def _make_kernel(plan: ScalePlan, geo):
                     geo["l8_in"],
                 )
             else:
-                y = pg._gather_mm(ch, mh, h_limbs)
+                sp = None if geo["h_spans"] is None else geo["h_spans"][0]
+                y = pg._gather_mm(ch, mh, h_limbs, spans=sp)
                 s = pg._h_stage_i32(y, hfac_ref, geo, span_mul_x, MASK, 0xFFFF)
             if geo["v_uniform"]:
                 sv = pg._v_uniform_stage(

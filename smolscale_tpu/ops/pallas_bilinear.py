@@ -94,9 +94,63 @@ def _wrap_i32(v):
 
 _ABLATE = None  # timing-only stage ablation knob (benchmarks/probe_bilinear_ablate)
 
+_CHUNK_H = True        # probe kill-switch for block-diagonal H chunking
+_CHUNK_MIN_SAVE = 1.25  # emit spans only when the MAC saving clears this
+
 
 def _round_up(x, m):
     return -(-x // m) * m
+
+
+def _col_chunk_spans(m_stack, n_blocks=1):
+    """Static block-diagonal column chunking for the H gather matmuls.
+
+    Downscale gather/span matrices are nearly banded: each output column
+    reads a narrow run of input lanes, and runs advance with the column.
+    The dense (win_c, C) matmul pays full contraction against every
+    column tile; cutting columns into 128-wide chunks and contracting
+    each only over the 128-aligned hull of its nonzero rows (across ALL
+    tiles -- the kernel is one program, so slices must be valid for every
+    tile g) drops MACs by the band ratio and is bit-identical: the
+    dropped rows are zero in the chunk's columns for every tile, so they
+    contribute exactly 0.  The same trick took the integer-box kernel
+    36 -> 172 Gpix/s (pallas_box._span_chunks); this generalizes it to
+    every H matmul form from the matrices' actual nonzero extents, with
+    no monotonicity assumption.
+
+    ``m_stack``: (n_tiles, win_c, C) numpy stack; ``n_blocks`` logical
+    column blocks of C // n_blocks columns each (the box stages slice the
+    matrix into [A|R] / [A|L|R] blocks and run separate matmuls).
+    Returns a tuple of per-block span-tuples ((r0, r1, c0, c1), ...) with
+    block-local col bounds, or None when chunking saves < _CHUNK_MIN_SAVE
+    in MACs (per-matmul overhead would eat the win) or alignment rules it
+    out (col boundaries must be 128-aligned for lane-dim slicing).
+    """
+    if not _CHUNK_H:
+        return None
+    m = np.asarray(m_stack, dtype=np.float32)
+    n_t, win_c, c_tot = m.shape
+    bc = c_tot // n_blocks
+    if bc % 128 or bc < 256 or win_c < 256:
+        return None
+    blocks = []
+    covered = 0
+    for b in range(n_blocks):
+        sub = m[:, :, b * bc : (b + 1) * bc]
+        spans = []
+        for c0 in range(0, bc, 128):
+            nz = np.nonzero(sub[:, :, c0 : c0 + 128].any(axis=(0, 2)))[0]
+            if len(nz) == 0:
+                r0, r1 = 0, 128  # pad columns: minimal legal chunk
+            else:
+                r0 = (int(nz[0]) // 128) * 128
+                r1 = min(_round_up(int(nz[-1]) + 1, 128), win_c)
+            spans.append((r0, r1, c0, c0 + 128))
+            covered += (r1 - r0) * 128
+        blocks.append(tuple(spans))
+    if covered * _CHUNK_MIN_SAVE > win_c * c_tot:
+        return None
+    return tuple(blocks)
 
 
 def _axis_ok(f: FilterType) -> bool:
@@ -554,7 +608,13 @@ def _geometry_for_t(plan: ScalePlan, t: int, jc_out_max: int = 256,
                 break
             m1[lo : min(lo + r_x, win_c), j] = 1
         mh = np.broadcast_to(m1, (n_ct, win_c, jc_out)).copy()
-        hfac = np.zeros((n_ct, 1, 1), dtype=np.int32)  # unused
+        # biased-limb correction (row 1, like the lmap layout): colsum *
+        # bias factor for the cheapest exact limb form of this class
+        hfac = np.zeros((n_ct, 8, max(128, jc_out)), dtype=np.int32)
+        hfac[:, 1, :jc_out] = _wrap_i32(
+            m1.astype(np.int64).sum(axis=0)
+            * _span_bias_factor(_limbs8(plan, False))
+        )
     elif h_lad is not None:
         # 0/1 ladder-sum matrix over the lerped window: col j sums the
         # 2**kh lerped samples at lanes o0 + (j*2**kh + k)*d (identical for
@@ -567,7 +627,12 @@ def _geometry_for_t(plan: ScalePlan, t: int, jc_out_max: int = 256,
                 if lane < win_c:
                     m1[lane, j] = 1
         mh = np.broadcast_to(m1, (n_ct, win_c, jc_out)).copy()
-        hfac = np.zeros((n_ct, 1, 1), dtype=np.int32)  # unused
+        # biased-limb correction (row 1, like the lmap layout)
+        hfac = np.zeros((n_ct, 8, max(128, jc_out)), dtype=np.int32)
+        hfac[:, 1, :jc_out] = _wrap_i32(
+            m1.astype(np.int64).sum(axis=0)
+            * _span_bias_factor(_limbs8(plan, False))
+        )
     elif h_triv:
         # no matrix: COPY slices the window, ONE broadcasts lane 0
         mh = np.zeros((n_ct, 1, 1), dtype=np.int8)
@@ -660,6 +725,18 @@ def _geometry_for_t(plan: ScalePlan, t: int, jc_out_max: int = 256,
                     f = int(xfac[s])
                     mh[g, o, col] = f
                     mh[g, o + 1, col] = 256 - f
+    # block-diagonal column chunking of the H matmul (see _col_chunk_spans);
+    # computed from the final matrices so it covers every H form: dense
+    # weighted gathers (1 block of jc cols), uniform/ladder/lmap span
+    # matrices (1 block of jc_out), edge-folded box (2 blocks), box3 (3)
+    if h_triv:
+        h_spans = None
+    elif h_is_box and h_box3:
+        h_spans = _col_chunk_spans(mh, 3)
+    elif h_is_box and not h_uniform:
+        h_spans = _col_chunk_spans(mh, 2)
+    else:
+        h_spans = _col_chunk_spans(mh, 1)
     if mh.dtype == np.float32:  # dense weighted gathers only; int8 stays
         mh = mh.astype(jnp.bfloat16)
 
@@ -768,6 +845,7 @@ def _geometry_for_t(plan: ScalePlan, t: int, jc_out_max: int = 256,
         h_last_short=bool(h_uniform and int(plan.x.strides[-1]) == r_x - 2),
         v_last_short=bool(v_uniform and int(plan.y.strides[-1]) == r_y - 2),
         h_lad=h_lad, v_lad=v_lad,
+        h_spans=h_spans,
         h_box3=h_box3, v_box3=v_box3,
         h_lmap=h_lmap is not None, v_lmap=v_lmap is not None,
         l8_in=_limbs8(plan, False), l8_v=_limbs8(plan, True),
@@ -786,20 +864,43 @@ def _mul_shift_round24(a, m):
 # Used by pallas_srgb (linear light) and pallas_128 (PREMUL16 / deep box);
 # the 64bpp kernel keeps its own fused copies below.
 
-def _gather_mm(x_i32, mat, n_limbs, transpose=False):
+def _mm_spans(v, mat, spans, dot):
+    """One H-direction matmul, optionally split into static column chunks.
+
+    ``spans`` is a tuple of (r0, r1, c0, c1): chunk k computes
+    ``v[:, r0:r1] @ mat[r0:r1, c0:c1]`` -- bit-identical to the dense
+    product when rows outside [r0, r1) are zero in mat's [c0, c1) columns
+    (the dropped blocks contribute exactly 0).  Row bounds are 128-aligned
+    (lane-dim slices of v), col bounds 128-aligned except a final ragged
+    tail.  Cuts MACs by the ratio of covered area to the dense rectangle;
+    the geometry only emits spans when that saving clears a threshold."""
+    if spans is None:
+        return dot(v, mat)
+    return jnp.concatenate(
+        [dot(v[:, r0:r1], mat[r0:r1, c0:c1]) for r0, r1, c0, c1 in spans],
+        axis=1,
+    )
+
+
+def _gather_mm(x_i32, mat, n_limbs, transpose=False, spans=None):
     """Exact 0/1-matrix application via 8-bit bf16 limb matmuls.
 
     Limbs <= 255 are exact in bf16; per-limb f32 sums stay < 2**24 for
     every span the planner allows, and the int32 limb recombination is
     mod-2**32 exact (downstream normalization treats accumulators as
     uint32).  n_limbs = ceil(value_bits / 8) of the input bound.
+    ``spans`` (H direction only) chunks the matmul block-diagonally.
     """
+    def dot(v, m):
+        return jnp.dot(v, m, preferred_element_type=jnp.float32)
+
     def mm(v):
         vb = v.astype(jnp.bfloat16)
         if transpose:
+            assert spans is None
             y = jnp.dot(mat, vb, preferred_element_type=jnp.float32)
         else:
-            y = jnp.dot(vb, mat, preferred_element_type=jnp.float32)
+            y = _mm_spans(vb, mat, spans, dot)
         return y.astype(jnp.int32)
 
     if n_limbs == 1:
@@ -810,7 +911,7 @@ def _gather_mm(x_i32, mat, n_limbs, transpose=False):
     return out
 
 
-def _span_mm_i8(x_i32, mat_i8, n_limbs, transpose=False):
+def _span_mm_i8(x_i32, mat_i8, n_limbs, transpose=False, spans=None):
     """Exact small-count span sums on the int8 MXU (2x the bf16 rate on
     v5e).
 
@@ -820,11 +921,15 @@ def _span_mm_i8(x_i32, mat_i8, n_limbs, transpose=False):
     like the bf16 path (_gather_mm).  n_limbs = ceil(value_bits / 7):
     2 covers < 2**14, 3 covers < 2**21.  ``transpose`` computes mat @ x.
     """
+    def dot(v, m):
+        return jnp.dot(v, m, preferred_element_type=jnp.int32)
+
     def mm(v):
         vb = v.astype(jnp.int8)
         if transpose:
+            assert spans is None
             return jnp.dot(mat_i8, vb, preferred_element_type=jnp.int32)
-        return jnp.dot(vb, mat_i8, preferred_element_type=jnp.int32)
+        return _mm_spans(vb, mat_i8, spans, dot)
 
     out = mm(x_i32 & 0x7F)
     if n_limbs >= 2:
@@ -834,7 +939,7 @@ def _span_mm_i8(x_i32, mat_i8, n_limbs, transpose=False):
     return out
 
 
-def _span_mm_u7(x_i32, mat_i8, s, transpose=False):
+def _span_mm_u7(x_i32, mat_i8, s, transpose=False, spans=None):
     """Exact span sums for values < 2**(s+7) via two UNBIASED int8 limbs.
 
     ``hi = x >> s`` fits int8 because the caller guarantees x < 2**(s+7)
@@ -846,11 +951,15 @@ def _span_mm_u7(x_i32, mat_i8, s, transpose=False):
     themselves are far from the MXU roofline).  Per-limb int32 sums are
     exact (counts * 127 << 2**31); recombination is mod-2**32 exact as in
     _span_mm_i8."""
+    def dot(v, m):
+        return jnp.dot(v, m, preferred_element_type=jnp.int32)
+
     def mm(v):
         vb = v.astype(jnp.int8)
         if transpose:
+            assert spans is None
             return jnp.dot(mat_i8, vb, preferred_element_type=jnp.int32)
-        return jnp.dot(vb, mat_i8, preferred_element_type=jnp.int32)
+        return _mm_spans(vb, mat_i8, spans, dot)
 
     return mm(x_i32 & ((1 << s) - 1)) + (mm(x_i32 >> s) << s)
 
@@ -860,7 +969,7 @@ def _span_bias_factor(n_limbs8: int) -> int:
     return 128 * sum(1 << (8 * l) for l in range(n_limbs8))
 
 
-def _span_mm_i8b(x_i32, mat_i8, corr, n_limbs8, transpose=False):
+def _span_mm_i8b(x_i32, mat_i8, corr, n_limbs8, transpose=False, spans=None):
     """Biased 8-bit-limb span sums on the int8 MXU.
 
     Each 8-bit limb [0, 255] is biased by -128 into the signed int8 range,
@@ -872,11 +981,15 @@ def _span_mm_i8b(x_i32, mat_i8, corr, n_limbs8, transpose=False):
     shifted recombination is mod-2**32 exact as in _span_mm_i8).
     ``transpose`` computes mat @ x with per-row-sum corrections.
     """
+    def dot(v, m):
+        return jnp.dot(v, m, preferred_element_type=jnp.int32)
+
     def mm(v):
         vb = v.astype(jnp.int8)
         if transpose:
+            assert spans is None
             return jnp.dot(mat_i8, vb, preferred_element_type=jnp.int32)
-        return jnp.dot(vb, mat_i8, preferred_element_type=jnp.int32)
+        return _mm_spans(vb, mat_i8, spans, dot)
 
     out = mm((x_i32 & 0xFF) - 128)
     if n_limbs8 >= 2:
@@ -896,11 +1009,12 @@ def _h_lerpmap_stage(ch, mh_i8, hfac_ref, geo, mask, n_limbs8):
     f = hfac_ref[0, 0:1, :]  # (1, win_c), broadcasts over rows
     q = jnp.roll(ch, -1, axis=1)
     lerped = fp.lerp256(ch, q, f, mask)
+    sp = None if geo["h_spans"] is None else geo["h_spans"][0]
     if geo["u7_in"] is not None:  # P8L <= 2047: cheaper unbiased limbs
-        y = _span_mm_u7(lerped, mh_i8, geo["u7_in"])
+        y = _span_mm_u7(lerped, mh_i8, geo["u7_in"], spans=sp)
     else:
         corr = hfac_ref[0, 1:2, : geo["jc_out"]]
-        y = _span_mm_i8b(lerped, mh_i8, corr, n_limbs8)
+        y = _span_mm_i8b(lerped, mh_i8, corr, n_limbs8, spans=sp)
     kh = geo["kh"]
     return ((y >> kh) & mask) if kh else y
 
@@ -938,9 +1052,11 @@ def _h_box_post_stage(ch, mh_i8, hfac_ref, geo, span_mul_x, wmask,
     corr_a = hfac_ref[0, 2:3, :jc_out]
     corr_l = hfac_ref[0, 3:4, :jc_out]
     corr_r = hfac_ref[0, 4:5, :jc_out]
-    y_a = _span_mm_i8b(ch, mh_i8[:, :jc_out], corr_a, 1)
-    y_l = _span_mm_i8b(ch, mh_i8[:, jc_out : 2 * jc_out], corr_l, 1)
-    y_r = _span_mm_i8b(ch, mh_i8[:, 2 * jc_out :], corr_r, 1)
+    sp = geo["h_spans"] or (None, None, None)
+    y_a = _span_mm_i8b(ch, mh_i8[:, :jc_out], corr_a, 1, spans=sp[0])
+    y_l = _span_mm_i8b(ch, mh_i8[:, jc_out : 2 * jc_out], corr_l, 1,
+                       spans=sp[1])
+    y_r = _span_mm_i8b(ch, mh_i8[:, 2 * jc_out :], corr_r, 1, spans=sp[2])
     y = (
         y_a - y_l
         + ((y_l.astype(jnp.uint32) * lw >> 8) & wmask).astype(jnp.int32)
@@ -987,15 +1103,18 @@ def _h_box_fold_stage(ch, mh_i8, hfac_ref, geo, span_mul_x, wmask,
     rf = hfac_ref[0, 1:2, :]
     adj = fp.weight256(ch, lw, wmask)
     zr = fp.weight256(ch, rf, wmask)
+    sp = geo["h_spans"] or (None, None)
     if geo["u7_in"] is not None:  # P8L <= 2047: cheaper unbiased limbs
         s7 = geo["u7_in"]
-        y = (_span_mm_u7(adj, mh_i8[:, :jc_out], s7)
-             + _span_mm_u7(zr, mh_i8[:, jc_out:], s7))
+        y = (_span_mm_u7(adj, mh_i8[:, :jc_out], s7, spans=sp[0])
+             + _span_mm_u7(zr, mh_i8[:, jc_out:], s7, spans=sp[1]))
     else:
         corr_a = hfac_ref[0, 2:3, :jc_out]
         corr_r = hfac_ref[0, 3:4, :jc_out]
-        y = (_span_mm_i8b(adj, mh_i8[:, :jc_out], corr_a, n_limbs8)
-             + _span_mm_i8b(zr, mh_i8[:, jc_out:], corr_r, n_limbs8))
+        y = (_span_mm_i8b(adj, mh_i8[:, :jc_out], corr_a, n_limbs8,
+                          spans=sp[0])
+             + _span_mm_i8b(zr, mh_i8[:, jc_out:], corr_r, n_limbs8,
+                            spans=sp[1]))
     return _mul_shift_round24(y, jnp.int32(span_mul_x)) & norm_mask
 
 
@@ -1068,7 +1187,30 @@ def _window_dma(rs_ref, cs_ref, x_any, xwin, sem, win_r, win_c, b, gr, gc,
     return xwin[slot]
 
 
-def _h_uniform_stage(ch, mh, geo, cs, w_out, span_mul_x, norm_mask, n_limbs):
+def _uniform_span_mm(x, mh, hfac_ref, geo, n_limbs):
+    """Cheapest exact span-sum matmul for the uniform H stages.
+
+    Picks, per plan class, the cheapest of the three exact forms (the
+    same ladder the lmap/fold stages already climb): unbiased u7 split
+    limbs (P8L-linear <= 2047, 2 matmuls + 2 prep ops), biased 8-bit
+    limbs when that beats the caller's 7-bit count (S64 bytes: 1 matmul
+    vs 2; PREMUL16-compressed <= 65535: 2 vs 3; deep-box bytes: 1 vs 2),
+    else the original unbiased 7-bit limbs (PREMUL16-linear < 2**20: 3
+    either way).  Biased corrections ride hfac row 1 (colsum * bias
+    factor, filled by the geometry).  All forms take the block-diagonal
+    column spans."""
+    sp = None if geo["h_spans"] is None else geo["h_spans"][0]
+    if geo["u7_in"] is not None:
+        return _span_mm_u7(x, mh, geo["u7_in"], spans=sp)
+    l8 = geo["l8_in"]
+    if l8 < n_limbs:
+        corr = hfac_ref[0, 1:2, : geo["jc_out"]]
+        return _span_mm_i8b(x, mh, corr, l8, spans=sp)
+    return _span_mm_i8(x, mh, n_limbs, spans=sp)
+
+
+def _h_uniform_stage(ch, mh, hfac_ref, geo, cs, w_out, span_mul_x,
+                     norm_mask, n_limbs):
     """Integer-ratio H box: edge weights folded into the input, one 0/1
     span-sum matmul, span normalization.
 
@@ -1088,11 +1230,36 @@ def _h_uniform_stage(ch, mh, geo, cs, w_out, span_mul_x, norm_mask, n_limbs):
     adj = ch - jnp.where(span_first, (ch + 255) >> 8, 0)
     if geo["h_last_short"]:
         adj = jnp.where(glob == w_out * r - 1, 0, adj)
-    acc = _span_mm_i8(adj, mh, n_limbs)
+    acc = _uniform_span_mm(adj, mh, hfac_ref, geo, n_limbs)
     return _mul_shift_round24(acc, jnp.int32(span_mul_x)) & norm_mask
 
 
-def _h_uniform_ladder_stage(ch, mh, geo, mask, n_limbs):
+def _avg_floor(p, q):
+    """floor((p + q) / 2) per lane == lerp256(p, q, 128) exactly.
+
+    lerp256(p, q, 128) = floor((128p + 128q)/256) = floor((p+q)/2), and
+    (p & q) + ((p ^ q) >> 1) is the classic carry-free form of that floor
+    average (sum = 2*(p&q) + (p^q)).  3 VPU ops against lerp256's ~6, no
+    mask needed (values never grow), and f == 128 is what every
+    power-of-two uniform ladder uses (d >= 2 with constant fraction
+    forces f = 128 in practice).  Exactness is swept in
+    test_fixedpoint.py::test_avg_floor_equals_lerp128."""
+    return (p & q) + ((p ^ q) >> 1)
+
+
+def _avg_floor_packed(p, q):
+    """Per-byte floor average of packed u32 pixels: all FOUR channels of
+    lerp256(ch_p, ch_q, 128) in one 4-op SWAR stream (vs ~6 VPU ops per
+    channel after unpack).  (p & q) + (((p ^ q) >> 1) & 0x7F7F7F7F)
+    keeps every byte's average inside its own byte (no carries cross:
+    the shifted xor is masked to 7 bits per byte).  On config 1b the
+    per-channel lerp was 0.65 ms of 1.49 (ablation 2026-08-19); this
+    removes ~all of it."""
+    return (p & q) + (((p ^ q) >> jnp.uint32(1)) & jnp.uint32(0x7F7F7F7F))
+
+
+def _h_uniform_ladder_stage(ch, mh, hfac_ref, geo, mask, n_limbs,
+                            pre_lerped=False):
     """Constant-stride constant-fraction H bilinear ladder.
 
     Every sample is lerp256(x[o], x[o+1], f) with the SAME f, so the lerp
@@ -1100,12 +1267,24 @@ def _h_uniform_ladder_stage(ch, mh, geo, mask, n_limbs):
     wrapped last lane is never selected because d >= 2 keeps sample pairs
     short of the window end) and the 2**kh-sample ladder sum
     (interp_horizontal_bilinear_Nh, generic.c:1290-1361) is a 0/1 int8
-    span matmul followed by >> kh.
+    span matmul followed by >> kh.  Lerped values stay within the input
+    bound (convexity), so the same limb forms are exact.  f == 128 takes
+    the 3-op floor average (_avg_floor); ``pre_lerped`` skips the lerp
+    entirely (the 64bpp kernel pre-averages the packed pixels once for
+    all four channels, _avg_floor_packed).
     """
     d, f, _ = geo["h_lad"]
-    q = jnp.roll(ch, -1, axis=1)
-    lerped = fp.lerp256(ch, q, jnp.uint32(f), mask)
-    y = _span_mm_i8(lerped, mh, n_limbs)
+    if pre_lerped or _ABLATE == "nolerp":
+        lerped = ch
+    else:
+        q = jnp.roll(ch, -1, axis=1)
+        if f == 128:
+            lerped = _avg_floor(ch, q)
+        else:
+            lerped = fp.lerp256(ch, q, jnp.uint32(f), mask)
+    if _ABLATE == "nomm":  # timing-only: lerp but skip the ladder matmul
+        return lerped[:, : geo["jc_out"]]
+    y = _uniform_span_mm(lerped, mh, hfac_ref, geo, n_limbs)
     kh = geo["kh"]
     if kh:
         y = (y >> kh) & mask
@@ -1123,7 +1302,10 @@ def _v_uniform_ladder_stage(s, geo, mask):
     t, kv = geo["t"], geo["kv"]
     tv = t << kv
     g3 = s[o0 : o0 + tv * d].reshape(tv, d, s.shape[-1])
-    lerped = fp.lerp256(g3[:, 0, :], g3[:, 1, :], jnp.uint32(f), mask)
+    if f == 128:  # == lerp256(p, q, 128), 3 ops (see _avg_floor)
+        lerped = _avg_floor(g3[:, 0, :], g3[:, 1, :])
+    else:
+        lerped = fp.lerp256(g3[:, 0, :], g3[:, 1, :], jnp.uint32(f), mask)
     if kv:
         l3 = lerped.reshape(t, 1 << kv, s.shape[-1])
         return (jnp.sum(l3, axis=1) >> kv) & mask
@@ -1178,12 +1360,18 @@ def _v_stage_i32(yv, vfac_ref, geo, span_mul_y, mask, norm_mask):
     return sv
 
 
-def _make_kernel(plan: ScalePlan, geo, planes=False, skip_alpha=False):
+def _make_kernel(plan: ScalePlan, geo, planes=False, skip_alpha=False,
+                 row_base=0):
     """``planes``: channel-major (B, 3, H, W) u8 feed for 24bpp inputs --
     plane p is surrogate byte p, alpha is the synthesized constant 255
     (unpack_pixel_123_*, generic.c:353-358) so it never rides HBM.  With
     ``skip_alpha`` (24bpp output: the alpha byte is sliced off) the alpha
-    channel's filter work is skipped entirely."""
+    channel's filter work is skipped entirely.  ``row_base`` offsets the
+    grid's row-group index to the global row-group id (the fused
+    row-range path, _built_rows, launches a grid over a sub-range of
+    groups; only the uniform V box stage needs global output rows for its
+    edge weights -- every other V form encodes position in its sliced
+    tables)."""
     in_layout = plan.meta_in.layout
     out_layout = plan.meta_out.layout
     unassoc_in = plan.meta_in.alpha == AlphaType.UNASSOCIATED
@@ -1232,6 +1420,20 @@ def _make_kernel(plan: ScalePlan, geo, planes=False, skip_alpha=False):
             a_vals = (
                 (px >> (8 * alpha_byte)) & jnp.uint32(0xFF)
             ).astype(jnp.int32)
+        # f=128 uniform-ladder H: average the PACKED pixels once -- all
+        # four channels' lerps in one 4-op SWAR stream (the per-channel
+        # lerp was 43% of config 1b's runtime).  Requires byte channels
+        # untouched before the H filter, so unassociated input (in-kernel
+        # premultiply) keeps the per-channel path.
+        pre_avg = (
+            geo["h_lad"] is not None
+            and geo["h_lad"][1] == 128
+            and not planes
+            and not unassoc_in
+            and _ABLATE is None
+        )
+        if pre_avg:
+            px = _avg_floor_packed(px, jnp.roll(px, -1, axis=1))
         out_px = jnp.zeros((t, jc_out), dtype=jnp.uint32)
         for byte_pos in range(4):
             if planes:
@@ -1257,12 +1459,14 @@ def _make_kernel(plan: ScalePlan, geo, planes=False, skip_alpha=False):
                 # generic.c:1558-1581)
                 s = jnp.broadcast_to(ch[:, 0:1], (win_r, jc_out))
             elif geo["h_uniform"]:
-                # 8-bit values: 2 int8 limbs
+                # 8-bit values: one biased int8 limb (see _uniform_span_mm)
                 s = _h_uniform_stage(
-                    ch, mh, geo, cs, plan.width_out, span_mul_x, 0xFF, 2
+                    ch, mh, hfac_ref, geo, cs, plan.width_out, span_mul_x,
+                    0xFF, 2
                 )
             elif geo["h_lad"] is not None:
-                s = _h_uniform_ladder_stage(ch, mh, geo, 0xFF, 2)
+                s = _h_uniform_ladder_stage(ch, mh, hfac_ref, geo, 0xFF, 2,
+                                            pre_lerped=pre_avg)
             elif geo["h_lmap"]:
                 s = _h_lerpmap_stage(ch, mh, hfac_ref, geo, 0xFF, 1)
             elif h_is_box and geo["h_box3"]:
@@ -1274,8 +1478,8 @@ def _make_kernel(plan: ScalePlan, geo, planes=False, skip_alpha=False):
                     ch, mh, hfac_ref, geo, span_mul_x, 0xFF, 0xFF, 1
                 )
             else:
-                y = jnp.dot(ch.astype(jnp.bfloat16), mh,
-                            preferred_element_type=jnp.float32)
+                sp = None if geo["h_spans"] is None else geo["h_spans"][0]
+                y = _gather_mm(ch, mh, 1, spans=sp)
                 s = _h_general_64(y, hfac_ref)
             if _ABLATE in ("novmm", "nohmm", "nofilter"):
                 sv = s[:t, :]
@@ -1287,7 +1491,8 @@ def _make_kernel(plan: ScalePlan, geo, planes=False, skip_alpha=False):
                 sv = jnp.broadcast_to(s[0:1, :], (t, s.shape[-1]))
             elif geo["v_uniform"]:
                 sv = _v_uniform_stage(
-                    s, geo, gr, plan.height_out, span_mul_y, 0xFF, 0xFF
+                    s, geo, gr + row_base, plan.height_out, span_mul_y,
+                    0xFF, 0xFF
                 )
             elif geo["v_lad"] is not None:
                 sv = _v_uniform_ladder_stage(s, geo, 0xFF)
@@ -1403,6 +1608,115 @@ def scale_fn(plan: ScalePlan, imgs):
     if squeeze:
         imgs = imgs[None]
     out = _built(plan, imgs.shape[0])(imgs)
+    return out[0] if squeeze else out
+
+
+@functools.cache
+def _built_rows(plan: ScalePlan, batch: int, g0: int, g1: int):
+    """Fused kernel over output row groups [g0, g1) -- the row-batch /
+    streaming analogue (smol_scale_batch_full, smolscale.c:506-546): one
+    chunk's rows run the SAME fused unpack->H->V->pack pipeline as the
+    full image, so HBM sees only the chunk's input window plus its small
+    output, where the op-graph row-window path (xla.row_shard_fn)
+    materializes ~16 B of int32 intermediates per window pixel.  The
+    geometry is the full-image one; the grid simply covers the sub-range
+    of row groups, with rstart / mv / vfac sliced to it and the uniform V
+    stage's global row ids offset by g0 (row_base)."""
+    geo = _geometry(plan, uniform_ok=True, **_geo_kw(plan))
+    kernel = _make_kernel(plan, geo, row_base=g0)
+    t, jc_out = geo["t"], geo["jc_out"]
+    n_rg = g1 - g0
+    grid = (batch, n_rg, geo["n_ct"])
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,  # rstart (sliced), cstart
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.HBM),
+            pl.BlockSpec(
+                (1,) + geo["mh"].shape[1:],
+                lambda b, gr, gc, *_: (gc, 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(
+                (1,) + geo["hfac"].shape[1:],
+                lambda b, gr, gc, *_: (gc, 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(
+                (1,) + geo["mv"].shape[1:],
+                lambda b, gr, gc, *_: (gr, 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(
+                (1,) + geo["vfac"].shape[1:],
+                lambda b, gr, gc, *_: (gr, 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+        ],
+        out_specs=pl.BlockSpec(
+            (1, t, jc_out), lambda b, gr, gc, *_: (b, gr, gc),
+            memory_space=pltpu.VMEM,
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((2, geo["win_r"], geo["win_c"]), jnp.uint32),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+    )
+
+    call = pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct(
+            (batch, n_rg * t, geo["w_out_pad"]), jnp.uint32
+        ),
+        grid_spec=grid_spec,
+    )
+
+    h_in, w_in = plan.height_in, plan.width_in
+    w_out = plan.width_out
+    unassoc_out = plan.meta_out.alpha == AlphaType.UNASSOCIATED
+
+    def fn(imgs):
+        if imgs.dtype == jnp.uint32:
+            px = imgs
+        else:
+            px = jax.lax.bitcast_convert_type(imgs, jnp.uint32)
+        if geo["h_pad"] != h_in or geo["w_pad"] != w_in:
+            px = jnp.pad(
+                px,
+                [(0, 0), (0, geo["h_pad"] - h_in), (0, geo["w_pad"] - w_in)],
+            )
+        out = call(
+            jnp.asarray(geo["rstart"][g0:g1]), jnp.asarray(geo["cstart"]),
+            px,
+            jnp.asarray(geo["mh"]), jnp.asarray(geo["hfac"]),
+            jnp.asarray(geo["mv"][g0:g1]), jnp.asarray(geo["vfac"][g0:g1]),
+        )
+        out = out[:, :, :w_out]
+        if unassoc_out:
+            from .pallas_box import _unpremul_epilogue
+
+            out = _unpremul_epilogue(plan, out)
+        return jax.lax.bitcast_convert_type(out, jnp.uint8)
+
+    return fn
+
+
+def scale_rows_fn(plan: ScalePlan, imgs, first: int, n: int):
+    """Fused output rows [first, first+n): (B, H, W, 4) u8 / packed u32
+    (or one image) -> (B, n, w_out, 4) u8.  Caller checks applicable();
+    rows outside the covering row groups are computed and sliced off
+    (the recompute-at-edges trade of smolscale.c:512-530, at row-group
+    granularity)."""
+    geo = _geometry(plan, uniform_ok=True, **_geo_kw(plan))
+    t = geo["t"]
+    g0, g1 = first // t, -(-(first + n) // t)
+    squeeze = imgs.ndim == (2 if imgs.dtype == jnp.uint32 else 3)
+    if squeeze:
+        imgs = imgs[None]
+    out = _built_rows(plan, imgs.shape[0], g0, g1)(imgs)
+    lo = first - g0 * t
+    out = out[:, lo : lo + n]
     return out[0] if squeeze else out
 
 

@@ -259,14 +259,15 @@ def _make_kernel(plan: ScalePlan, geo, planes=False):
             if _ABLATE in ("nohmm", "nofilter"):
                 s = ch[: geo["win_r"], : geo["jc_out"]]
             elif geo["h_uniform"]:
-                # PREMUL16 values < 2**20 need 3 int8 limbs; P8L < 2**11, 2
+                # PREMUL16 values < 2**20 need 3 int8 limbs; P8L < 2**11
+                # takes the u7 split pair (see _uniform_span_mm)
                 s = pg._h_uniform_stage(
-                    ch, mh, geo, cs, plan.width_out, span_mul_x, 0xFFFF,
-                    3 if premul16 else 2,
+                    ch, mh, hfac_ref, geo, cs, plan.width_out, span_mul_x,
+                    0xFFFF, 3 if premul16 else 2,
                 )
             elif geo["h_lad"] is not None:
                 s = pg._h_uniform_ladder_stage(
-                    ch, mh, geo, MASK, 3 if premul16 else 2
+                    ch, mh, hfac_ref, geo, MASK, 3 if premul16 else 2
                 )
             elif geo["h_lmap"]:
                 # lerped values stay within the input bound (convexity):
@@ -280,7 +281,8 @@ def _make_kernel(plan: ScalePlan, geo, planes=False):
                     geo["l8_in"],
                 )
             else:
-                y = pg._gather_mm(ch, mh, h_limbs(lane))
+                sp = None if geo["h_spans"] is None else geo["h_spans"][0]
+                y = pg._gather_mm(ch, mh, h_limbs(lane), spans=sp)
                 s = pg._h_stage_i32(y, hfac_ref, geo, span_mul_x, MASK, 0xFFFF)
             if _ABLATE in ("novmm", "nohmm", "nofilter"):
                 sv = s[: geo["t"], :]

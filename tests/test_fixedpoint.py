@@ -102,3 +102,39 @@ def test_segsum_cumsum_exact():
         fp.segsum_cumsum(_j(v), jnp.asarray(starts), jnp.asarray(lengths), axis=-1)
     ).astype(np.int64) & 0xFFFFFFFF
     assert np.array_equal(want & 0xFFFFFFFF, got)
+
+
+def test_avg_floor_equals_lerp128():
+    """The ladder fast path's floor average must equal lerp256(p, q, 128)
+    exactly: all 256x256 byte pairs, plus sampled 16-bit and 20-bit lanes
+    (PREMUL16 / linear-light ladder operands) and the packed-u32 SWAR
+    4-channel form."""
+    import jax.numpy as jnp
+
+    from smolscale_tpu.ops import fixedpoint as fp
+    from smolscale_tpu.ops.pallas_bilinear import (
+        _avg_floor, _avg_floor_packed,
+    )
+
+    p, q = np.meshgrid(np.arange(256), np.arange(256))
+    p = jnp.asarray(p.astype(np.int32))
+    q = jnp.asarray(q.astype(np.int32))
+    want = fp.lerp256(p, q, jnp.uint32(128), 0xFFFFFF)
+    got = _avg_floor(p, q)
+    assert np.array_equal(np.asarray(want), np.asarray(got))
+
+    rng = np.random.default_rng(5)
+    for bound in (65536, 1 << 20):
+        a = jnp.asarray(rng.integers(0, bound, 4096, dtype=np.int64).astype(np.int32))
+        b = jnp.asarray(rng.integers(0, bound, 4096, dtype=np.int64).astype(np.int32))
+        want = fp.lerp256(a, b, jnp.uint32(128), 0xFFFFFF)
+        assert np.array_equal(np.asarray(want), np.asarray(_avg_floor(a, b)))
+
+    pp = rng.integers(0, 2**32, 4096, dtype=np.uint64).astype(np.uint32)
+    qq = rng.integers(0, 2**32, 4096, dtype=np.uint64).astype(np.uint32)
+    got = np.asarray(_avg_floor_packed(jnp.asarray(pp), jnp.asarray(qq)))
+    for byte in range(4):
+        bp = (pp >> (8 * byte)) & 0xFF
+        bq = (qq >> (8 * byte)) & 0xFF
+        want = (bp + bq) // 2
+        assert np.array_equal((got >> (8 * byte)) & 0xFF, want), byte

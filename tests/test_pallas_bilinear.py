@@ -313,3 +313,52 @@ def test_folded_a255_lut_row():
                    (t[1][v & 127] >> 16) & 0xFFFF)
     assert np.array_equal(got, want)
     assert want.max() <= 2047  # both halves pack per i32 entry
+
+
+@pytest.mark.parametrize(
+    "wi,hi,wo,ho,ti,to,first,n",
+    [
+        (1024, 512, 128, 64, 0, 0, 16, 8),    # uniform 2h ladder, mid range
+        (1024, 512, 128, 64, 0, 0, 0, 64),    # whole image as one "chunk"
+        (1024, 512, 128, 64, 0, 0, 61, 3),    # tail, group-unaligned
+        (1000, 512, 100, 64, 0, 0, 5, 20),    # uniform box H x ladder V
+        (512, 500, 96, 50, 0, 0, 13, 17),     # non-uniform box V (v_box3)
+        (512, 256, 96, 56, 0, 4, 10, 30),     # premul -> unassoc epilogue
+        (512, 512, 1024, 1024, 5, 0, 100, 200),  # 0h upscale, unassoc in
+        (512, 700, 512, 123, 0, 3, 40, 50),   # copy H x ladder V
+    ],
+)
+def test_pallas_rows_exact(wi, hi, wo, ho, ti, to, first, n):
+    """Fused row-range kernel (scale_rows_fn) vs the full-image reference:
+    the streaming/row-batch analogue of smol_scale_batch_full
+    (smolscale.c:506-546) computed by the fused pipeline."""
+    plan = ScalePlan(wi, hi, wo, ho, ti, to, False)
+    assert pallas_bilinear.applicable(plan)
+    pallas_bilinear._built_rows.cache_clear()
+    img = RNG.integers(0, 256, (2, hi, wi, 4), dtype=np.uint8)
+    with mock.patch.object(pl, "pallas_call", _interp_call):
+        got = np.asarray(pallas_bilinear.scale_rows_fn(plan, img, first, n))
+    want = np.stack([numpy_ref.scale(plan, img[i]) for i in range(2)])
+    assert got.shape == (2, n, wo, 4)
+    assert np.array_equal(want[:, first : first + n], got)
+    pallas_bilinear._built_rows.cache_clear()
+
+
+def test_scale_rows_dispatch_pallas():
+    """xla.scale_rows routes through the fused row-range kernel when
+    forced (the TPU auto-dispatch path), bit-exact vs numpy_ref."""
+    from smolscale_tpu.backends import xla
+
+    plan = ScalePlan(1024, 512, 128, 64, 0, 0, False)
+    img = RNG.integers(0, 256, (512, 1024, 4), dtype=np.uint8)
+    want = numpy_ref.scale(plan, img)
+    xla._FORCE_PALLAS = True
+    pallas_bilinear._built_rows.cache_clear()
+    try:
+        with mock.patch.object(pl, "pallas_call", _interp_call):
+            got = xla.scale_rows(plan, img, 24, 16)
+    finally:
+        xla._FORCE_PALLAS = None
+        pallas_bilinear._built_rows.cache_clear()
+        xla._jitted_rows_fused.cache_clear()
+    assert np.array_equal(want[24:40], got)
