@@ -106,7 +106,14 @@ def _gen_inv_div_lut(max_value: int, shift: int) -> np.ndarray:
     return lut
 
 
-# Hand-tuned lossy tables, embedded as numeric-contract data.
+# Hand-tuned lossy tables, embedded as numeric-contract data.  The
+# reference ships no generator for these (tools/gen-inv-div.c covers only
+# the lossless p16/p16l rule, reproduced by _gen_inv_div_lut above);
+# tests/test_luts_p8_analysis.py demonstrates with witnesses that neither
+# the published rule nor round-trip L1/L2 error minimization reproduces
+# them, and pins the partial top-anchor structure they do have.  Byte
+# equality against the reference's own symbols is enforced by
+# tests/test_luts.py.
 # Provenance: smolscale.c:276-310 (_smol_inv_div_p8_lut).
 _INV_DIV_P8_DATA = (
     0x00000000, 0x00181fff, 0x000e2fff, 0x0009f555, 0x0007a7ff, 0x00063333, 0x00052555, 0x00047999,
