@@ -19,6 +19,12 @@ Modes per library (documented so the comparison is honest):
                   cv2.setNumThreads(1)
   - torch-cpu   : F.interpolate bilinear, antialias=True on downscale
                   (torch's recommended quality mode), 1 thread
+  - stb         : stb_image_resize (vendored in the READ-ONLY reference
+                  checkout, never copied here), compiled in place like
+                  tests/oracle.py does, driven with exactly the
+                  reference harness's parameters (test.c:976-986:
+                  stbir_resize_uint8_generic, ALPHA_PREMULTIPLIED,
+                  EDGE_ZERO, FILTER_BOX, COLORSPACE_LINEAR)
 
 Metric: pps = (in_px + out_px) / elapsed, min over reps (test.c:219-224,
 320-340).  Single-threaded everywhere: the host VM has one core.
@@ -27,7 +33,9 @@ Usage: python benchmarks/competitors.py [--quick] [--json PATH]
 """
 
 import argparse
+import ctypes
 import json
+import subprocess
 import sys
 import time
 from pathlib import Path
@@ -38,6 +46,61 @@ sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 
 from smolscale_tpu.plan import ScalePlan  # noqa: E402
 from smolscale_tpu.backends import native  # noqa: E402
+
+REF_DIR = Path("/root/reference")
+BUILD_DIR = Path(__file__).resolve().parent.parent / "build"
+
+_STB_SHIM = r"""
+#include <math.h>
+#define STB_IMAGE_RESIZE_IMPLEMENTATION
+#include "stb_image_resize.h"
+
+int stb_resize_rgba(const unsigned char *in, int w, int h,
+                    unsigned char *out, int wo, int ho)
+{
+    /* the reference harness's stb invocation (test.c:976-986) */
+    return stbir_resize_uint8_generic(in, w, h, 0, out, wo, ho, 0, 4, 0,
+                                      STBIR_FLAG_ALPHA_PREMULTIPLIED,
+                                      STBIR_EDGE_ZERO,
+                                      STBIR_FILTER_BOX,
+                                      STBIR_COLORSPACE_LINEAR,
+                                      NULL);
+}
+"""
+
+
+def _build_stb():
+    """Compile the reference's vendored stb_image_resize.h in place (like
+    tests/oracle.py builds the oracle) into build/libstb_resize.so."""
+    BUILD_DIR.mkdir(exist_ok=True)
+    so = BUILD_DIR / "libstb_resize.so"
+    src = BUILD_DIR / "stb_shim.c"
+    hdr = REF_DIR / "stb_image_resize.h"
+    if not so.exists() or hdr.stat().st_mtime > so.stat().st_mtime:
+        src.write_text(_STB_SHIM)
+        subprocess.run(
+            ["gcc", "-O2", "-march=native", "-fPIC", "-shared",
+             f"-I{REF_DIR}", str(src), "-o", str(so), "-lm"],
+            check=True,
+        )
+    lib = ctypes.CDLL(str(so))
+    lib.stb_resize_rgba.restype = ctypes.c_int
+    lib.stb_resize_rgba.argtypes = [
+        ctypes.c_void_p, ctypes.c_int, ctypes.c_int,
+        ctypes.c_void_p, ctypes.c_int, ctypes.c_int,
+    ]
+
+    def run(rgba, wo, ho):
+        h, w = rgba.shape[:2]
+        out = np.empty((ho, wo, 4), dtype=np.uint8)
+        rc = lib.stb_resize_rgba(
+            rgba.ctypes.data_as(ctypes.c_void_p), w, h,
+            out.ctypes.data_as(ctypes.c_void_p), wo, ho,
+        )
+        assert rc == 1
+        return out
+
+    return run
 
 
 def _best(fn, reps):
@@ -63,6 +126,7 @@ def main():
 
     cv2.setNumThreads(1)
     torch.set_num_threads(1)
+    stb = _build_stb()
 
     reps = 3 if args.quick else 10
     scales = [0.1, 0.25, 0.5, 0.9, 1.5] if args.quick else [
@@ -98,8 +162,10 @@ def main():
                 lambda: F.interpolate(tt, (ho, wo), mode="bilinear",
                                       antialias=down), reps)
             cell["pps_torch_cpu"] = round(px / t / 1e6, 1)
+            t = _best(lambda: stb(rgba, wo, ho), reps)
+            cell["pps_stb"] = round(px / t / 1e6, 1)
 
-            for k in ("pillow", "opencv", "torch_cpu"):
+            for k in ("pillow", "opencv", "torch_cpu", "stb"):
                 cell[f"native_vs_{k}"] = round(
                     cell["pps_smol_native"] / cell[f"pps_{k}"], 3)
             results.append(cell)
@@ -114,6 +180,7 @@ def main():
         "geomean_native_vs_pillow": geomean("native_vs_pillow"),
         "geomean_native_vs_opencv": geomean("native_vs_opencv"),
         "geomean_native_vs_torch_cpu": geomean("native_vs_torch_cpu"),
+        "geomean_native_vs_stb": geomean("native_vs_stb"),
     }
     print(json.dumps(summary), flush=True)
     if args.json:
