@@ -226,6 +226,9 @@ def bench_row_stream():
     step = plan.height_out // n_chunks
     use_fused = xla._pallas_rows_ok(plan)
 
+    # The chain scalar must touch EVERY chunk's output: Pallas calls whose
+    # results are unused get dead-code-eliminated (a naive concat[0,0,0]
+    # measured "0.0 ms" -- XLA kept only chunk 0).
     if use_fused:
         from smolscale_tpu.ops import pallas_bilinear
 
@@ -235,7 +238,7 @@ def bench_row_stream():
                 pallas_bilinear.scale_rows_fn(plan, v, i * step, step)
                 for i in range(n_chunks)
             ]
-            return jnp.concatenate(outs, axis=0)[0, 0, 0]
+            return sum(o[0, 0, 0].astype(jnp.uint32) for o in outs)
     else:
         @jax.jit
         def all_chunks(v):
@@ -244,7 +247,31 @@ def bench_row_stream():
                 xla.row_shard_fn(plan, tables, padded, jnp.int32(i))
                 for i in range(n_chunks)
             ]
-            return jnp.concatenate(outs, axis=0)[0, 0, 0]
+            return sum(o[0, 0, 0].astype(jnp.uint32) for o in outs)
+
+    # exactness gate (the timing scalar can't prove correctness): full
+    # concatenated chunks vs the numpy reference
+    from smolscale_tpu.backends import numpy_ref
+
+    if use_fused:
+        from smolscale_tpu.ops import pallas_bilinear
+
+        got = np.concatenate([
+            np.asarray(jax.jit(
+                lambda v, i=i: pallas_bilinear.scale_rows_fn(
+                    plan, v, i * step, step)
+            )(x))
+            for i in range(n_chunks)
+        ], axis=0)
+    else:
+        got = np.concatenate([
+            np.asarray(jax.jit(
+                lambda v, i=i: xla.row_shard_fn(
+                    plan, tables, xla.pad_rows(plan, tables, v), jnp.int32(i))
+            )(x))
+            for i in range(n_chunks)
+        ], axis=0)[: plan.height_out]
+    exact = bool(np.array_equal(got, numpy_ref.scale(plan, img)))
 
     res = _chain_timer(all_chunks, x, n_short=1, n_long=5)
     per = res.per
@@ -252,6 +279,8 @@ def bench_row_stream():
         "config": "4: 8192^2->1024^2 streamed in 16 row chunks",
         "ms_total": round(per * 1000, 1),
         "in_mpix_s": round(8192 * 8192 / 1e6 / per, 1),
+        "bit_exact": exact,
+        "fused": use_fused,
         "confidence": res.confidence,
         "n_chain": res.n_long,
     }

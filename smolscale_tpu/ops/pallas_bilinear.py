@@ -1006,9 +1006,14 @@ def _h_lerpmap_stage(ch, mh_i8, hfac_ref, geo, mask, n_limbs8):
     then the gather + 2**kh-sample ladder sum as a single biased int8
     count-matrix matmul with jc_out columns (vs the dense weighted
     gather's jc).  Per-column bias correction rides hfac row 1."""
-    f = hfac_ref[0, 0:1, :]  # (1, win_c), broadcasts over rows
-    q = jnp.roll(ch, -1, axis=1)
-    lerped = fp.lerp256(ch, q, f, mask)
+    if _ABLATE == "nolerp":  # timing-only: matmul on raw values
+        lerped = ch
+    else:
+        f = hfac_ref[0, 0:1, :]  # (1, win_c), broadcasts over rows
+        q = jnp.roll(ch, -1, axis=1)
+        lerped = fp.lerp256(ch, q, f, mask)
+    if _ABLATE == "nomm":  # timing-only: lerp but skip the ladder matmul
+        return lerped[:, : geo["jc_out"]]
     sp = None if geo["h_spans"] is None else geo["h_spans"][0]
     if geo["u7_in"] is not None:  # P8L <= 2047: cheaper unbiased limbs
         y = _span_mm_u7(lerped, mh_i8, geo["u7_in"], spans=sp)
