@@ -80,7 +80,7 @@ def _lookup(variant, px, byte_pos, tbl, t16):
         return jnp.concatenate(parts, axis=1) if len(parts) > 1 else parts[0]
     if variant == "u16":
         v16 = ((px >> (8 * byte_pos)) & jnp.uint32(0xFF)).astype(jnp.int16)
-        src = jnp.broadcast_to(t16, (r, 256))
+        src = jnp.broadcast_to(t16[0:1], (r, 256))
         parts = []
         for k in range(c // 256):
             g = jnp.take_along_axis(src, v16[:, k * 256 : (k + 1) * 256], axis=1)
@@ -98,11 +98,13 @@ def _lookup(variant, px, byte_pos, tbl, t16):
 
 def make_fn(variant):
     tbl_np = _tables()
-    t16 = jnp.asarray(np.asarray(luts.FROM_SRGB, dtype=np.int16).reshape(1, 256))
+    t16_np = np.zeros((8, 256), dtype=np.int16)
+    t16_np[0] = np.asarray(luts.FROM_SRGB, dtype=np.int16)
 
-    def kernel(x_ref, tbl_ref, o_ref):
+    def kernel(x_ref, tbl_ref, t16_ref, o_ref):
         px = x_ref[...]
         tbl = tbl_ref[...]
+        t16 = t16_ref[...]
         a = ((px >> 24) & jnp.uint32(0xFF)).astype(jnp.int32)
         acc = None
         for b in range(3):
@@ -117,12 +119,14 @@ def make_fn(variant):
         in_specs=[
             pl.BlockSpec((TR, C), lambda i: (i, 0)),
             pl.BlockSpec((4, 128), lambda i: (0, 0)),
+            pl.BlockSpec((8, 256), lambda i: (0, 0)),
         ],
         out_specs=pl.BlockSpec((TR, C), lambda i: (i, 0)),
         out_shape=jax.ShapeDtypeStruct((R, C), jnp.int32),
     )
     tbl = jnp.asarray(tbl_np)
-    return lambda x: call(x, tbl)
+    t16 = jnp.asarray(t16_np)
+    return lambda x: call(x, tbl, t16)
 
 
 def expected(px_np):

@@ -20,13 +20,13 @@ from smolscale_tpu.ops import pallas_srgb
 from smolscale_tpu.plan import ScalePlan
 
 
-def _timed(f, x):
-    t0 = time.time()
-    np.asarray(f(x))
-    return time.time() - t0
-
-
 def run(mode):
+    """DUS-chain timing (utils.timing.chain_timer): the earlier whole-input
+    XOR chain billed an extra full HBM copy per iteration, which distorted
+    both absolutes AND deltas (full-minus-nolut exceeded the suite's
+    trustworthy total)."""
+    from smolscale_tpu.utils.timing import chain_timer
+
     pallas_srgb._ABLATE = mode
     pallas_srgb._built.cache_clear()
     plan = ScalePlan(2048, 2048, 256, 256, 4, 4, True)
@@ -37,23 +37,10 @@ def run(mode):
         jnp.asarray(imgs.reshape(B, 2048, 2048 * 4).view(np.uint32))
     )
     np.asarray(x[0, 0, 0])
-    fn = lambda v: pallas_srgb.scale_fn(plan, v)
-
-    def make(k):
-        @jax.jit
-        def f(v):
-            def body(i, c):
-                return fn(v ^ c)[0, 0, 0, 0]
-            return jax.lax.fori_loop(0, k, body, jnp.uint8(0))
-        return f
-
-    f_s, f_l = make(2), make(10)
-    np.asarray(f_s(x)); np.asarray(f_l(x))
-    ts = min(_timed(f_s, x) for _ in range(3))
-    tl = min(_timed(f_l, x) for _ in range(3))
-    per = (tl - ts) / 8
-    print(f"{mode:12s}: {per*1e3:.2f} ms/batch  {B*2048*2048/1e6/per:.0f} Mpix/s",
-          flush=True)
+    res = chain_timer(lambda v: pallas_srgb.scale_fn(plan, v)[0, 0, 0, 0], x)
+    per = res.per
+    print(f"{mode:12s}: {per*1e3:.3f} ms/batch  "
+          f"{B*2048*2048/1e6/per:.0f} Mpix/s  {res.confidence}", flush=True)
     pallas_srgb._ABLATE = None
     pallas_srgb._built.cache_clear()
 

@@ -999,14 +999,19 @@ def _span_mm_i8b(x_i32, mat_i8, corr, n_limbs8, transpose=False, spans=None):
     return out + corr
 
 
-def _h_lerpmap_stage(ch, mh_i8, hfac_ref, geo, mask, n_limbs8):
+def _h_lerpmap_stage(ch, mh_i8, hfac_ref, geo, mask, n_limbs8,
+                     pre_lerped=False):
     """Lerp-first non-uniform H ladder: one elementwise lerp against the
     static per-lane factor map (each lane is the p-endpoint of at most one
     distinct sample -- offsets strictly increase for downscale ladders),
     then the gather + 2**kh-sample ladder sum as a single biased int8
     count-matrix matmul with jc_out columns (vs the dense weighted
-    gather's jc).  Per-column bias correction rides hfac row 1."""
-    if _ABLATE == "nolerp":  # timing-only: matmul on raw values
+    gather's jc).  Per-column bias correction rides hfac row 1.
+
+    ``pre_lerped``: the caller already lerped this channel on 16-bit-lane
+    packed pixel pairs (_pair_lerp in the 64bpp kernel) -- skip the
+    per-channel lerp here."""
+    if pre_lerped or _ABLATE == "nolerp":
         lerped = ch
     else:
         f = hfac_ref[0, 0:1, :]  # (1, win_c), broadcasts over rows
@@ -1263,6 +1268,27 @@ def _avg_floor_packed(p, q):
     return (p & q) + (((p ^ q) >> jnp.uint32(1)) & jnp.uint32(0x7F7F7F7F))
 
 
+def _pair_lerp(px, f):
+    """General-f lerp256 on 16-bit-lane channel pairs of packed u32 pixels.
+
+    Returns (l02, l13): bytes 0/2 and 1/3 of each pixel lerped against the
+    next lane's pixel with the per-column factor map ``f`` (shape (1, C),
+    entries in [0, 256]).  Exact per 16-bit lane: each product
+    p*f <= 255*256 = 65280 < 2**16 and the convex sum p*f + q*(256-f)
+    <= 65280, so nothing carries across lanes (mod-2**32 keeps the high
+    lane exact).  ~11 window passes for all four channels vs ~20 for
+    per-channel lerp256 -- the lmap ablation (probe_lad_ablate, 3c)
+    showed the per-channel lerp costing 0.37 of 0.95 ms."""
+    f = f.astype(jnp.uint32)
+    fm = jnp.uint32(256) - f
+    pm = jnp.uint32(0x00FF00FF)
+    p02 = px & pm
+    p13 = (px >> jnp.uint32(8)) & pm
+    l02 = ((p02 * f + jnp.roll(p02, -1, axis=1) * fm) >> jnp.uint32(8)) & pm
+    l13 = ((p13 * f + jnp.roll(p13, -1, axis=1) * fm) >> jnp.uint32(8)) & pm
+    return l02, l13
+
+
 def _h_uniform_ladder_stage(ch, mh, hfac_ref, geo, mask, n_limbs,
                             pre_lerped=False):
     """Constant-stride constant-fraction H bilinear ladder.
@@ -1439,6 +1465,17 @@ def _make_kernel(plan: ScalePlan, geo, planes=False, skip_alpha=False,
         )
         if pre_avg:
             px = _avg_floor_packed(px, jnp.roll(px, -1, axis=1))
+        # general-f twin of pre_avg for the lerp-map ladder: lerp the
+        # packed pixels as two 16-bit-lane channel pairs (_pair_lerp)
+        # instead of four unpacked per-channel lerp256 streams
+        pre_lerp = (
+            geo["h_lmap"]
+            and not planes
+            and not unassoc_in
+            and _ABLATE is None
+        )
+        if pre_lerp:
+            l02, l13 = _pair_lerp(px, hfac_ref[0, 0:1, :])
         out_px = jnp.zeros((t, jc_out), dtype=jnp.uint32)
         for byte_pos in range(4):
             if planes:
@@ -1448,6 +1485,12 @@ def _make_kernel(plan: ScalePlan, geo, planes=False, skip_alpha=False,
                     ch = jnp.full((win_r, win_c), 255, jnp.int32)
                 else:
                     ch = px[byte_pos].astype(jnp.int32)
+            elif pre_lerp:
+                src = l02 if (byte_pos & 1) == 0 else l13
+                ch = (
+                    (src >> jnp.uint32(16 * (byte_pos >> 1)))
+                    & jnp.uint32(0xFF)
+                ).astype(jnp.int32)
             else:
                 ch = (
                     (px >> (8 * byte_pos)) & jnp.uint32(0xFF)
@@ -1473,7 +1516,8 @@ def _make_kernel(plan: ScalePlan, geo, planes=False, skip_alpha=False,
                 s = _h_uniform_ladder_stage(ch, mh, hfac_ref, geo, 0xFF, 2,
                                             pre_lerped=pre_avg)
             elif geo["h_lmap"]:
-                s = _h_lerpmap_stage(ch, mh, hfac_ref, geo, 0xFF, 1)
+                s = _h_lerpmap_stage(ch, mh, hfac_ref, geo, 0xFF, 1,
+                                     pre_lerped=pre_lerp)
             elif h_is_box and geo["h_box3"]:
                 s = _h_box_post_stage(
                     ch, mh, hfac_ref, geo, span_mul_x, 0xFF, 0xFF

@@ -256,7 +256,16 @@ def _make_kernel(plan: ScalePlan, geo, planes=False):
                     ch = (((l11 + 1) * ((a_term << 3) + 1) - 1) >> 11) & 0x7FF
 
             # H filter (shared wide stages, pallas_bilinear)
-            if _ABLATE in ("nohmm", "nofilter"):
+            if _ABLATE == "gatherall":
+                # timing-only: skip filters but SUM all column slices so
+                # no gather is dead-code-eliminated (the plain nohmm slice
+                # lets Mosaic trim the chain to 1/(win_c/jc_out) of the
+                # gathers -- it measured below nolut, which is impossible)
+                s = sum(
+                    ch[:, k * 128 : (k + 1) * 128]
+                    for k in range(win_c // 128)
+                )[: geo["win_r"], : geo["jc_out"]]
+            elif _ABLATE in ("nohmm", "nofilter"):
                 s = ch[: geo["win_r"], : geo["jc_out"]]
             elif geo["h_uniform"]:
                 # PREMUL16 values < 2**20 need 3 int8 limbs; P8L < 2**11
@@ -284,7 +293,7 @@ def _make_kernel(plan: ScalePlan, geo, planes=False):
                 sp = None if geo["h_spans"] is None else geo["h_spans"][0]
                 y = pg._gather_mm(ch, mh, h_limbs(lane), spans=sp)
                 s = pg._h_stage_i32(y, hfac_ref, geo, span_mul_x, MASK, 0xFFFF)
-            if _ABLATE in ("novmm", "nohmm", "nofilter"):
+            if _ABLATE in ("novmm", "nohmm", "nofilter", "gatherall"):
                 sv = s[: geo["t"], :]
             elif geo["v_uniform"]:
                 sv = pg._v_uniform_stage(
