@@ -9,6 +9,7 @@ ops/pallas_bilinear._geometry / ops/pallas_box._pick_rows_t).
 
 Usage: python benchmarks/fuzz_tpu.py [N] [seed] [--edges] [--mixed] [--box3]
                                      [--deep] [--boxchunk] [--copyaxes]
+                                     [--vchunk]
   --edges weights toward tiny dims, deep up/downscales, 1x1 outputs.
   --mixed targets COPY/ONE mixed-axis plans (box-x-copy, ladder-x-one,
           copy-x-box, ...): one axis is forced to COPY (dim_out == dim_in)
@@ -51,6 +52,7 @@ def main():
     deep = "--deep" in sys.argv
     boxchunk = "--boxchunk" in sys.argv
     copyaxes = "--copyaxes" in sys.argv
+    vchunk = "--vchunk" in sys.argv
     n = int(args[0]) if args else 24
     seed = int(args[1]) if len(args) > 1 else 20260816
     rng = np.random.default_rng(seed)
@@ -58,7 +60,34 @@ def main():
 
     fails = []
     for i in range(n):
-        if boxchunk:
+        if vchunk:
+            # targets pallas_bilinear's K-chunked dense V matmul
+            # (_v_chunk_slices): resample general-bilinear plans until the
+            # selected geometry carries v_chunks (tall dense V matrices --
+            # upscales and mild downscales with h_out >= 128)
+            from smolscale_tpu.ops import pallas_bilinear
+
+            while True:
+                wi = int(rng.integers(64, 1200))
+                hi = int(rng.integers(160, 1200))
+                wo = int(rng.integers(32, max(33, wi * 2)))
+                ho = int(rng.integers(160, max(161, hi * 2)))
+                if wi * hi * 4 > 256 * 2**20:
+                    continue
+                ti, to = int(rng.integers(0, 10)), int(rng.integers(0, 10))
+                srgb = False
+                p = st.ScalePlan(wi, hi, wo, ho, ti, to, with_srgb=srgb)
+                if not pallas_bilinear.applicable(p):
+                    continue
+                try:
+                    geo = pallas_bilinear._geometry(
+                        p, **pallas_bilinear._geo_kw(p)
+                    )
+                except Exception:
+                    continue
+                if geo is not None and geo.get("v_chunks") is not None:
+                    break
+        elif boxchunk:
             # structured dims: integer-ratio box both axes, w_out a >128
             # multiple of 128 so _span_chunks splits the matmul; resample
             # until pallas_box takes the plan (4-byte formats, 64bpp)
@@ -170,7 +199,7 @@ def main():
             wi, hi = int(rng.integers(16, 1600)), int(rng.integers(16, 1200))
             wo = int(rng.integers(1, max(2, wi * 2)))
             ho = int(rng.integers(1, max(2, hi * 2)))
-        if box3 or boxchunk or copyaxes:
+        if box3 or boxchunk or copyaxes or vchunk:
             srgb = False  # ti/to fixed by the resample loop above
         elif deep:
             pass  # ti/to/srgb fixed by the resample loop above

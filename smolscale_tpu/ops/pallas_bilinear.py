@@ -153,6 +153,52 @@ def _col_chunk_spans(m_stack, n_blocks=1):
     return tuple(blocks)
 
 
+def _v_chunk_slices(mv_stack, win_r, cm=64):
+    """Static K-chunking for the dense bf16 V matmul.
+
+    The dense V matrix (tv, win_r) is nearly banded like its H twin: each
+    output row reads two adjacent h-scaled rows, so a cm-row chunk of
+    outputs touches only a narrow window of the win_r contraction dim.
+    Unlike H (whose K is the window's LANE dim, sliceable only at 128),
+    V's K is s's SUBLANE dim -- sliceable at 8 -- so the hull windows can
+    be far tighter: config 2 (512^2 -> 1024^2 upscale) drops from
+    (256, 144) @ (144, 512) to 4x (64, 48) @ (48, 512), ~3x fewer MACs.
+
+    Returns (mvc, k0s, cm, kw) -- mvc is (n_rg, n_chunks*cm, kw) with the
+    per-chunk hull windows extracted host-side (zero-padded ragged tail;
+    the padded output rows are sliced off after the kernel's concat) --
+    or None when the MAC saving misses _CHUNK_MIN_SAVE.  Bit-exact: each
+    chunk's rows are zero outside their own hull by the hull's
+    definition, so the dropped columns contribute exactly 0.
+    """
+    if not _CHUNK_H:
+        return None
+    m = np.asarray(mv_stack, dtype=np.float32)
+    n_rg, tv, _ = m.shape
+    if tv < 2 * cm or win_r < 32:
+        return None
+    n_chunks = -(-tv // cm)
+    hulls = []
+    for j in range(n_chunks):
+        sub = m[:, j * cm : (j + 1) * cm, :]
+        nz = np.nonzero(sub.any(axis=(0, 1)))[0]
+        if len(nz) == 0:
+            hulls.append((0, 8))
+        else:
+            hulls.append(((int(nz[0]) // 8) * 8, int(nz[-1]) + 1))
+    kw = _round_up(max(k1 - k0 for k0, k1 in hulls), 8)
+    if kw > win_r:
+        return None
+    if n_chunks * cm * kw * _CHUNK_MIN_SAVE > tv * win_r:
+        return None
+    k0s = tuple(min(k0, win_r - kw) for k0, _ in hulls)
+    mvc = np.zeros((n_rg, n_chunks * cm, kw), dtype=np.float32)
+    for j, k0 in enumerate(k0s):
+        rows = m[:, j * cm : (j + 1) * cm, k0 : k0 + kw]
+        mvc[:, j * cm : j * cm + rows.shape[1], :] = rows
+    return mvc, k0s, cm, kw
+
+
 def _axis_ok(f: FilterType) -> bool:
     # COPY/ONE are first-class axes (interp_horizontal_one/copy
     # generic.c:1558-1611, scale_outrow_one/copy generic.c:2262-2318):
@@ -830,6 +876,14 @@ def _geometry_for_t(plan: ScalePlan, t: int, jc_out_max: int = 256,
                     f = int(yfac[s])
                     mv[g, row, o] = f
                     mv[g, row, o + 1] = 256 - f
+    # K-chunk the dense V matmul (see _v_chunk_slices): dense weighted
+    # gathers only -- the int8/box forms keep their own span machinery
+    v_chunks = None
+    if mv.dtype == np.float32:
+        vc = _v_chunk_slices(mv, win_r)
+        if vc is not None:
+            mv, k0s, cm_v, kw_v = vc
+            v_chunks = (k0s, cm_v, kw_v)
     if mv.dtype == np.float32:  # dense weighted gathers only; int8 stays
         mv = mv.astype(jnp.bfloat16)
 
@@ -845,7 +899,7 @@ def _geometry_for_t(plan: ScalePlan, t: int, jc_out_max: int = 256,
         h_last_short=bool(h_uniform and int(plan.x.strides[-1]) == r_x - 2),
         v_last_short=bool(v_uniform and int(plan.y.strides[-1]) == r_y - 2),
         h_lad=h_lad, v_lad=v_lad,
-        h_spans=h_spans,
+        h_spans=h_spans, v_chunks=v_chunks,
         h_box3=h_box3, v_box3=v_box3,
         h_lmap=h_lmap is not None, v_lmap=v_lmap is not None,
         l8_in=_limbs8(plan, False), l8_v=_limbs8(plan, True),
@@ -1556,10 +1610,26 @@ def _make_kernel(plan: ScalePlan, geo, planes=False, skip_alpha=False,
                     s, mv, vfac_ref, geo, span_mul_y, 0xFF, 0xFF, 1
                 )
             else:
-                yv = jnp.dot(
-                    mv, s.astype(jnp.bfloat16),
-                    preferred_element_type=jnp.float32,
-                )
+                if geo["v_chunks"] is not None:
+                    # K-chunked dense V (_v_chunk_slices): chunk j's
+                    # matrix rows were hull-extracted host-side, so it
+                    # contracts only against s[k0:k0+kw]
+                    k0s, cm_v, kw_v = geo["v_chunks"]
+                    parts = [
+                        jnp.dot(
+                            mv[j * cm_v : (j + 1) * cm_v],
+                            s[k0 : k0 + kw_v].astype(jnp.bfloat16),
+                            preferred_element_type=jnp.float32,
+                        )
+                        for j, k0 in enumerate(k0s)
+                    ]
+                    yv = (jnp.concatenate(parts, axis=0)
+                          if len(parts) > 1 else parts[0])[:tv]
+                else:
+                    yv = jnp.dot(
+                        mv, s.astype(jnp.bfloat16),
+                        preferred_element_type=jnp.float32,
+                    )
                 sv = _v_general_64(yv, vfac_ref)
             out_byte = out_layout.index(in_layout[byte_pos])
             out_px = out_px | (sv.astype(jnp.uint32) << (8 * out_byte))
