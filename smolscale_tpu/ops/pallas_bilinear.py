@@ -153,7 +153,10 @@ def _col_chunk_spans(m_stack, n_blocks=1):
     return tuple(blocks)
 
 
-def _v_chunk_slices(mv_stack, win_r, cm=64):
+_V_CM = 64  # dense-V chunk height (probe knob; see _v_chunk_slices)
+
+
+def _v_chunk_slices(mv_stack, win_r, cm=None):
     """Static K-chunking for the dense bf16 V matmul.
 
     The dense V matrix (tv, win_r) is nearly banded like its H twin: each
@@ -173,6 +176,8 @@ def _v_chunk_slices(mv_stack, win_r, cm=64):
     """
     if not _CHUNK_H:
         return None
+    if cm is None:
+        cm = _V_CM
     m = np.asarray(mv_stack, dtype=np.float32)
     n_rg, tv, _ = m.shape
     if tv < 2 * cm or win_r < 32:
@@ -1552,7 +1557,13 @@ def _make_kernel(plan: ScalePlan, geo, planes=False, skip_alpha=False,
             if unassoc_in and byte_pos != alpha_byte:
                 ch = (((ch + 1) * (a_vals + 1) - 1) >> 8) & 0xFF
             if _ABLATE in ("nohmm", "nofilter"):
-                s = ch[:, :jc_out]
+                # timing-only: keep the data dependency but skip the H
+                # stage; tile whole 128-lane slices so upscales
+                # (win_c < jc_out) also lower (1-lane broadcasts crash
+                # the Mosaic remote compile)
+                rep = -(-jc_out // ch.shape[1])
+                s = (jnp.concatenate([ch] * rep, axis=1)[:, :jc_out]
+                     if rep > 1 else ch[:, :jc_out])
             elif geo["h_copy"]:
                 # identity (interp_horizontal_copy, generic.c:1583-1611)
                 s = ch[:, :jc_out]
@@ -1585,7 +1596,8 @@ def _make_kernel(plan: ScalePlan, geo, planes=False, skip_alpha=False,
                 y = _gather_mm(ch, mh, 1, spans=sp)
                 s = _h_general_64(y, hfac_ref)
             if _ABLATE in ("novmm", "nohmm", "nofilter"):
-                sv = s[:t, :]
+                # timing-only; broadcast so upscales (win_r < t) lower
+                sv = jnp.broadcast_to(s[:1, :], (t, s.shape[-1]))
             elif geo["v_copy"]:
                 # identity rows (scale_outrow_copy, generic.c:2296-2318)
                 sv = s[:t, :]
