@@ -569,9 +569,18 @@ def _make_general_kernel(plan: ScalePlan, C: int, k: int, w_pad: int,
                         biased, mat, preferred_element_type=jnp.int32
                     )
 
-                y_a = mm(m8[:, :w_out_pad]) + corr_a
-                y_l = mm(m8[:, w_out_pad : 2 * w_out_pad]) + corr_l
-                y_r = mm(m8[:, 2 * w_out_pad :]) + corr_r
+                if _h_lane_packed(plan):
+                    # lane-packed A|L|R single matmul (see the chunk
+                    # kernel's twin; _ragged_h_tables packs the blocks)
+                    y3 = mm(m8) + corr_a
+                    w_o = plan.width_out
+                    y_a = y3
+                    y_l = jnp.roll(y3, -w_o, axis=1)
+                    y_r = jnp.roll(y3, -2 * w_o, axis=1)
+                else:
+                    y_a = mm(m8[:, :w_out_pad]) + corr_a
+                    y_l = mm(m8[:, w_out_pad : 2 * w_out_pad]) + corr_l
+                    y_r = mm(m8[:, 2 * w_out_pad :]) + corr_r
                 y = (
                     y_a
                     - y_l
@@ -591,7 +600,6 @@ def _make_general_kernel(plan: ScalePlan, C: int, k: int, w_pad: int,
                 if _ABLATE == "nohmm":
                     hrow = ch[:, :w_out_pad]
                 else:
-                    adj = fp.weight256(ch, lw, wmask_i)
                     if linear and ch_lane == 3 and not raw:
                         # alpha fits fewer limbs than linearized colors
                         nl = 2 if premul16 else 1
@@ -599,19 +607,42 @@ def _make_general_kernel(plan: ScalePlan, C: int, k: int, w_pad: int,
                         cr = hf_ref[7:8, :w_out_pad]
                     else:
                         nl, ca, cr = nl8, corr_a, corr_r
-                    mr = (m8[:, w_out_pad : 2 * w_out_pad]
-                          if raw else m8[:, w_out_pad:])
-                    if linear and not premul16 and nl == nl8:
-                        # P8L colors <= 2047: unbiased split limbs
-                        # (pg._span_mm_u7), 2 prep ops and no correction
-                        y_a = pg._span_mm_u7(adj, m8[:, :w_out_pad], 7)
-                        y_r = pg._span_mm_u7(ch, mr, 7)
+                    if _h_lane_packed(plan):
+                        # lane-packed A|L|R single matmul per limb with
+                        # post-gather left weight (see the chunk kernel's
+                        # twin); ca is the group's PACKED correction row
+                        if linear and not premul16 and nl == nl8:
+                            y3 = pg._span_mm_u7(ch, m8, 7)
+                        else:
+                            y3 = pg._span_mm_i8b(ch, m8, ca, nl)
+                        w_o = plan.width_out
+                        y_l = jnp.roll(y3, -w_o, axis=1)
+                        y_r = jnp.roll(y3, -2 * w_o, axis=1)
+                        y = (
+                            y3
+                            - y_l
+                            + ((y_l.astype(jnp.uint32) * lw_out >> 8)
+                               & wmask).astype(jnp.int32)
+                            + ((y_r.astype(jnp.uint32) * rf >> 8)
+                               & wmask).astype(jnp.int32)
+                        )
                     else:
-                        y_a = pg._span_mm_i8b(adj, m8[:, :w_out_pad], ca, nl)
-                        y_r = pg._span_mm_i8b(ch, mr, cr, nl)
-                    y = y_a + (
-                        (y_r.astype(jnp.uint32) * rf >> 8) & wmask
-                    ).astype(jnp.int32)
+                        adj = fp.weight256(ch, lw, wmask_i)
+                        mr = (m8[:, w_out_pad : 2 * w_out_pad]
+                              if raw else m8[:, w_out_pad:])
+                        if linear and not premul16 and nl == nl8:
+                            # P8L colors <= 2047: unbiased split limbs
+                            # (pg._span_mm_u7), 2 prep ops, no correction
+                            y_a = pg._span_mm_u7(adj, m8[:, :w_out_pad], 7)
+                            y_r = pg._span_mm_u7(ch, mr, 7)
+                        else:
+                            y_a = pg._span_mm_i8b(
+                                adj, m8[:, :w_out_pad], ca, nl
+                            )
+                            y_r = pg._span_mm_i8b(ch, mr, cr, nl)
+                        y = y_a + (
+                            (y_r.astype(jnp.uint32) * rf >> 8) & wmask
+                        ).astype(jnp.int32)
                     hrow = fp.mul_shift_round24(
                         y, jnp.int32(span_mul_x)
                     ) & norm_mask
@@ -651,6 +682,20 @@ def _make_general_kernel(plan: ScalePlan, C: int, k: int, w_pad: int,
     return kernel
 
 
+def _h_lane_packed(plan: ScalePlan) -> bool:
+    """True when the ragged-H stage packs its A/L/R blocks into one
+    128-lane matrix (tiny w_out otherwise wastes the lane tile 2-3x).
+
+    The left edge weight is applied POST-gather in this mode (like the
+    raw path always did): block L is a one-hot, so exactly one element
+    feeds each output's left term and ``(y_l * lw >> 8) & mask`` equals
+    the in-fold ``weight256`` of that element -- every flavor's A and R
+    blocks then contract the SAME operand and pack into one matmul per
+    limb.  Both kernels and the table builder derive this from the plan
+    so it never needs threading."""
+    return 3 * plan.width_out <= 128
+
+
 def _ragged_h_tables(plan: ScalePlan, w_pad: int, w_out_pad: int):
     """(m3, hf, raw): edge-folded ragged-H matrices + weight/correction
     rows, shared by the span-centric and chunk-centric ragged kernels.
@@ -670,20 +715,32 @@ def _ragged_h_tables(plan: ScalePlan, w_pad: int, w_out_pad: int):
     in_premul = plan.meta_in.alpha == AlphaType.PREMUL8
     nl8 = (3 if linear else 2) if premul16 else (2 if linear else 1)
     raw = (not linear) and (not premul16) and in_premul
+    packed = _h_lane_packed(plan)
     bh = _box_h_arrays(plan.x)
     n_blk = 3 if raw else 2  # raw adds the left one-hot block
-    m3 = np.zeros((w_pad, n_blk * w_out_pad), dtype=np.int8)
+    if packed:
+        # The A, L and R blocks all contract the SAME operand in packed
+        # mode (the left weight applies post-gather, _h_lane_packed), and
+        # tiny w_out wastes the 128-lane output tile per block: pack A at
+        # lanes [0, w_out), L at [w_out, 2w_out), R at [2w_out, 3w_out)
+        # into ONE (w_pad, 128) matrix -- the kernels run one matmul per
+        # limb and lane-roll L/R back into place (ablation: the block
+        # matmuls were 41% of the 9b chunk kernel's runtime at w_out=12)
+        m3 = np.zeros((w_pad, w_out_pad), dtype=np.int8)
+        l_off, r_off = w_out, 2 * w_out
+    else:
+        m3 = np.zeros((w_pad, n_blk * w_out_pad), dtype=np.int8)
+        l_off, r_off = w_out_pad, (2 if raw else 1) * w_out_pad
     hf = np.zeros((8, w_pad), dtype=np.int32)
     hf[0, :] = 256  # lw map identity (fold path)
-    r_blk = (2 if raw else 1) * w_out_pad
     for j in range(w_out):
         ms, ml = int(bh["mid_start"][j]), int(bh["mid_len"][j])
         li, ri = int(bh["left_idx"][j]), int(bh["right_idx"][j])
         m3[ms : ms + ml, j] = 1
         m3[li, j] = 1
-        m3[ri, r_blk + j] = 1
-        if raw:
-            m3[li, w_out_pad + j] = 1
+        m3[ri, r_off + j] = 1
+        if raw or packed:
+            m3[li, l_off + j] = 1
             hf[4, j] = int(bh["left_w"][j])
         else:
             hf[0, li] = int(bh["left_w"][j])
@@ -693,8 +750,17 @@ def _ragged_h_tables(plan: ScalePlan, w_pad: int, w_out_pad: int):
         v = (block.astype(np.int64).sum(0) * bias) & 0xFFFFFFFF
         return v.astype(np.uint32).astype(np.int32)
 
+    if packed:
+        # per-column corrections pack the same way the blocks do; the
+        # linear alpha plane's lower-limb corrections ride row 6
+        hf[2, :w_out_pad] = _corr(m3)
+        if linear:
+            hf[6, :w_out_pad] = _corr(
+                m3, pg._span_bias_factor(2 if premul16 else 1)
+            )
+        return m3, hf, raw
     hf[2, :w_out_pad] = _corr(m3[:, :w_out_pad])
-    hf[3, :w_out_pad] = _corr(m3[:, r_blk : r_blk + w_out_pad])
+    hf[3, :w_out_pad] = _corr(m3[:, r_off : r_off + w_out_pad])
     if raw:
         hf[5, :w_out_pad] = _corr(m3[:, w_out_pad : 2 * w_out_pad])
     elif linear:
@@ -959,9 +1025,20 @@ def _make_chunk_kernel(plan: ScalePlan, C: int, w_pad: int, w_out_pad: int,
             def mm(mat):
                 return jnp.dot(biased, mat, preferred_element_type=jnp.int32)
 
-            y_a = mm(m8[:, :w_out_pad]) + corr_a
-            y_l = mm(m8[:, w_out_pad : 2 * w_out_pad]) + corr_l
-            y_r = mm(m8[:, 2 * w_out_pad :]) + corr_r
+            if _h_lane_packed(plan):
+                # one lane-packed matmul (A | L | R at w_out offsets,
+                # _ragged_h_tables); lane-roll L/R back over [0, w_out).
+                # Lanes >= w_out carry garbage from here on -- harmless,
+                # lanes are independent and the host slices to w_out
+                y3 = mm(m8) + corr_a
+                w_o = plan.width_out
+                y_a = y3
+                y_l = jnp.roll(y3, -w_o, axis=1)
+                y_r = jnp.roll(y3, -2 * w_o, axis=1)
+            else:
+                y_a = mm(m8[:, :w_out_pad]) + corr_a
+                y_l = mm(m8[:, w_out_pad : 2 * w_out_pad]) + corr_l
+                y_r = mm(m8[:, 2 * w_out_pad :]) + corr_r
             y = (
                 y_a
                 - y_l
@@ -999,19 +1076,43 @@ def _make_chunk_kernel(plan: ScalePlan, C: int, w_pad: int, w_out_pad: int,
                     ]
                 ys = []
                 for g, nl, ca, cr in groups:
-                    adj = fp.weight256(g, lw, wmask_i)
-                    mr = (m8[:, w_out_pad : 2 * w_out_pad]
-                          if raw else m8[:, w_out_pad:])
-                    if linear and not premul16 and nl == nl8:
-                        # P8L colors <= 2047: unbiased split limbs
-                        y_a = pg._span_mm_u7(adj, m8[:, :w_out_pad], 7)
-                        y_r = pg._span_mm_u7(g, mr, 7)
+                    if _h_lane_packed(plan):
+                        # one lane-packed matmul per limb (A | L | R at
+                        # w_out offsets); the left weight applies
+                        # post-gather like the raw path -- exact because
+                        # block L is a one-hot (see _h_lane_packed).
+                        # ca is this group's PACKED correction row
+                        if linear and not premul16 and nl == nl8:
+                            y3 = pg._span_mm_u7(g, m8, 7)
+                        else:
+                            y3 = pg._span_mm_i8b(g, m8, ca, nl)
+                        w_o = plan.width_out
+                        y_l = jnp.roll(y3, -w_o, axis=1)
+                        y_r = jnp.roll(y3, -2 * w_o, axis=1)
+                        y = (
+                            y3
+                            - y_l
+                            + ((y_l.astype(jnp.uint32) * lw_out >> 8)
+                               & wmask).astype(jnp.int32)
+                            + ((y_r.astype(jnp.uint32) * rf >> 8)
+                               & wmask).astype(jnp.int32)
+                        )
                     else:
-                        y_a = pg._span_mm_i8b(adj, m8[:, :w_out_pad], ca, nl)
-                        y_r = pg._span_mm_i8b(g, mr, cr, nl)
-                    y = y_a + (
-                        (y_r.astype(jnp.uint32) * rf >> 8) & wmask
-                    ).astype(jnp.int32)
+                        adj = fp.weight256(g, lw, wmask_i)
+                        mr = (m8[:, w_out_pad : 2 * w_out_pad]
+                              if raw else m8[:, w_out_pad:])
+                        if linear and not premul16 and nl == nl8:
+                            # P8L colors <= 2047: unbiased split limbs
+                            y_a = pg._span_mm_u7(adj, m8[:, :w_out_pad], 7)
+                            y_r = pg._span_mm_u7(g, mr, 7)
+                        else:
+                            y_a = pg._span_mm_i8b(
+                                adj, m8[:, :w_out_pad], ca, nl
+                            )
+                            y_r = pg._span_mm_i8b(g, mr, cr, nl)
+                        y = y_a + (
+                            (y_r.astype(jnp.uint32) * rf >> 8) & wmask
+                        ).astype(jnp.int32)
                     ys.append(
                         fp.mul_shift_round24(y, jnp.int32(span_mul_x))
                         & norm_mask
