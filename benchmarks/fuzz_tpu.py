@@ -9,7 +9,7 @@ ops/pallas_bilinear._geometry / ops/pallas_box._pick_rows_t).
 
 Usage: python benchmarks/fuzz_tpu.py [N] [seed] [--edges] [--mixed] [--box3]
                                      [--deep] [--boxchunk] [--copyaxes]
-                                     [--vchunk]
+                                     [--vchunk] [--up]
   --edges weights toward tiny dims, deep up/downscales, 1x1 outputs.
   --mixed targets COPY/ONE mixed-axis plans (box-x-copy, ladder-x-one,
           copy-x-box, ...): one axis is forced to COPY (dim_out == dim_in)
@@ -53,6 +53,7 @@ def main():
     boxchunk = "--boxchunk" in sys.argv
     copyaxes = "--copyaxes" in sys.argv
     vchunk = "--vchunk" in sys.argv
+    up = "--up" in sys.argv
     n = int(args[0]) if args else 24
     seed = int(args[1]) if len(args) > 1 else 20260816
     rng = np.random.default_rng(seed)
@@ -60,7 +61,29 @@ def main():
 
     fails = []
     for i in range(n):
-        if vchunk:
+        if up:
+            # targets the single-column-tile upscale geometry (jc_out up
+            # to 2048 with block-diagonal H chunking, _geo_kw): resample
+            # bilinear-x-bilinear plans with width_out >= width_in
+            from smolscale_tpu.ops import pallas_bilinear
+
+            while True:
+                wi = int(rng.integers(16, 1200))
+                hi = int(rng.integers(16, 1200))
+                wo = int(rng.integers(wi, min(2400, wi * 4) + 1))
+                ho = int(rng.integers(16, max(17, hi * 3)))
+                if wo * ho * 4 > 256 * 2**20:
+                    continue
+                ti, to = int(rng.integers(0, 10)), int(rng.integers(0, 10))
+                srgb = False
+                p = st.ScalePlan(wi, hi, wo, ho, ti, to, with_srgb=srgb)
+                if (
+                    p.x.filter.is_bilinear
+                    and p.y.filter.is_bilinear
+                    and pallas_bilinear.applicable(p)
+                ):
+                    break
+        elif vchunk:
             # targets pallas_bilinear's K-chunked dense V matmul
             # (_v_chunk_slices): resample general-bilinear plans until the
             # selected geometry carries v_chunks (tall dense V matrices --

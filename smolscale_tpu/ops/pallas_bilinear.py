@@ -279,7 +279,15 @@ def _geo_kw(plan: ScalePlan) -> dict:
     ):
         kw["t_max"] = 256
         if plan.width_out >= plan.width_in:
-            kw["jc_out_max"] = 512
+            # One column tile when the whole output width fits: multi-tile
+            # windows clamp to the input edge at different offsets, so the
+            # union hull of _col_chunk_spans goes wide and chunking never
+            # emits; a single tile keeps the gather matrix banded (config 2
+            # measured 0.150 -> 0.101 ms, 70.1k -> 103.4k pps on v5e;
+            # 512->2048 0h: 77k -> 114k pps at jc_out=2048, both exact).
+            kw["jc_out_max"] = (
+                2048 if plan.width_out <= 2048 else 512
+            )
     kw.update(_GEO_OVERRIDE)
     return kw
 
