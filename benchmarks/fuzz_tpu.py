@@ -9,7 +9,7 @@ ops/pallas_bilinear._geometry / ops/pallas_box._pick_rows_t).
 
 Usage: python benchmarks/fuzz_tpu.py [N] [seed] [--edges] [--mixed] [--box3]
                                      [--deep] [--boxchunk] [--copyaxes]
-                                     [--vchunk] [--up]
+                                     [--vchunk] [--up] [--pyramid]
   --edges weights toward tiny dims, deep up/downscales, 1x1 outputs.
   --mixed targets COPY/ONE mixed-axis plans (box-x-copy, ladder-x-one,
           copy-x-box, ...): one axis is forced to COPY (dim_out == dim_in)
@@ -37,6 +37,62 @@ sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 sys.path.insert(0, str(Path(__file__).resolve().parent.parent / "tests"))
 
 
+def fuzz_pyramid(n: int, seed: int):
+    """Differential fuzz for the fused multi-output pyramid kernel:
+    random premul-format level sets vs the C oracle per level."""
+    import jax
+    import jax.numpy as jnp
+
+    import oracle
+    import smolscale_tpu as st
+    from smolscale_tpu.ops import pallas_pyramid
+
+    rng = np.random.default_rng(seed)
+    print("backend:", jax.default_backend(), flush=True)
+    fails = []
+    i = 0
+    while i < n:
+        wi = 128 * int(rng.integers(1, 17))
+        hi = 8 * int(rng.integers(2, 200))
+        # 2-3 levels at bilinear-ladder ratios (2/4/8 exact divisions)
+        n_lvl = int(rng.integers(2, 4))
+        ratios = rng.permutation([2, 4, 8])[:n_lvl]
+        ti, to = int(rng.integers(0, 4)), int(rng.integers(0, 4))
+        plans = []
+        for r in ratios:
+            if wi % r or hi % r:
+                plans = None
+                break
+            plans.append(st.ScalePlan(wi, hi, wi // r, hi // r, ti, to, False))
+        if not plans or not pallas_pyramid.applicable(tuple(plans)):
+            continue
+        img = rng.integers(0, 256, (hi, wi, 4), dtype=np.uint8)
+        up = np.ascontiguousarray(img).view(np.uint32)[..., 0]
+        try:
+            outs = jax.jit(
+                lambda v, p=tuple(plans): pallas_pyramid.pyramid_fn(p, v)
+            )(jnp.asarray(up))
+            ok = all(
+                np.array_equal(
+                    np.asarray(o),
+                    oracle.scale_simple(img, ti, p.width_out, p.height_out,
+                                        to, False),
+                )
+                for p, o in zip(plans, outs)
+            )
+        except Exception as e:
+            ok = False
+            print(f"EXC {type(e).__name__}: {str(e)[:120]}", flush=True)
+        lv = ",".join(str(p.width_out) for p in plans)
+        print(f"[{i:02d}] {wi}x{hi}->({lv}) t{ti}->{to}: "
+              f"{'OK' if ok else 'MISMATCH'}", flush=True)
+        if not ok:
+            fails.append((i, wi, hi, tuple(ratios), ti, to))
+        i += 1
+    print("FAILS:", fails, flush=True)
+    sys.exit(1 if fails else 0)
+
+
 def main():
     import jax
 
@@ -46,6 +102,11 @@ def main():
     from smolscale_tpu.plan import FilterType, StorageType
 
     args = [a for a in sys.argv[1:] if not a.startswith("--")]
+    if "--pyramid" in sys.argv:
+        fuzz_pyramid(
+            int(args[0]) if args else 24,
+            int(args[1]) if len(args) > 1 else 20260816,
+        )
     edges = "--edges" in sys.argv
     mixed = "--mixed" in sys.argv
     box3 = "--box3" in sys.argv

@@ -83,18 +83,32 @@ def bench_pyramid():
     import jax
     import jax.numpy as jnp
 
+    from smolscale_tpu.backends import numpy_ref
+    from smolscale_tpu.plan import ScalePlan
     from smolscale_tpu.pyramid import make_pyramid_fn
 
     B = 256
     rng = np.random.default_rng(0)
     imgs = rng.integers(0, 256, (B, 512, 512, 4), dtype=np.uint8)
-    x = jax.device_put(jnp.asarray(imgs))
+    # free host u32 pixel view, like every other 4-byte config
+    up = imgs.reshape(B, 512, 512 * 4).view(np.uint32)
+    x = jax.device_put(jnp.asarray(up))
     _ = np.asarray(x[0, 0, 0])
-    fn = make_pyramid_fn(512, 512, 0, sizes=(64, 128, 256))
+    sizes = (64, 128, 256)
+    fn = make_pyramid_fn(512, 512, 0, sizes=sizes)
+
+    plans = [ScalePlan(512, 512, s, s, 0, 0, False) for s in sizes]
+    got = fn(x[:1])
+    exact = all(
+        np.array_equal(np.asarray(o)[0], numpy_ref.scale(p, imgs[0]))
+        for p, o in zip(plans, got)
+    )
 
     def step(v):
+        # fold a scalar from EVERY level into the chain so no level's
+        # program can be dead-code-eliminated out of the timing
         outs = fn(v)
-        return outs[0][0, 0, 0, 0]
+        return sum(o[0, 0, 0, 0].astype(jnp.uint32) for o in outs)
 
     res = _chain_timer(step, x, n_long=8)
     per = res.per
@@ -105,6 +119,7 @@ def bench_pyramid():
         "in_mpix_s": round(B * 512 * 512 / 1e6 / per, 1),
         "img_s": round(B / per, 1),
         "pyramids_s": round(B / per, 1),
+        "bit_exact": exact,
         "confidence": res.confidence,
         "n_chain": res.n_long,
     }
