@@ -67,11 +67,17 @@ def _pad128(n: int) -> int:
 
 
 def _vmem_bytes(h: int, w: int, plans) -> int:
-    p_cols = sum(_pad128(p.width_out) for p in plans)
+    sb_pads = {
+        np.asarray(p.x.offsets).tobytes(): _pad128(len(p.x.offsets))
+        for p in plans
+    }
     hw = h * w
-    base = 2 * hw * 4 + 4 * h * p_cols * 4  # in dbuf + H matmul result
+    # in dbuf + the per-base compaction results (live until every level
+    # consumed them)
+    base = 2 * hw * 4 + sum(4 * h * sp * 4 for sp in sb_pads.values())
     # H stage adds the SWAR lerp + stacked int8 limb plane; the V stage
-    # (lerp/limbs dead by then) adds the largest level's hv + lerp + limbs
+    # (lerp/limbs dead by then) adds the largest level's hv + lerp +
+    # int8 limbs (the ladder result rl is consumed into hv immediately)
     h_stage = hw * 4 + 4 * hw
     v_stage = max(h * 4 * _pad128(p.width_out) * (4 + 4 + 1) for p in plans)
     return base + max(h_stage, v_stage)
@@ -109,25 +115,64 @@ def applicable(plans) -> bool:
     return _vmem_bytes(h, w, plans) <= _VMEM_BUDGET
 
 
-def _h_count_matrix(plans, w: int):
-    """Lane-concatenated H ladder count matrices, (w, P) int8, plus the
-    per-lane bias-correction (128 * 2**n) and shift (n) row vectors."""
-    blocks, corr, shift = [], [], []
+def _chunk_slices(mat: np.ndarray):
+    """Per-128-column contraction hulls of a static 0/1 matrix (K, N),
+    or None when the dense dot is within 1.25x of the chunked MACs --
+    the block-diagonal treatment of pallas_box._span_chunks, computed
+    from the matrix itself (no structure assumption)."""
+    k, n = mat.shape
+    if n % 128 or k % 128:
+        return None
+    chunks, total = [], 0
+    for c0 in range(0, n, 128):
+        nz = np.nonzero(mat[:, c0 : c0 + 128].any(axis=1))[0]
+        if len(nz) == 0:
+            chunks.append((0, 0, c0))  # all-zero chunk: emit zeros
+            continue
+        lo = int(nz[0]) // 128 * 128
+        hi = min(k, -(-int(nz[-1] + 1) // 128) * 128)
+        chunks.append((lo, hi, c0))
+        total += hi - lo
+    if total * 1.25 > k * (n // 128):
+        return None
+    return chunks
+
+
+def _h_tables(plans, w: int):
+    """Base-ladder H tables.
+
+    Every _lad128 level of one source shares d = 2 / f = 128 and (in
+    practice) the same offset array (dim_bilin = dim_in / 2), so the
+    kernel compacts the lerped samples ONCE per distinct offset array
+    (one-hot base matmul, column-chunked on its hull) and runs each
+    level's 2**n ladder as a small (sb, w_l) count matmul on the base --
+    the n = 0 level is a plain lane slice of it.  Returns
+    (bases, lvl_tbl): bases = [(mbase, chunks, sb_pad)], lvl_tbl[l] =
+    (base_idx, g_or_None, corr, shift).
+    """
+    key_to_idx: dict = {}
+    bases, lvl_tbl = [], []
     for p in plans:
-        wl, n = p.x.dim_out, p.x.halvings
-        wlp = _pad128(wl)
-        c = np.zeros((w, wlp), dtype=np.int8)
         off = np.asarray(p.x.offsets)
+        key = off.tobytes()
+        if key not in key_to_idx:
+            sb = len(off)
+            sb_pad = _pad128(sb)
+            mbase = np.zeros((w, sb_pad), dtype=np.int8)
+            mbase[off, np.arange(sb)] = 1
+            key_to_idx[key] = len(bases)
+            bases.append((mbase, _chunk_slices(mbase), sb_pad))
+        bi = key_to_idx[key]
+        wl, nh = p.x.dim_out, p.x.halvings
+        if nh == 0:
+            lvl_tbl.append((bi, None, 0, 0))
+            continue
+        sb_pad = bases[bi][2]
+        g = np.zeros((sb_pad, _pad128(wl)), dtype=np.int8)
         for j in range(wl):
-            c[off[j << n : (j + 1) << n], j] = 1
-        blocks.append(c)
-        corr.append(np.full((wlp,), 128 << n, dtype=np.int32))
-        shift.append(np.full((wlp,), n, dtype=np.int32))
-    return (
-        np.concatenate(blocks, axis=1),
-        np.concatenate(corr)[None, :],
-        np.concatenate(shift)[None, :],
-    )
+            g[j << nh : (j + 1) << nh, j] = 1
+        lvl_tbl.append((bi, g, 128 << nh, nh))
+    return bases, lvl_tbl
 
 
 def _v_count_matrix(p: ScalePlan, h: int):
@@ -150,13 +195,17 @@ def _built(plans: tuple, batch: int):
     # byte ob: the input byte holding the channel out_layout[ob]
     perm = [in_layout.index(out_layout[ob]) for ob in range(4)]
 
-    mh, corr_h, shift_h = _h_count_matrix(plans, w)
+    bases, lvl_tbl = _h_tables(plans, w)
     mvs = [_v_count_matrix(p, h) for p in plans]
     wlps = [_pad128(p.width_out) for p in plans]
-    col0 = np.concatenate([[0], np.cumsum(wlps)])
+    gl_mats = [g for _, g, _, _ in lvl_tbl if g is not None]
 
-    def kernel(x_ref, mh_ref, ch_ref, sh_ref, *rest):
-        mv_refs, o_refs = rest[: len(plans)], rest[len(plans) :]
+    def kernel(x_ref, *rest):
+        nb, ng = len(bases), len(gl_mats)
+        mb_refs = rest[:nb]
+        g_refs = rest[nb : nb + ng]
+        mv_refs = rest[nb + ng : nb + ng + len(plans)]
+        o_refs = rest[nb + ng + len(plans) :]
         x = x_ref[0]  # (h, w) u32
         s = _avg_floor_packed(x, jnp.roll(x, -1, axis=1))
         # channel planes (input byte order) stacked on sublanes, biased
@@ -167,15 +216,44 @@ def _built(plans: tuple, batch: int):
             ],
             axis=0,
         ).astype(jnp.int8)  # (4h, w)
-        r = jnp.dot(limbs, mh_ref[...], preferred_element_type=jnp.int32)
-        hcat = (r + ch_ref[...]) >> sh_ref[...]  # (4h, P) bytes, all levels
+        # base compaction per distinct offset array: one-hot matmul on
+        # its per-128-column hull; Rbase col i == sample_i - 128, so the
+        # level ladders' biased int8 limb is a plain cast of it
+        rbases = []
+        for bi, (mbase, chunks, sb_pad) in enumerate(bases):
+            mb = mb_refs[bi][...]
+            if chunks is None:
+                rb = jnp.dot(limbs, mb, preferred_element_type=jnp.int32)
+            else:
+                parts = [
+                    jnp.zeros((limbs.shape[0], 128), jnp.int32)
+                    if lo == hi
+                    else jnp.dot(
+                        limbs[:, lo:hi],
+                        mb[lo:hi, c0 : c0 + 128],
+                        preferred_element_type=jnp.int32,
+                    )
+                    for lo, hi, c0 in chunks
+                ]
+                rb = jnp.concatenate(parts, axis=1)
+            rbases.append(rb)
+        gi = 0
         for li, p in enumerate(plans):
             wlp, nv = wlps[li], p.y.halvings
-            lo = int(col0[li])
+            bi, g, corr, nh = lvl_tbl[li]
+            if g is None:  # n = 0 level: the base IS the H output
+                hl = rbases[bi][:, :wlp] + 128
+            else:
+                rl = jnp.dot(
+                    rbases[bi].astype(jnp.int8),
+                    g_refs[gi][...],
+                    preferred_element_type=jnp.int32,
+                )
+                gi += 1
+                hl = (rl + corr) >> nh
             # channels side by side on lanes for one V matmul per level
             hv = jnp.concatenate(
-                [hcat[bp * h : (bp + 1) * h, lo : lo + wlp] for bp in range(4)],
-                axis=1,
+                [hl[bp * h : (bp + 1) * h] for bp in range(4)], axis=1
             )  # (h, 4*wlp)
             q = jnp.roll(hv, -1, axis=0)
             v = ((hv - q) >> 1) + q  # lerp256(p, q, 128), generic.c:1290
@@ -191,12 +269,12 @@ def _built(plans: tuple, batch: int):
                 )
             o_refs[li][0] = packed[:, : p.width_out]
 
-    in_specs = [
-        pl.BlockSpec((1, h, w), lambda b: (b, 0, 0)),
-        pl.BlockSpec(mh.shape, lambda b: (0, 0)),
-        pl.BlockSpec(corr_h.shape, lambda b: (0, 0)),
-        pl.BlockSpec(shift_h.shape, lambda b: (0, 0)),
-    ] + [pl.BlockSpec(m.shape, lambda b: (0, 0)) for m in mvs]
+    in_specs = (
+        [pl.BlockSpec((1, h, w), lambda b: (b, 0, 0))]
+        + [pl.BlockSpec(mb.shape, lambda b: (0, 0)) for mb, _, _ in bases]
+        + [pl.BlockSpec(g.shape, lambda b: (0, 0)) for g in gl_mats]
+        + [pl.BlockSpec(m.shape, lambda b: (0, 0)) for m in mvs]
+    )
     out_specs = [
         pl.BlockSpec((1, p.height_out, p.width_out), lambda b: (b, 0, 0))
         for p in plans
@@ -214,7 +292,7 @@ def _built(plans: tuple, batch: int):
 
     # keep numpy here: _built is cached, and materializing jnp constants
     # inside a caller's trace would leak tracers into later traces
-    consts_np = [mh, corr_h, shift_h] + list(mvs)
+    consts_np = [mb for mb, _, _ in bases] + gl_mats + list(mvs)
 
     def fn(imgs):
         if imgs.dtype == jnp.uint32:

@@ -91,6 +91,11 @@ def scale_pyramid_mixed(images, pixel_types, sizes=(64, 128, 256), **kw):
         h, w = shape[:2]
         fn = make_pyramid_fn(w, h, PixelType(pt), sizes=sizes, **kw)
         batch = np.stack([images[i] for i in idxs])
+        if batch.shape[-1] == 4 and batch.dtype == np.uint8:
+            # free host u32 pixel view: skips the on-device u8->u32
+            # bitcast, a full tiled-layout relayout copy on TPU (~1 ms
+            # per 256-image 512^2 batch, probe_pyramid fused vs fused-u8)
+            batch = np.ascontiguousarray(batch).view(np.uint32)[..., 0]
         outs = fn(batch)
         outs = [np.asarray(o) for o in outs]
         for k, i in enumerate(idxs):
