@@ -9,7 +9,7 @@ ops/pallas_bilinear._geometry / ops/pallas_box._pick_rows_t).
 
 Usage: python benchmarks/fuzz_tpu.py [N] [seed] [--edges] [--mixed] [--box3]
                                      [--deep] [--boxchunk] [--copyaxes]
-                                     [--vchunk] [--up] [--pyramid]
+                                     [--vchunk] [--up] [--pyramid] [--s128]
   --edges weights toward tiny dims, deep up/downscales, 1x1 outputs.
   --mixed targets COPY/ONE mixed-axis plans (box-x-copy, ladder-x-one,
           copy-x-box, ...): one axis is forced to COPY (dim_out == dim_in)
@@ -26,6 +26,10 @@ Usage: python benchmarks/fuzz_tpu.py [N] [seed] [--edges] [--mixed] [--box3]
   --copyaxes targets pallas_box's COPY-axis forms (copy-H x box-V strip
           and box-H x copy-V): resamples until pallas_box takes a plan
           with exactly one COPY axis.
+  --s128  targets the 128bpp compressed-gamma kernel (pallas_128):
+          resamples until it accepts the plan, weighting toward internal
+          PREMUL16 (unassoc in+out) so the SWAR pair-product unpack and
+          the f=128 packed-pair average get hit across filter shapes.
 """
 
 import sys
@@ -115,6 +119,7 @@ def main():
     copyaxes = "--copyaxes" in sys.argv
     vchunk = "--vchunk" in sys.argv
     up = "--up" in sys.argv
+    s128 = "--s128" in sys.argv
     n = int(args[0]) if args else 24
     seed = int(args[1]) if len(args) > 1 else 20260816
     rng = np.random.default_rng(seed)
@@ -221,6 +226,28 @@ def main():
                     p.x.filter, p.y.filter
                 ):
                     break
+        elif s128:
+            # resample until pallas_128 accepts the plan; 3 of 4 draws
+            # force unassociated in+out (internal PREMUL16,
+            # smolscale.c:751-758), the rest land deep-box S128 PREMUL8
+            from smolscale_tpu.ops import pallas_128
+
+            while True:
+                wi = int(rng.integers(16, 2400))
+                hi = int(rng.integers(16, 2400))
+                wo = int(rng.integers(1, max(2, wi * 2)))
+                ho = int(rng.integers(1, max(2, hi * 2)))
+                if wi * hi * 4 > 256 * 2**20:
+                    continue
+                if rng.integers(0, 4):
+                    ti = int(rng.choice([4, 5, 6, 7]))
+                    to = int(rng.choice([4, 5, 6, 7]))
+                else:
+                    ti, to = int(rng.integers(0, 10)), int(rng.integers(0, 10))
+                srgb = False
+                p = st.ScalePlan(wi, hi, wo, ho, ti, to, with_srgb=srgb)
+                if pallas_128.applicable(p):
+                    break
         elif deep:
             # resample until the plan dispatches to the chunk-centric
             # ragged deep-box kernel (deep box both axes, every V span
@@ -285,7 +312,7 @@ def main():
             ho = int(rng.integers(1, max(2, hi * 2)))
         if box3 or boxchunk or copyaxes or vchunk:
             srgb = False  # ti/to fixed by the resample loop above
-        elif deep:
+        elif deep or s128:
             pass  # ti/to/srgb fixed by the resample loop above
         else:
             ti = int(rng.integers(0, 10))

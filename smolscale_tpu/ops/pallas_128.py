@@ -90,15 +90,56 @@ def _make_kernel(plan: ScalePlan, geo):
         mv = mv_ref[0]
 
         a_vals = ((px >> (8 * alpha_byte)) & jnp.uint32(0xFF)).astype(jnp.int32)
+        if premul16:
+            # SWAR pair products: ONE u32 multiply forms two channels'
+            # v*a 16-bit products in independent halves (v*a <= 65025 <
+            # 2**16, no carry; generic.c:616-634), and the third color
+            # packs beside the (a<<8)|0x80 alpha word.  For the f=128
+            # uniform ladder the lerp also runs on the packed pairs --
+            # floor-average per 16-bit lane, (p & q) + (((p ^ q) >> 1)
+            # & 0x7FFF7FFF), exact because averages of 16-bit values
+            # stay 16-bit and the masked shift stops the high half's
+            # low bit from leaking (the 128bpp twin of the 64bpp
+            # kernel's _avg_floor_packed).
+            a_u = a_vals.astype(jnp.uint32)
+            pb = (0, 2) if alpha_byte in (1, 3) else (1, 3)
+            sb = next(b for b in range(4)
+                      if b != alpha_byte and b not in pb)
+            rp = (px if pb[0] == 0 else px >> 8) & jnp.uint32(0x00FF00FF)
+            rp = rp * a_u
+            aw = ((a_u << 8) | jnp.uint32(0x80))
+            rs = ((px >> (8 * sb)) & jnp.uint32(0xFF)) * a_u
+            rsa = rs | (aw << 16)
+            pre_avg16 = (
+                geo["h_lad"] is not None and geo["h_lad"][1] == 128
+                and pg._ABLATE is None
+            )
+            if pre_avg16:
+                m15 = jnp.uint32(0x7FFF7FFF)
+
+                def _avg16(p):
+                    q = jnp.roll(p, -1, axis=1)
+                    return (p & q) + (((p ^ q) >> jnp.uint32(1)) & m15)
+
+                rp, rsa = _avg16(rp), _avg16(rsa)
+            halves = {in_layout[pb[0]]: (rp, False),
+                      in_layout[pb[1]]: (rp, True),
+                      in_layout[sb]: (rsa, False),
+                      3: (rsa, True)}
+        else:
+            pre_avg16 = False
         for lane in range(4):
             byte_pos = in_layout.index(lane)
-            if lane == 3:
-                ch = ((a_vals << 8) | 0x80) if premul16 else a_vals
+            if premul16:
+                src, hi = halves[lane]
+                ch = (
+                    src >> jnp.uint32(16) if hi else src & jnp.uint32(0xFFFF)
+                ).astype(jnp.int32)
+            elif lane == 3:
+                ch = a_vals
             else:
                 v8 = ((px >> (8 * byte_pos)) & jnp.uint32(0xFF)).astype(jnp.int32)
-                if premul16:
-                    ch = v8 * a_vals  # <= 65025 (generic.c:616-634)
-                elif in_premul:
+                if in_premul:
                     ch = v8
                 else:
                     # premul_u_to_p8 (generic.c:238-244)
@@ -112,7 +153,8 @@ def _make_kernel(plan: ScalePlan, geo):
                 )
             elif geo["h_lad"] is not None:
                 s = pg._h_uniform_ladder_stage(
-                    ch, mh, hfac_ref, geo, MASK, 3 if premul16 else 2
+                    ch, mh, hfac_ref, geo, MASK, 3 if premul16 else 2,
+                    pre_lerped=pre_avg16,
                 )
             elif geo["h_lmap"]:
                 s = pg._h_lerpmap_stage(

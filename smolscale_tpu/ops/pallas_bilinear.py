@@ -1058,11 +1058,15 @@ def _span_mm_i8b(x_i32, mat_i8, corr, n_limbs8, transpose=False, spans=None):
             return jnp.dot(mat_i8, vb, preferred_element_type=jnp.int32)
         return _mm_spans(vb, mat_i8, spans, dot)
 
-    out = mm((x_i32 & 0xFF) - 128)
+    # biased byte via xor + truncating cast: the int8 cast keeps the low
+    # byte two's-complement, so ((x ^ 128) & 0xFF as int8) == (x & 0xFF)
+    # - 128 in 2 VPU ops instead of mask+subtract+cast (the cast itself
+    # performs the mask)
+    out = mm(x_i32 ^ 128)
     if n_limbs8 >= 2:
-        out = out + (mm(((x_i32 >> 8) & 0xFF) - 128) << 8)
+        out = out + (mm((x_i32 >> 8) ^ 128) << 8)
     if n_limbs8 >= 3:
-        out = out + (mm(((x_i32 >> 16) & 0xFF) - 128) << 16)
+        out = out + (mm((x_i32 >> 16) ^ 128) << 16)
     return out + corr
 
 

@@ -229,7 +229,7 @@ def _make_kernel(plan: ScalePlan, rows_t: int, planes=False,
                 # left-edge weight folded into the input: identity for span
                 # 0, x - [x>0] otherwise; rides through the span sum exactly
                 chp = ch_vals - (adj_lane & (ch_vals > 0)).astype(jnp.int32)
-                xb = (chp - 128).astype(jnp.int8)
+                xb = (chp ^ 128).astype(jnp.int8)  # xor-cast == chp - 128
                 if n_chunks > 1:
                     k_c = w_in // n_chunks
                     y = jnp.concatenate(
@@ -263,7 +263,7 @@ def _make_kernel(plan: ScalePlan, rows_t: int, planes=False,
                 adjv = hrow - (vspan_first & (hrow > 0)).astype(jnp.int32)
                 adjv = jnp.where(grow == last_in_row, 0, adjv)
                 yb = jnp.dot(
-                    m8, (adjv - 128).astype(jnp.int8),
+                    m8, (adjv ^ 128).astype(jnp.int8),  # == adjv - 128
                     preferred_element_type=jnp.int32,
                 )
                 accv = yb + 128 * ry

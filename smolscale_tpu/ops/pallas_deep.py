@@ -553,15 +553,12 @@ def _make_general_kernel(plan: ScalePlan, C: int, k: int, w_pad: int,
                     # synthesized 255 alpha: constant biased operand
                     biased = jnp.full(px.shape[-2:], 127, jnp.int8)
                 elif planes:
-                    biased = (
-                        px[byte_pos].astype(jnp.int32) - 128
-                    ).astype(jnp.int8)
+                    # xor + truncating cast == byte - 128 (see the
+                    # PREMUL16 fast path / _span_mm_i8b)
+                    biased = (px[byte_pos] ^ jnp.uint8(0x80)).astype(jnp.int8)
                 else:
                     biased = (
-                        ((px >> (8 * byte_pos)) & jnp.uint32(0xFF)).astype(
-                            jnp.int32
-                        )
-                        - 128
+                        (px >> (8 * byte_pos)) ^ jnp.uint32(0x80)
                     ).astype(jnp.int8)
 
                 def mm(mat):
@@ -1001,26 +998,28 @@ def _make_chunk_kernel(plan: ScalePlan, C: int, w_pad: int, w_out_pad: int,
         # result unchanged.
         if raw and _ABLATE is None:
             if planes:
-                # channel plane -> biased limb directly; the synthesized
-                # 255 alpha (when packed at all) is the constant 127 limb
+                # channel plane -> biased limb directly (xor + truncating
+                # cast == byte - 128); the synthesized 255 alpha (when
+                # packed at all) is the constant 127 limb
                 srcs = [
-                    px[in_layout.index(l)].astype(jnp.int32) - 128
+                    (px[in_layout.index(l)] ^ jnp.uint8(0x80)
+                     ).astype(jnp.int8)
                     for l in range(3)
                 ]
                 if not skip_a:
                     srcs.append(
-                        jnp.full(px.shape[-2:], 127, jnp.int32)
+                        jnp.full(px.shape[-2:], 127, jnp.int8)
                     )
-                biased = jnp.concatenate(srcs, axis=0).astype(jnp.int8)
+                biased = jnp.concatenate(srcs, axis=0)
             else:
                 biased = jnp.concatenate(
                     [
-                        ((px >> (8 * in_layout.index(l))) & jnp.uint32(0xFF)
-                         ).astype(jnp.int32) - 128
+                        ((px >> (8 * in_layout.index(l))) ^ jnp.uint32(0x80)
+                         ).astype(jnp.int8)
                         for l in range(4)
                     ],
                     axis=0,
-                ).astype(jnp.int8)
+                )
 
             def mm(mat):
                 return jnp.dot(biased, mat, preferred_element_type=jnp.int32)
@@ -1049,6 +1048,61 @@ def _make_chunk_kernel(plan: ScalePlan, C: int, w_pad: int, w_out_pad: int,
             )
             hrow_s = fp.mul_shift_round24(y, jnp.int32(span_mul_x)) & norm_mask
             hrows = [hrow_s[l * C : (l + 1) * C] for l in range(n_stack)]
+        elif (premul16 and not linear and not planes
+              and _h_lane_packed(plan) and _ABLATE is None):
+            # PREMUL16-compressed fast path (generic.c:616-634 storage):
+            # ONE u32 multiply forms TWO channels' v*a products in
+            # independent 16-bit halves (v*a <= 65025 < 2**16, no
+            # carry-over), replacing two per-channel extract+multiply
+            # streams; and the (a<<8)|0x80 alpha word's low biased limb
+            # is identically zero (0x80 - 128), so the limb-0 matmul
+            # stacks only the three color planes -- the shared 2-limb
+            # bias correction row already restores the 128*colsum the
+            # constant 0x80 limb truly contributes, exactly.
+            a_u = a_vals.astype(jnp.uint32)
+            pb = (0, 2) if alpha_byte in (1, 3) else (1, 3)
+            sb = next(b for b in range(4)
+                      if b != alpha_byte and b not in pb)
+            rp = (px if pb[0] == 0 else px >> 8) & jnp.uint32(0x00FF00FF)
+            # biased bytes via ONE xor + truncating int8 casts: the cast
+            # keeps the low byte two's-complement, so (x ^ 0x80..80 as
+            # int8 per byte) == byte - 128 with no mask/subtract passes
+            rp = (rp * a_u) ^ jnp.uint32(0x80808080)
+            rs = (((px >> (8 * sb)) & jnp.uint32(0xFF)) * a_u
+                  ) ^ jnp.uint32(0x8080)
+
+            def _lb(v):
+                return v.astype(jnp.int8)
+
+            l0 = {in_layout[pb[0]]: _lb(rp),
+                  in_layout[pb[1]]: _lb(rp >> 16),
+                  in_layout[sb]: _lb(rs)}
+            l1 = {in_layout[pb[0]]: _lb(rp >> 8),
+                  in_layout[pb[1]]: _lb(rp >> 24),
+                  in_layout[sb]: _lb(rs >> 8),
+                  3: _lb(a_vals ^ 128)}
+
+            def mm(v):
+                return jnp.dot(v, m8, preferred_element_type=jnp.int32)
+
+            y1m = mm(jnp.concatenate([l1[l] for l in range(4)], axis=0))
+            y0m = mm(jnp.concatenate([l0[l] for l in range(3)], axis=0))
+            y3 = jnp.concatenate(
+                [(y1m[: 3 * C] << 8) + y0m, y1m[3 * C :] << 8], axis=0
+            ) + corr_a
+            w_o = plan.width_out
+            y_l = jnp.roll(y3, -w_o, axis=1)
+            y_r = jnp.roll(y3, -2 * w_o, axis=1)
+            y = (
+                y3
+                - y_l
+                + ((y_l.astype(jnp.uint32) * lw_out >> 8) & wmask
+                   ).astype(jnp.int32)
+                + ((y_r.astype(jnp.uint32) * rf >> 8) & wmask
+                   ).astype(jnp.int32)
+            )
+            hrow_s = fp.mul_shift_round24(y, jnp.int32(span_mul_x)) & norm_mask
+            hrows = [hrow_s[l * C : (l + 1) * C] for l in range(4)]
         else:
             if _ABLATE == "nounpack":
                 chs = [px.astype(jnp.int32) & 0xFF for _ in range(4)]

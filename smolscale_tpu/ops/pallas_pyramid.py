@@ -209,13 +209,15 @@ def _built(plans: tuple, batch: int):
         x = x_ref[0]  # (h, w) u32
         s = _avg_floor_packed(x, jnp.roll(x, -1, axis=1))
         # channel planes (input byte order) stacked on sublanes, biased
+        # via xor + truncating int8 cast (== byte - 128, the cast masks)
         limbs = jnp.concatenate(
             [
-                (((s >> jnp.uint32(8 * bp)) & jnp.uint32(0xFF)).astype(jnp.int32) - 128)
+                ((s >> jnp.uint32(8 * bp)) ^ jnp.uint32(0x80)
+                 ).astype(jnp.int8)
                 for bp in range(4)
             ],
             axis=0,
-        ).astype(jnp.int8)  # (4h, w)
+        )  # (4h, w)
         # base compaction per distinct offset array: one-hot matmul on
         # its per-128-column hull; Rbase col i == sample_i - 128, so the
         # level ladders' biased int8 limb is a plain cast of it
@@ -257,7 +259,7 @@ def _built(plans: tuple, batch: int):
             )  # (h, 4*wlp)
             q = jnp.roll(hv, -1, axis=0)
             v = ((hv - q) >> 1) + q  # lerp256(p, q, 128), generic.c:1290
-            v8 = (v - 128).astype(jnp.int8)
+            v8 = (v ^ 128).astype(jnp.int8)  # xor-cast == v - 128
             o = jnp.dot(mv_refs[li][...], v8, preferred_element_type=jnp.int32)
             o = (o + (128 << nv)) >> nv  # (h_out, 4*wlp) bytes
             packed = jnp.zeros(o.shape[:-1] + (wlp,), dtype=jnp.uint32)
