@@ -41,6 +41,51 @@ sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 sys.path.insert(0, str(Path(__file__).resolve().parent.parent / "tests"))
 
 
+def _classify(run_once):
+    """Run a differential attempt and disambiguate failure kinds.
+
+    The axon remote-compile/transport layer can fail transiently (HTTP
+    errors mid-compile produced one spurious "MISMATCH" in a round-4
+    pyramid sweep); a certification sweep's failure count must mean
+    numerics and nothing else.  Deterministic kernel bugs reproduce, so
+    any non-OK first attempt is retried once:
+
+      ok         -- exact on the first run
+      transport  -- first attempt raised or mismatched, retry is exact
+                    (transient; excluded from FAILS, reported separately)
+      mismatch   -- wrong bytes on both runs (a real numeric finding)
+      exc        -- raised on both runs (a real lowering/compile finding)
+
+    Returns (status, detail).
+    """
+    try:
+        if run_once():
+            return "ok", ""
+        first = "mismatch"
+        detail = ""
+    except Exception as e:
+        first = "exc"
+        detail = f"{type(e).__name__}: {str(e)[:120]}"
+    try:
+        ok2 = run_once()
+    except Exception as e2:
+        if first == "exc":
+            return "exc", f"{detail}; retry {type(e2).__name__}: {str(e2)[:80]}"
+        return "transport", f"retry raised {type(e2).__name__}: {str(e2)[:80]}"
+    if ok2:
+        return "transport", detail or "mismatch on first run only"
+    return "mismatch", detail
+
+
+def _report(counts, fails):
+    print(
+        "SUMMARY: ok={ok} mismatch={mismatch} exc={exc} "
+        "transport_fail={transport}".format(**counts), flush=True,
+    )
+    print("FAILS:", fails, flush=True)
+    sys.exit(1 if fails else 0)
+
+
 def fuzz_pyramid(n: int, seed: int):
     """Differential fuzz for the fused multi-output pyramid kernel:
     random premul-format level sets vs the C oracle per level."""
@@ -54,6 +99,7 @@ def fuzz_pyramid(n: int, seed: int):
     rng = np.random.default_rng(seed)
     print("backend:", jax.default_backend(), flush=True)
     fails = []
+    counts = {"ok": 0, "mismatch": 0, "exc": 0, "transport": 0}
     i = 0
     while i < n:
         wi = 128 * int(rng.integers(1, 17))
@@ -61,7 +107,15 @@ def fuzz_pyramid(n: int, seed: int):
         # 2-3 levels at bilinear-ladder ratios (2/4/8 exact divisions)
         n_lvl = int(rng.integers(2, 4))
         ratios = rng.permutation([2, 4, 8])[:n_lvl]
-        ti, to = int(rng.integers(0, 4)), int(rng.integers(0, 4))
+        # premul 4-byte, unassociated 4-byte, and 24bpp level sets all run
+        # the fused kernel now; sample all three populations
+        kind = int(rng.integers(0, 3))
+        if kind == 0:
+            ti, to = int(rng.integers(0, 4)), int(rng.integers(0, 4))
+        elif kind == 1:
+            ti, to = int(rng.integers(4, 8)), int(rng.integers(4, 8))
+        else:
+            ti, to = int(rng.integers(8, 10)), int(rng.integers(8, 10))
         plans = []
         for r in ratios:
             if wi % r or hi % r:
@@ -70,13 +124,18 @@ def fuzz_pyramid(n: int, seed: int):
             plans.append(st.ScalePlan(wi, hi, wi // r, hi // r, ti, to, False))
         if not plans or not pallas_pyramid.applicable(tuple(plans)):
             continue
-        img = rng.integers(0, 256, (hi, wi, 4), dtype=np.uint8)
-        up = np.ascontiguousarray(img).view(np.uint32)[..., 0]
-        try:
+        nb = plans[0].meta_in.n_bytes
+        img = rng.integers(0, 256, (hi, wi, nb), dtype=np.uint8)
+        if nb == 4:
+            feed = np.ascontiguousarray(img).view(np.uint32)[..., 0]
+        else:
+            feed = img
+
+        def run_once(plans=tuple(plans), feed=feed, img=img, ti=ti, to=to):
             outs = jax.jit(
-                lambda v, p=tuple(plans): pallas_pyramid.pyramid_fn(p, v)
-            )(jnp.asarray(up))
-            ok = all(
+                lambda v, p=plans: pallas_pyramid.pyramid_fn(p, v)
+            )(jnp.asarray(feed))
+            return all(
                 np.array_equal(
                     np.asarray(o),
                     oracle.scale_simple(img, ti, p.width_out, p.height_out,
@@ -84,17 +143,16 @@ def fuzz_pyramid(n: int, seed: int):
                 )
                 for p, o in zip(plans, outs)
             )
-        except Exception as e:
-            ok = False
-            print(f"EXC {type(e).__name__}: {str(e)[:120]}", flush=True)
+
+        status, detail = _classify(run_once)
+        counts[status] += 1
         lv = ",".join(str(p.width_out) for p in plans)
         print(f"[{i:02d}] {wi}x{hi}->({lv}) t{ti}->{to}: "
-              f"{'OK' if ok else 'MISMATCH'}", flush=True)
-        if not ok:
-            fails.append((i, wi, hi, tuple(ratios), ti, to))
+              f"{status.upper()}{' ' + detail if detail else ''}", flush=True)
+        if status in ("mismatch", "exc"):
+            fails.append((i, wi, hi, tuple(ratios), ti, to, status))
         i += 1
-    print("FAILS:", fails, flush=True)
-    sys.exit(1 if fails else 0)
+    _report(counts, fails)
 
 
 def main():
@@ -126,6 +184,7 @@ def main():
     print("backend:", jax.default_backend(), flush=True)
 
     fails = []
+    counts = {"ok": 0, "mismatch": 0, "exc": 0, "transport": 0}
     for i in range(n):
         if up:
             # targets the single-column-tile upscale geometry (jc_out up
@@ -320,22 +379,23 @@ def main():
             srgb = bool(rng.integers(0, 2))
         plan = st.ScalePlan(wi, hi, wo, ho, ti, to, with_srgb=srgb)
         img = rng.integers(0, 256, (hi, wi, plan.meta_in.n_bytes), dtype=np.uint8)
-        try:
+
+        def run_once(plan=plan, img=img, ti=ti, wo=wo, ho=ho, to=to,
+                     srgb=srgb):
             out = st.scale(plan, img)
             ref = oracle.scale_simple(img, ti, wo, ho, to, srgb)
-            ok = np.array_equal(out, ref)
-        except Exception as e:  # lowering/compile failures are findings too
-            ok = False
-            print(f"EXC {type(e).__name__}: {str(e)[:120]}", flush=True)
+            return bool(np.array_equal(out, ref))
+
+        status, detail = _classify(run_once)
+        counts[status] += 1
         print(
             f"[{i:02d}] {wi}x{hi}->{wo}x{ho} t{ti}->{to} srgb={int(srgb)}: "
-            f"{'OK' if ok else 'MISMATCH'}", flush=True,
+            f"{status.upper()}{' ' + detail if detail else ''}", flush=True,
         )
-        if not ok:
-            fails.append((i, wi, hi, wo, ho, ti, to, srgb))
+        if status in ("mismatch", "exc"):
+            fails.append((i, wi, hi, wo, ho, ti, to, srgb, status))
 
-    print("FAILS:", fails, flush=True)
-    sys.exit(1 if fails else 0)
+    _report(counts, fails)
 
 
 if __name__ == "__main__":

@@ -1027,6 +1027,15 @@ def _pallas_rows_ok(plan: ScalePlan) -> bool:
 
 @functools.cache
 def _jitted_rows_fused(plan: ScalePlan, first: int, n: int, post_fn=None):
+    # Unlike the op-graph path (_jitted_rows, which traces ``first`` and
+    # compiles once per chunk height), the fused Pallas program bakes the
+    # (first, n) range into its static gather tables, so EACH DISTINCT
+    # range compiles its own program (~seconds cold) and stays cached
+    # here.  A fixed-stride streaming sweep -- the intended use -- costs
+    # height_out/n compiles on first contact and zero after; callers
+    # generating many unaligned ad-hoc ranges should prefer a fixed chunk
+    # grid (or the op-graph path via _FORCE_PALLAS=False) to keep compile
+    # count and cache growth bounded.
     from ..ops import pallas_bilinear
 
     def fn(img):
@@ -1039,7 +1048,12 @@ def _jitted_rows_fused(plan: ScalePlan, first: int, n: int, post_fn=None):
 def scale_rows(plan: ScalePlan, img, first_out_row: int, n_out_rows: int,
                post_fn=None) -> np.ndarray:
     """post_fn, if given, is fused into the chunk's compiled program (the
-    per-row-range streaming analogue of SmolPostRowFunc)."""
+    per-row-range streaming analogue of SmolPostRowFunc).
+
+    Compile-cost note: on TPU, qualifying plans take the fused Pallas
+    row-range kernel, which specializes on (first_out_row, n_out_rows) --
+    one compile per distinct range, cached thereafter.  Stream with a
+    fixed chunk grid for one compile per grid position total."""
     first, n = int(first_out_row), int(n_out_rows)
     if first < 0 or n < 1 or first + n > plan.height_out:
         raise ValueError(

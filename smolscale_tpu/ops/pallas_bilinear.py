@@ -95,6 +95,7 @@ def _wrap_i32(v):
 _ABLATE = None  # timing-only stage ablation knob (benchmarks/probe_bilinear_ablate)
 
 _CHUNK_H = True        # probe kill-switch for block-diagonal H chunking
+_CHUNK_V = True        # probe kill-switch for K-chunked dense V matmuls
 _CHUNK_MIN_SAVE = 1.25  # emit spans only when the MAC saving clears this
 
 
@@ -174,7 +175,7 @@ def _v_chunk_slices(mv_stack, win_r, cm=None):
     chunk's rows are zero outside their own hull by the hull's
     definition, so the dropped columns contribute exactly 0.
     """
-    if not _CHUNK_H:
+    if not _CHUNK_V:
         return None
     if cm is None:
         cm = _V_CM
@@ -938,8 +939,10 @@ def _mm_spans(v, mat, spans, dot):
     ``v[:, r0:r1] @ mat[r0:r1, c0:c1]`` -- bit-identical to the dense
     product when rows outside [r0, r1) are zero in mat's [c0, c1) columns
     (the dropped blocks contribute exactly 0).  Row bounds are 128-aligned
-    (lane-dim slices of v), col bounds 128-aligned except a final ragged
-    tail.  Cuts MACs by the ratio of covered area to the dense rectangle;
+    (lane-dim slices of v); col bounds are exact 128-wide chunks (every
+    producer -- _col_chunk_spans -- requires the block width to be a
+    multiple of 128).  Cuts MACs by the ratio of covered area to the dense
+    rectangle;
     the geometry only emits spans when that saving clears a threshold."""
     if spans is None:
         return dot(v, mat)
