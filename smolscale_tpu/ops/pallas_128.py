@@ -56,11 +56,25 @@ def applicable(plan: ScalePlan) -> bool:
     )
 
 
+_GEO128: dict = {}  # timing-only probe knob (benchmarks/probe_128_ablate)
+
+
 def _geo(plan: ScalePlan):
     # 2-limb gathers double the geometry's matmul estimate; deep-box spans
     # inflate windows, so let the geometry search shrink tiles as needed.
-    return pg._geometry(plan, jc_out_max=128, budget_mb=6, t_max=32,
-                        uniform_ok=True)
+    kw = dict(jc_out_max=128, budget_mb=6, t_max=32, uniform_ok=True)
+    if (
+        plan.internal_alpha == AlphaType.PREMUL16
+        and plan.x.filter.is_bilinear
+        and plan.y.filter.is_bilinear
+    ):
+        # probe_128_ablate (config 7): at jc_out=256 the ladder span
+        # matrix splits into two half-window column chunks
+        # (_col_chunk_spans), halving the H matmul MACs -- 0.556 ->
+        # 0.474 ms bit-exact; jc_out=128 windows are one chunk (no win)
+        kw.update(jc_out_max=256, budget_mb=12)
+    kw.update(_GEO128)
+    return pg._geometry(plan, **kw)
 
 
 def _make_kernel(plan: ScalePlan, geo):
@@ -90,7 +104,7 @@ def _make_kernel(plan: ScalePlan, geo):
         mv = mv_ref[0]
 
         a_vals = ((px >> (8 * alpha_byte)) & jnp.uint32(0xFF)).astype(jnp.int32)
-        if premul16:
+        if premul16 and pg._ABLATE != "nopremul":
             # SWAR pair products: ONE u32 multiply forms two channels'
             # v*a 16-bit products in independent halves (v*a <= 65025 <
             # 2**16, no carry; generic.c:616-634), and the third color
@@ -128,9 +142,52 @@ def _make_kernel(plan: ScalePlan, geo):
                       3: (rsa, True)}
         else:
             pre_avg16 = False
+        # Channel-stacked H ladder matmuls (PREMUL16 uniform f=128): all
+        # four channels' biased byte limbs concatenate along sublanes so
+        # each limb's span matmul runs ONCE at M = 4*win_r instead of
+        # four times at M = win_r, and limb prep comes straight off the
+        # packed 16-bit pair streams: 8 shift+xor+cast passes feed all 8
+        # limb planes (vs per-channel extraction + per-limb prep).
+        # (pallas_deep's alpha limb-0 skip does NOT apply here: the
+        # pre-average runs BEFORE the matmul, and avg((a1<<8)|0x80,
+        # (a2<<8)|0x80) carries into bit 8 when a1+a2 is odd, so the
+        # averaged alpha word's low byte is 0x80 or 0x00 -- not
+        # constant.  Found by the CPU exactness tests.)
+        stacked = pre_avg16 and geo["h_lad"] is not None
+        if stacked:
+            wr = win_r
+
+            def _lb(lane_, extra):
+                src, hi = halves[lane_]
+                return (
+                    (src >> jnp.uint32((16 if hi else 0) + extra))
+                    ^ jnp.uint32(0x80)
+                ).astype(jnp.int8)
+
+            l1 = jnp.concatenate([_lb(l, 8) for l in range(4)], axis=0)
+            l0 = jnp.concatenate([_lb(l, 0) for l in range(4)], axis=0)
+            sp = None if geo["h_spans"] is None else geo["h_spans"][0]
+
+            def _dot(v, m):
+                return jnp.dot(v, m, preferred_element_type=jnp.int32)
+
+            y1 = pg._mm_spans(l1, mh, sp, _dot)
+            y0 = pg._mm_spans(l0, mh, sp, _dot)
+            corr = hfac_ref[0, 1:2, : geo["jc_out"]]
+            y = (y1 << 8) + y0 + corr
+            kh = geo["kh"]
+            s_all = ((y >> kh) & MASK) if kh else y
         for lane in range(4):
             byte_pos = in_layout.index(lane)
-            if premul16:
+            if stacked:
+                s = s_all[lane * wr : (lane + 1) * wr]
+            elif premul16 and pg._ABLATE == "nopremul":
+                # timing-only: a 16-bit-scale stand-in without the SWAR
+                # premultiply products (keeps the 2-limb matmul shape)
+                ch = (
+                    ((px >> (8 * byte_pos)) & jnp.uint32(0xFF)) << 8
+                ).astype(jnp.int32)
+            elif premul16:
                 src, hi = halves[lane]
                 ch = (
                     src >> jnp.uint32(16) if hi else src & jnp.uint32(0xFFFF)
@@ -144,7 +201,14 @@ def _make_kernel(plan: ScalePlan, geo):
                 else:
                     # premul_u_to_p8 (generic.c:238-244)
                     ch = (((v8 + 1) * (a_vals + 1) - 1) >> 8) & 0xFF
-            if geo["h_uniform"]:
+            if stacked:
+                pass  # s already sliced from the stacked-limb H result
+            elif pg._ABLATE in ("nohmm", "nofilter"):
+                # timing-only: keep the data dependency, skip the H stage
+                rep = -(-geo["jc_out"] // ch.shape[1])
+                s = (jnp.concatenate([ch] * rep, axis=1)[:, : geo["jc_out"]]
+                     if rep > 1 else ch[:, : geo["jc_out"]])
+            elif geo["h_uniform"]:
                 # PREMUL16 compressed <= 65535: two biased-8 limbs;
                 # deep-box PREMUL8 <= 255: one (see _uniform_span_mm)
                 s = pg._h_uniform_stage(
@@ -169,7 +233,10 @@ def _make_kernel(plan: ScalePlan, geo):
                 sp = None if geo["h_spans"] is None else geo["h_spans"][0]
                 y = pg._gather_mm(ch, mh, h_limbs, spans=sp)
                 s = pg._h_stage_i32(y, hfac_ref, geo, span_mul_x, MASK, 0xFFFF)
-            if geo["v_uniform"]:
+            if pg._ABLATE in ("novmm", "nohmm", "nofilter"):
+                # timing-only; broadcast so the shapes still lower
+                sv = jnp.broadcast_to(s[:1, :], (geo["t"], s.shape[-1]))
+            elif geo["v_uniform"]:
                 sv = pg._v_uniform_stage(
                     s, geo, pl.program_id(1), plan.height_out, span_mul_y,
                     MASK, 0xFFFF,

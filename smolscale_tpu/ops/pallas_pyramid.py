@@ -21,10 +21,14 @@ compute the shared packed-SWAR lerp, and emit all levels:
   matrices of all levels (column j of level l has ones at offsets
   [j*2**n, (j+1)*2**n)); the sum >> n with the per-lane static bias
   correction is the exact generic.c ladder in one MXU pass.
-* V lerp: the halved H rows are < 256, so lerp256(p, q, 128) elementwise
-  against the one-sublane-rolled rows ((p - q) >> 1) + q, per level.
-* V ladder: one biased int8 left-matmul per level, channels side by side
-  on lanes.
+* V lerp + ladder: pure sublane reshapes, NO matmul (the
+  _v_uniform_ladder_stage identity): with d >= 2 both rows of sample i
+  live inside its own d-row group, so a leading-axis reshape exposes
+  the lerp pair, and the ladder sums 2**n consecutive sample rows
+  (scale_outrow_bilinear_Nh, generic.c:1841-1916).  Replacing the
+  original per-level V count matmuls -- the kernel's largest matmul
+  class, ~176M MACs/image -- with reshapes took config 5 from 246k to
+  over 300k pyramids/s.
 
 Bit-exactness: each level's output equals pallas_bilinear / numpy_ref /
 the C oracle byte for byte (tests/test_pallas_pyramid.py); the ladder
@@ -54,6 +58,8 @@ from .pallas_bilinear import _avg_floor_packed, _lad_uniform
 # ~16 MB and the kernel's peak live set is estimated in _vmem_bytes
 _VMEM_BUDGET = 12 * 2**20
 
+_ABLATE = None  # timing-only stage knob (benchmarks/probe_pyramid_ablate)
+
 
 def _lad128(ax):
     u = _lad_uniform(ax)
@@ -76,15 +82,23 @@ def _vmem_bytes(h: int, w: int, plans) -> int:
     # consumed them)
     base = 2 * hw * 4 + sum(4 * h * sp * 4 for sp in sb_pads.values())
     # H stage adds the SWAR lerp + stacked int8 limb plane; the V stage
-    # (lerp/limbs dead by then) adds the largest level's hv + lerp +
-    # int8 limbs (the ladder result rl is consumed into hv immediately)
+    # (lerp/limbs dead by then) adds the largest level's hv + its
+    # reshape-lerped sample rows (the ladder is a reshape-reduce)
     h_stage = hw * 4 + 4 * hw
-    v_stage = max(h * 4 * _pad128(p.width_out) * (4 + 4 + 1) for p in plans)
+    v_stage = max(h * 4 * _pad128(p.width_out) * (4 + 2) for p in plans)
     return base + max(h_stage, v_stage)
 
 
 def applicable(plans) -> bool:
-    """True when every level runs the shared-lerp fused pyramid path."""
+    """True when every level runs the shared-lerp fused pyramid path.
+
+    Unassociated 4-byte INPUT premultiplies in-kernel (the SWAR pair
+    form of premul_u_to_p8, generic.c:238-244), and unassociated OUTPUT
+    takes the shared output-sized unpremul epilogue per level -- only
+    the unassoc->unassoc pair (internal PREMUL16, 128bpp storage,
+    smolscale.c:751-758) falls back to the per-level kernels.  24bpp
+    endpoints ride the channel-major planes feed via their 4-byte
+    surrogate plans (pyramid_dispatch below)."""
     if not plans or len(plans) < 2:
         return False
     p0 = plans[0]
@@ -98,12 +112,18 @@ def applicable(plans) -> bool:
             or p.gamma != GammaType.SRGB_COMPRESSED
             or p.storage != StorageType.S64
             or p.internal_alpha != AlphaType.PREMUL8
-            or p.meta_in.alpha != AlphaType.PREMUL8
-            or p.meta_out.alpha != AlphaType.PREMUL8
+            or p.meta_in.alpha not in (AlphaType.PREMUL8,
+                                       AlphaType.UNASSOCIATED)
+            or p.meta_out.alpha not in (AlphaType.PREMUL8,
+                                        AlphaType.UNASSOCIATED)
             or p.meta_in.n_bytes != 4
             or p.meta_out.n_bytes != 4
             or _lad128(p.x) is None
             or _lad128(p.y) is None
+            # V reshape-lerp slices rows [o0, o0 + ns*d); every sample
+            # pair is in range, but the slice end itself must be too
+            or _lad128(p.y)[2] + len(p.y.offsets) * _lad128(p.y)[0]
+            > p0.height_in
         ):
             return False
     # distinct output shapes only (duplicate plans would alias outputs)
@@ -175,28 +195,22 @@ def _h_tables(plans, w: int):
     return bases, lvl_tbl
 
 
-def _v_count_matrix(p: ScalePlan, h: int):
-    """One level's V ladder count matrix, (h_out, h) int8."""
-    hl, n = p.y.dim_out, p.y.halvings
-    c = np.zeros((hl, h), dtype=np.int8)
-    off = np.asarray(p.y.offsets)
-    for j in range(hl):
-        c[j, off[j << n : (j + 1) << n]] = 1
-    return c
-
-
 @functools.cache
-def _built(plans: tuple, batch: int):
+def _built(plans: tuple, batch: int, planes: bool = False):
     p0 = plans[0]
     h, w = p0.height_in, p0.width_in
     in_layout = p0.meta_in.layout
     out_layout = p0.meta_out.layout
+    n_ch = 3 if planes else 4  # planes: 24bpp surrogate, alpha dropped
     # byte position in the (input-ordered) filtered data feeding output
     # byte ob: the input byte holding the channel out_layout[ob]
-    perm = [in_layout.index(out_layout[ob]) for ob in range(4)]
+    perm = [in_layout.index(out_layout[ob]) for ob in range(n_ch)]
+    unassoc_in = (not planes
+                  and p0.meta_in.alpha == AlphaType.UNASSOCIATED)
+    alpha_byte = in_layout.index(3)
 
     bases, lvl_tbl = _h_tables(plans, w)
-    mvs = [_v_count_matrix(p, h) for p in plans]
+    v_lads = [_lad128(p.y) for p in plans]
     wlps = [_pad128(p.width_out) for p in plans]
     gl_mats = [g for _, g, _, _ in lvl_tbl if g is not None]
 
@@ -204,25 +218,57 @@ def _built(plans: tuple, batch: int):
         nb, ng = len(bases), len(gl_mats)
         mb_refs = rest[:nb]
         g_refs = rest[nb : nb + ng]
-        mv_refs = rest[nb + ng : nb + ng + len(plans)]
-        o_refs = rest[nb + ng + len(plans) :]
-        x = x_ref[0]  # (h, w) u32
-        s = _avg_floor_packed(x, jnp.roll(x, -1, axis=1))
-        # channel planes (input byte order) stacked on sublanes, biased
-        # via xor + truncating int8 cast (== byte - 128, the cast masks)
-        limbs = jnp.concatenate(
-            [
-                ((s >> jnp.uint32(8 * bp)) ^ jnp.uint32(0x80)
-                 ).astype(jnp.int8)
-                for bp in range(4)
-            ],
-            axis=0,
-        )  # (4h, w)
+        o_refs = rest[nb + ng :]
+        x = x_ref[0]  # (h, w) u32, or (3, h, w) u8 with planes
+        if planes:
+            # leading-axis collapse (free) -> the limb stack directly;
+            # the floor average is closed over u8 (never exceeds max)
+            xc = x.reshape(n_ch * h, w)
+            if _ABLATE in ("nolerp", "nofilter"):
+                s8 = xc
+            else:
+                q = jnp.roll(xc, -1, axis=1)
+                s8 = (xc & q) + ((xc ^ q) >> 1)
+            limbs = (s8 ^ jnp.uint8(0x80)).astype(jnp.int8)  # (3h, w)
+        else:
+            if unassoc_in and _ABLATE is None:
+                # premul_u_to_p8 (generic.c:238-244) as SWAR 16-bit
+                # pairs: v*a + v + a == (v+1)*(a+1) - 1 <= 65535 stays
+                # inside its lane (the (v+1)*(a+1) form peaks at 65536
+                # and would carry); then >> 8.  The alpha byte rides
+                # through the pair math and is overwritten after.
+                a = (x >> jnp.uint32(8 * alpha_byte)) & jnp.uint32(0xFF)
+                a2 = a * jnp.uint32(0x00010001)
+                pm = jnp.uint32(0x00FF00FF)
+                p02 = x & pm
+                p13 = (x >> jnp.uint32(8)) & pm
+                r02 = ((p02 * a + p02 + a2) >> jnp.uint32(8)) & pm
+                r13 = ((p13 * a + p13 + a2) >> jnp.uint32(8)) & pm
+                x = (r02 | (r13 << jnp.uint32(8))) & ~jnp.uint32(
+                    0xFF << (8 * alpha_byte)
+                ) | (a << jnp.uint32(8 * alpha_byte))
+            if _ABLATE in ("nolerp", "nofilter"):
+                s = x
+            else:
+                s = _avg_floor_packed(x, jnp.roll(x, -1, axis=1))
+            # channel planes (input byte order) stacked on sublanes,
+            # biased via xor + truncating int8 cast (== byte - 128)
+            limbs = jnp.concatenate(
+                [
+                    ((s >> jnp.uint32(8 * bp)) ^ jnp.uint32(0x80)
+                     ).astype(jnp.int8)
+                    for bp in range(4)
+                ],
+                axis=0,
+            )  # (4h, w)
         # base compaction per distinct offset array: one-hot matmul on
         # its per-128-column hull; Rbase col i == sample_i - 128, so the
         # level ladders' biased int8 limb is a plain cast of it
         rbases = []
         for bi, (mbase, chunks, sb_pad) in enumerate(bases):
+            if _ABLATE in ("nobase", "nofilter"):
+                rbases.append(limbs[:, :sb_pad].astype(jnp.int32))
+                continue
             mb = mb_refs[bi][...]
             if chunks is None:
                 rb = jnp.dot(limbs, mb, preferred_element_type=jnp.int32)
@@ -239,43 +285,76 @@ def _built(plans: tuple, batch: int):
                 ]
                 rb = jnp.concatenate(parts, axis=1)
             rbases.append(rb)
+        # hoisted biased int8 view of each base (values in [-128, 127],
+        # the cast is exact); computed once, shared by every ladder level
+        rb8s = [rb.astype(jnp.int8) for rb in rbases]
         gi = 0
         for li, p in enumerate(plans):
             wlp, nv = wlps[li], p.y.halvings
             bi, g, corr, nh = lvl_tbl[li]
             if g is None:  # n = 0 level: the base IS the H output
                 hl = rbases[bi][:, :wlp] + 128
+            elif _ABLATE in ("nolad", "nofilter"):
+                gi += 1
+                hl = rbases[bi][:, :wlp] + 128
             else:
                 rl = jnp.dot(
-                    rbases[bi].astype(jnp.int8),
-                    g_refs[gi][...],
+                    rb8s[bi], g_refs[gi][...],
                     preferred_element_type=jnp.int32,
                 )
                 gi += 1
                 hl = (rl + corr) >> nh
-            # channels side by side on lanes for one V matmul per level
-            hv = jnp.concatenate(
-                [hl[bp * h : (bp + 1) * h] for bp in range(4)], axis=1
-            )  # (h, 4*wlp)
-            q = jnp.roll(hv, -1, axis=0)
-            v = ((hv - q) >> 1) + q  # lerp256(p, q, 128), generic.c:1290
-            v8 = (v ^ 128).astype(jnp.int8)  # xor-cast == v - 128
-            o = jnp.dot(mv_refs[li][...], v8, preferred_element_type=jnp.int32)
-            o = (o + (128 << nv)) >> nv  # (h_out, 4*wlp) bytes
-            packed = jnp.zeros(o.shape[:-1] + (wlp,), dtype=jnp.uint32)
-            for ob in range(4):
-                bp = perm[ob]
-                packed = packed | (
-                    o[:, bp * wlp : (bp + 1) * wlp].astype(jnp.uint32)
-                    << jnp.uint32(8 * ob)
-                )
-            o_refs[li][0] = packed[:, : p.width_out]
+            # Pair-packed V: the level's channels pack into TWO
+            # 16-bit-lane streams keyed by OUTPUT byte (out bytes k and
+            # k+2 share stream k), so the V lerp + ladder run on half
+            # the data with both channels per op -- values are bytes,
+            # the floor average stays <= 255 per lane, and the ladder
+            # sum of 2**nv lanes <= 255 << nv < 2**16 never carries.
+            # The final pack is then one shift-or of the two streams.
+            e = []
+            for k in range(min(2, n_ch)):
+                lo = hl[perm[k] * h : (perm[k] + 1) * h]
+                if k + 2 < n_ch:
+                    hi = hl[perm[k + 2] * h : (perm[k + 2] + 1) * h]
+                    e.append(lo | (hi << 16))
+                else:
+                    e.append(lo)
+            # V lerp + ladder as pure sublane reshapes (the
+            # _v_uniform_ladder_stage identity; d >= 2 keeps both lerp
+            # rows of sample i inside its own d-row group): lerp256 with
+            # f = 128 is the floor average per 16-bit lane, the ladder a
+            # leading-axis reshape-sum >> nv (generic.c:1841-1916)
+            d_y, _, o0y = v_lads[li]
+            ns = p.height_out << nv
+            outs2 = []
+            for st in e:
+                if _ABLATE in ("nov", "nofilter"):
+                    outs2.append(st[: p.height_out])
+                    continue
+                g3 = st[o0y : o0y + ns * d_y].reshape(ns, d_y, wlp)
+                p_, q_ = g3[:, 0, :], g3[:, 1, :]
+                lerped = (p_ & q_) + (((p_ ^ q_) >> 1) & 0x007F007F)
+                if nv:
+                    ssum = jnp.sum(
+                        lerped.reshape(p.height_out, 1 << nv, wlp), axis=1
+                    )
+                    outs2.append((ssum >> nv) & 0x00FF00FF)
+                else:
+                    outs2.append(lerped)
+            packed = outs2[0]
+            if len(outs2) > 1:
+                packed = packed | (outs2[1] << 8)
+            o_refs[li][0] = packed.astype(jnp.uint32)[:, : p.width_out]
 
+    x_spec = (
+        pl.BlockSpec((1, 3, h, w), lambda b: (b, 0, 0, 0))
+        if planes
+        else pl.BlockSpec((1, h, w), lambda b: (b, 0, 0))
+    )
     in_specs = (
-        [pl.BlockSpec((1, h, w), lambda b: (b, 0, 0))]
+        [x_spec]
         + [pl.BlockSpec(mb.shape, lambda b: (0, 0)) for mb, _, _ in bases]
         + [pl.BlockSpec(g.shape, lambda b: (0, 0)) for g in gl_mats]
-        + [pl.BlockSpec(m.shape, lambda b: (0, 0)) for m in mvs]
     )
     out_specs = [
         pl.BlockSpec((1, p.height_out, p.width_out), lambda b: (b, 0, 0))
@@ -294,14 +373,21 @@ def _built(plans: tuple, batch: int):
 
     # keep numpy here: _built is cached, and materializing jnp constants
     # inside a caller's trace would leak tracers into later traces
-    consts_np = [mb for mb, _, _ in bases] + gl_mats + list(mvs)
+    consts_np = [mb for mb, _, _ in bases] + gl_mats
+    unassoc_out = p0.meta_out.alpha == AlphaType.UNASSOCIATED
 
     def fn(imgs):
-        if imgs.dtype == jnp.uint32:
+        if planes or imgs.dtype == jnp.uint32:
             px = imgs
         else:
             px = jax.lax.bitcast_convert_type(imgs, jnp.uint32)
         outs = call(px, *(jnp.asarray(c) for c in consts_np))
+        if unassoc_out and not planes:
+            # output-sized shared unpremul pack (unpremul_p8_to_u,
+            # generic.c:227-236), per level
+            from .pallas_box import _unpremul_epilogue
+
+            outs = [_unpremul_epilogue(p, o) for p, o in zip(plans, outs)]
         return tuple(jax.lax.bitcast_convert_type(o, jnp.uint8) for o in outs)
 
     return fn
@@ -315,3 +401,38 @@ def pyramid_fn(plans: tuple, imgs):
         imgs = imgs[None]
     outs = _built(tuple(plans), imgs.shape[0])(imgs)
     return tuple(o[0] for o in outs) if squeeze else outs
+
+
+def pyramid_dispatch(plans: tuple):
+    """The fused multi-output path for these plans as a traceable
+    fn(imgs) -> per-level u8 tuple, or None when the plan set doesn't
+    qualify.  24bpp endpoints run the channel-major u8 planes feed
+    against their byte-compatible 4-byte surrogate plans (the
+    xla._adapt_24bpp identity: the 24bpp unpack is the 32bpp premul
+    unpack with a constant 255 alpha, generic.c:353-358), with the
+    constant alpha channel's filter work skipped outright."""
+    plans = tuple(plans)
+    if applicable(plans):
+        return lambda imgs: pyramid_fn(plans, imgs)
+    p0 = plans[0] if plans else None
+    if p0 is None or p0.meta_in.n_bytes != 3 or p0.meta_out.n_bytes != 3:
+        return None
+    from ..backends.xla import _adapt_24bpp
+
+    adapted = [_adapt_24bpp(p) for p in plans]
+    if any(a is None for a in adapted):
+        return None
+    sps = tuple(a[0] for a in adapted)
+    if not applicable(sps):
+        return None
+
+    def fn(imgs):
+        pls = jnp.moveaxis(imgs, -1, -3)  # (B, 3, H, W) u8 planes
+        squeeze = pls.ndim == 3
+        if squeeze:
+            pls = pls[None]
+        outs = _built(sps, pls.shape[0], planes=True)(pls)
+        outs = tuple(o[..., :3] for o in outs)
+        return tuple(o[0] for o in outs) if squeeze else outs
+
+    return fn

@@ -29,6 +29,10 @@ def _plans(w, h, sizes, ti=0, to=0):
     return tuple(ScalePlan(w, h, s, s, ti, to, False) for s in sizes)
 
 
+def _plans_wh(w, h, outs, ti=0, to=0):
+    return tuple(ScalePlan(w, h, wo, ho, ti, to, False) for wo, ho in outs)
+
+
 @pytest.mark.parametrize(
     "w,h,outs,ti,to",
     [
@@ -73,9 +77,17 @@ def test_applicable_gates():
     assert not pallas_pyramid.applicable(
         tuple(ScalePlan(512, 512, s, s, 0, 0, True) for s in (64, 128))
     )
-    # unassociated formats are out (premul round-trip not folded here)
+    # unassoc -> unassoc is out (internal PREMUL16, 128bpp storage)
     assert not pallas_pyramid.applicable(
         tuple(ScalePlan(512, 512, s, s, 4, 4, False) for s in (64, 128))
+    )
+    # one-sided unassociated alpha is IN (in-kernel premultiply /
+    # unpremul epilogue)
+    assert pallas_pyramid.applicable(
+        tuple(ScalePlan(512, 512, s, s, 4, 0, False) for s in (64, 128))
+    )
+    assert pallas_pyramid.applicable(
+        tuple(ScalePlan(512, 512, s, s, 0, 4, False) for s in (64, 128))
     )
     # single level: nothing to fuse
     assert not pallas_pyramid.applicable(_plans(512, 512, (64,)))
@@ -85,6 +97,54 @@ def test_applicable_gates():
     assert not pallas_pyramid.applicable(_plans(320, 512, (40, 80)))
     # over the per-image VMEM budget falls back
     assert not pallas_pyramid.applicable(_plans(2048, 2048, (256, 512)))
+
+
+@pytest.mark.parametrize(
+    "ti,to",
+    [
+        (4, 0),  # unassoc RGBA in -> premul out: in-kernel SWAR premul
+        (5, 1),  # unassoc BGRA in, swizzled
+        (0, 4),  # premul in -> unassoc out: unpremul epilogue per level
+        (4, 5),  # unassoc in AND unassoc out of a different layout --
+                 # still internal PREMUL8? no: 4->5 is unassoc->unassoc
+    ],
+)
+def test_pyramid_unassoc_exact(ti, to):
+    plans = _plans_wh(512, 256, ((64, 32), (128, 64), (256, 128)), ti, to)
+    if ti >= 4 and to >= 4:
+        assert not pallas_pyramid.applicable(plans)  # PREMUL16 class
+        return
+    assert pallas_pyramid.applicable(plans)
+    pallas_pyramid._built.cache_clear()
+    imgs = RNG.integers(0, 256, (2, 256, 512, 4), dtype=np.uint8)
+    with mock.patch.object(pl, "pallas_call", _interp_call):
+        outs = pallas_pyramid.pyramid_fn(plans, imgs)
+    for p, got in zip(plans, outs):
+        want = np.stack([numpy_ref.scale(p, imgs[i]) for i in range(2)])
+        assert np.array_equal(want, np.asarray(got)), p
+    pallas_pyramid._built.cache_clear()
+
+
+@pytest.mark.parametrize("ti,to", [(8, 8), (9, 9), (9, 8)])
+def test_pyramid_24bpp_planes_exact(ti, to):
+    """24bpp fleets ride the channel-major planes feed through the
+    4-byte surrogate plans (pyramid_dispatch)."""
+    import jax.numpy as jnp
+
+    plans = _plans_wh(512, 256, ((64, 32), (128, 64), (256, 128)), ti, to)
+    assert not pallas_pyramid.applicable(plans)  # 3-byte: surrogate path
+    fused = pallas_pyramid.pyramid_dispatch(plans)
+    assert fused is not None
+    pallas_pyramid._built.cache_clear()
+    imgs = RNG.integers(0, 256, (2, 256, 512, 3), dtype=np.uint8)
+    with mock.patch.object(pl, "pallas_call", _interp_call):
+        outs = fused(jnp.asarray(imgs))
+    for p, got in zip(plans, outs):
+        want = np.stack([numpy_ref.scale(p, imgs[i]) for i in range(2)])
+        got = np.asarray(got)
+        assert got.shape == want.shape
+        assert np.array_equal(want, got), p
+    pallas_pyramid._built.cache_clear()
 
 
 def test_pyramid_fn_dispatches_fused(monkeypatch):

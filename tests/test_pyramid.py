@@ -40,3 +40,19 @@ def test_mixed_fleet():
     assert np.array_equal(
         res[2][1], numpy_ref.scale(ScalePlan(64, 64, 16, 16, 4, 4, False), images[2])
     )
+
+
+def test_mixed_fleet_bounded_batches():
+    """max_batch_bytes streams each group through fixed-size sub-batches
+    (remainders padded to one program per group); results must be
+    identical to the unbounded path, in input order."""
+    images = [RNG.integers(0, 256, (64, 64, 4), np.uint8) for _ in range(5)]
+    images += [RNG.integers(0, 256, (32, 48, 3), np.uint8) for _ in range(3)]
+    types = [0, 4, 0, 0, 4, 8, 8, 8]
+    want = scale_pyramid_mixed(images, types, sizes=(8, 16))
+    # 2 images per 64^2 sub-batch, 2 per 24bpp sub-batch
+    got = scale_pyramid_mixed(images, types, sizes=(8, 16),
+                              max_batch_bytes=2 * 64 * 64 * 4)
+    for w, g in zip(want, got):
+        for wl, gl in zip(w, g):
+            assert np.array_equal(wl, gl)
