@@ -113,7 +113,13 @@ def fuzz_pyramid(n: int, seed: int):
         if kind == 0:
             ti, to = int(rng.integers(0, 4)), int(rng.integers(0, 4))
         elif kind == 1:
-            ti, to = int(rng.integers(4, 8)), int(rng.integers(4, 8))
+            # ONE-sided unassociated alpha (in-kernel premultiply /
+            # unpremul epilogue); unassoc->unassoc is the PREMUL16
+            # class and stays on the per-level kernels
+            if rng.integers(0, 2):
+                ti, to = int(rng.integers(4, 8)), int(rng.integers(0, 4))
+            else:
+                ti, to = int(rng.integers(0, 4)), int(rng.integers(4, 8))
         else:
             ti, to = int(rng.integers(8, 10)), int(rng.integers(8, 10))
         plans = []
@@ -122,7 +128,9 @@ def fuzz_pyramid(n: int, seed: int):
                 plans = None
                 break
             plans.append(st.ScalePlan(wi, hi, wi // r, hi // r, ti, to, False))
-        if not plans or not pallas_pyramid.applicable(tuple(plans)):
+        fused = (pallas_pyramid.pyramid_dispatch(tuple(plans))
+                 if plans else None)
+        if fused is None:  # incl. 24bpp surrogate-planes sets
             continue
         nb = plans[0].meta_in.n_bytes
         img = rng.integers(0, 256, (hi, wi, nb), dtype=np.uint8)
@@ -131,10 +139,9 @@ def fuzz_pyramid(n: int, seed: int):
         else:
             feed = img
 
-        def run_once(plans=tuple(plans), feed=feed, img=img, ti=ti, to=to):
-            outs = jax.jit(
-                lambda v, p=plans: pallas_pyramid.pyramid_fn(p, v)
-            )(jnp.asarray(feed))
+        def run_once(plans=tuple(plans), feed=feed, img=img, ti=ti,
+                     to=to, fused=fused):
+            outs = jax.jit(fused)(jnp.asarray(feed))
             return all(
                 np.array_equal(
                     np.asarray(o),

@@ -21,9 +21,34 @@ from smolscale_tpu.utils.timing import chain_timer
 
 
 def run(mode, wi=4096, hi=4096, wo=1371, ho=1371, ti=8, to=8, B=4):
+    plan = ScalePlan(wi, hi, wo, ho, ti, to, False)
+    if mode.endswith("-planes"):
+        # ablate INSIDE the shipping channel-major planes dispatch path
+        # (xla._RGB24_PLANES): the honest floor for 24bpp configs
+        from smolscale_tpu.backends import xla
+        import jax as _jax
+        import jax.numpy as _jnp
+
+        base = mode[: -len("-planes")]
+        pallas_bilinear._ABLATE = base if base != "full" else None
+        pallas_bilinear._built_planes.cache_clear()
+        rng = np.random.default_rng(0)
+        imgs = rng.integers(0, 256, (B, hi, wi, plan.meta_in.n_bytes),
+                            dtype=np.uint8)
+        x = _jax.device_put(_jnp.asarray(imgs))
+        np.asarray(x[0, 0, 0])
+        res = chain_timer(
+            lambda v: xla.scale_fn(plan, v)[0, 0, 0, 0].astype(_jnp.uint32),
+            x, n_long=10)
+        per = res.per
+        print(f"{mode:14s}: {per*1e3:.2f} ms/batch  "
+              f"{B*wi*hi/1e6/per:.0f} Mpix/s  ({res.confidence})",
+              flush=True)
+        pallas_bilinear._ABLATE = None
+        pallas_bilinear._built_planes.cache_clear()
+        return
     pallas_bilinear._ABLATE = mode if mode not in ("full", "nopad") else None
     pallas_bilinear._built.cache_clear()
-    plan = ScalePlan(wi, hi, wo, ho, ti, to, False)
     nb = plan.meta_in.n_bytes
     if nb == 3:
         # 24bpp rides the 32bpp surrogate (xla._adapt_24bpp); "full" pays
@@ -72,8 +97,11 @@ def run(mode, wi=4096, hi=4096, wo=1371, ho=1371, ti=8, to=8, B=4):
 
 if __name__ == "__main__":
     args = [a for a in sys.argv[1:] if not a.startswith("-")]
-    dims = [int(a) for a in args]
     modes = ["full", "nopad", "nohmm", "novmm", "nofilter"]
+    if args and not args[0].isdigit():
+        modes = args[0].split(",")
+        args = args[1:]
+    dims = [int(a) for a in args]
     for mode in modes:
         try:
             run(mode, *dims)

@@ -26,6 +26,8 @@ def main():
     modes = ["full", "nounpack", "nohmm", "noclass"]
     if len(sys.argv) > 1:
         modes = sys.argv[1].split(",")
+    if len(sys.argv) > 2:  # substring filter on config names
+        cfgs = [c for c in cfgs if sys.argv[2] in c[0]]
     for name, plan, batch in cfgs:
         for mode in modes:
             pallas_deep._ABLATE = None if mode == "full" else mode

@@ -45,7 +45,9 @@ def main():
         )
         np.asarray(x[0, 0, 0])
         import os
-        combos = [(64, 4096, 512), (64, 2048, 512), (64, 1024, 512),
+        combos = [(256, 2048, 512), (512, 2048, 1024), (1024, 2048, 2048)
+                  ] if os.environ.get("GEO_T") else [
+                  (64, 4096, 512), (64, 2048, 512), (64, 1024, 512),
                   (24, 4096, 512)] if os.environ.get("GEO_WIDE") else [
                   (64, 256, 512), (128, 256, 2048), (256, 256, 4096),
                   (128, 512, 2048)] if os.environ.get("GEO_WINROWS") else [

@@ -30,7 +30,14 @@ from smolscale_tpu.utils.timing import chain_timer
 
 
 def run(mode, B=256):
-    pallas_pyramid._ABLATE = mode if mode != "full" else None
+    cm0 = pallas_pyramid._V_CM
+    if mode.startswith("cm="):  # V chunk-height sweep (exact)
+        pallas_pyramid._V_CM = int(mode[3:])
+        pallas_pyramid._ABLATE = None
+        mode_is_exact = True
+    else:
+        pallas_pyramid._ABLATE = mode if mode != "full" else None
+        mode_is_exact = mode == "full"
     pallas_pyramid._built.cache_clear()
     plans = tuple(
         ScalePlan(512, 512, s, s, 0, 0, False) for s in (64, 128, 256)
@@ -43,7 +50,7 @@ def run(mode, B=256):
     np.asarray(x[0, 0, 0])
     fn = jax.jit(lambda v: pallas_pyramid.pyramid_fn(plans, v))
     exact = ""
-    if mode == "full":
+    if mode_is_exact:
         from smolscale_tpu.backends import numpy_ref
 
         outs = fn(x[:2])
@@ -62,6 +69,7 @@ def run(mode, B=256):
     print(f"{mode:10s}: {per*1e3:.3f} ms/batch  {B/per:.0f} pyr/s  "
           f"({res.confidence}) {exact}", flush=True)
     pallas_pyramid._ABLATE = None
+    pallas_pyramid._V_CM = cm0
     pallas_pyramid._built.cache_clear()
 
 

@@ -1550,6 +1550,7 @@ def _make_kernel(plan: ScalePlan, geo, planes=False, skip_alpha=False,
         )
         if pre_lerp:
             l02, l13 = _pair_lerp(px, hfac_ref[0, 0:1, :])
+
         out_px = jnp.zeros((t, jc_out), dtype=jnp.uint32)
         for byte_pos in range(4):
             if planes:

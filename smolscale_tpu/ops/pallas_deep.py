@@ -907,7 +907,7 @@ def _chunk_centric(plan: ScalePlan):
 
 
 def _make_chunk_kernel(plan: ScalePlan, C: int, w_pad: int, w_out_pad: int,
-                       planes: bool = False):
+                       planes: bool = False, ni: int = 1):
     """Chunk-centric ragged deep box: grid (batch, chunk) walks the image
     once; each chunk's rows classify into the (at most two) spans the
     chunk intersects -- candidate A always, candidate B when the next
@@ -943,7 +943,6 @@ def _make_chunk_kernel(plan: ScalePlan, C: int, w_pad: int, w_out_pad: int,
 
     def kernel(s_ref, x_ref, m_ref, hf_ref, tbl_ref, o_ref, acc_ref):
         c = pl.program_id(1)
-        px = x_ref[0]
         m8 = m_ref[...]
         tbl = tbl_ref[...]
         wmask = jnp.uint32(wmask_i)
@@ -975,250 +974,260 @@ def _make_chunk_kernel(plan: ScalePlan, C: int, w_pad: int, w_out_pad: int,
         wv_b = span_weights(s_ref[c, 9], s_ref[c, 10], s_ref[c, 11],
                             s_ref[c, 12])
 
-        if planes:
-            a_vals, inv_vals = _planes_consts(plan)
-        else:
-            a_vals = (
-                (px >> (8 * alpha_byte)) & jnp.uint32(0xFF)
-            ).astype(jnp.int32)
-            inv_vals = None
-            if linear and in_premul:
-                from . import pallas_srgb
-
-                inv_vals = pallas_srgb.lut_gather(a_vals, tbl[2:3], tbl[3:4])
-
-        # Channel-stacked H matmuls: all four planes concatenate along
-        # sublanes into one tall operand, so each limb's span matmul runs
-        # once at M = 4C (3C + separate alpha when the linear alpha takes
-        # fewer limbs) instead of four times at M = C -- same MACs, far
-        # better MXU M-tile utilization at the small chunk heights the
-        # VMEM budget forces (ablation: the 14 small matmuls were ~60% of
-        # the srgb-ragged kernel's critical path).  The per-column bias
-        # corrections are row-independent, so they apply to the stacked
-        # result unchanged.
-        if raw and _ABLATE is None:
+        def one(px, img):
             if planes:
-                # channel plane -> biased limb directly (xor + truncating
-                # cast == byte - 128); the synthesized 255 alpha (when
-                # packed at all) is the constant 127 limb
-                srcs = [
-                    (px[in_layout.index(l)] ^ jnp.uint8(0x80)
-                     ).astype(jnp.int8)
-                    for l in range(3)
-                ]
-                if not skip_a:
-                    srcs.append(
-                        jnp.full(px.shape[-2:], 127, jnp.int8)
-                    )
-                biased = jnp.concatenate(srcs, axis=0)
+                a_vals, inv_vals = _planes_consts(plan)
             else:
-                biased = jnp.concatenate(
-                    [
-                        ((px >> (8 * in_layout.index(l))) ^ jnp.uint32(0x80)
+                a_vals = (
+                    (px >> (8 * alpha_byte)) & jnp.uint32(0xFF)
+                ).astype(jnp.int32)
+                inv_vals = None
+                if linear and in_premul:
+                    from . import pallas_srgb
+
+                    inv_vals = pallas_srgb.lut_gather(a_vals, tbl[2:3], tbl[3:4])
+
+            # Channel-stacked H matmuls: all four planes concatenate along
+            # sublanes into one tall operand, so each limb's span matmul runs
+            # once at M = 4C (3C + separate alpha when the linear alpha takes
+            # fewer limbs) instead of four times at M = C -- same MACs, far
+            # better MXU M-tile utilization at the small chunk heights the
+            # VMEM budget forces (ablation: the 14 small matmuls were ~60% of
+            # the srgb-ragged kernel's critical path).  The per-column bias
+            # corrections are row-independent, so they apply to the stacked
+            # result unchanged.
+            if raw and _ABLATE is None:
+                if planes:
+                    # channel plane -> biased limb directly (xor + truncating
+                    # cast == byte - 128); the synthesized 255 alpha (when
+                    # packed at all) is the constant 127 limb
+                    srcs = [
+                        (px[in_layout.index(l)] ^ jnp.uint8(0x80)
                          ).astype(jnp.int8)
-                        for l in range(4)
-                    ],
-                    axis=0,
+                        for l in range(3)
+                    ]
+                    if not skip_a:
+                        srcs.append(
+                            jnp.full(px.shape[-2:], 127, jnp.int8)
+                        )
+                    biased = jnp.concatenate(srcs, axis=0)
+                else:
+                    biased = jnp.concatenate(
+                        [
+                            ((px >> (8 * in_layout.index(l))) ^ jnp.uint32(0x80)
+                             ).astype(jnp.int8)
+                            for l in range(4)
+                        ],
+                        axis=0,
+                    )
+
+                def mm(mat):
+                    return jnp.dot(biased, mat, preferred_element_type=jnp.int32)
+
+                if _h_lane_packed(plan):
+                    # one lane-packed matmul (A | L | R at w_out offsets,
+                    # _ragged_h_tables); lane-roll L/R back over [0, w_out).
+                    # Lanes >= w_out carry garbage from here on -- harmless,
+                    # lanes are independent and the host slices to w_out
+                    y3 = mm(m8) + corr_a
+                    w_o = plan.width_out
+                    y_a = y3
+                    y_l = jnp.roll(y3, -w_o, axis=1)
+                    y_r = jnp.roll(y3, -2 * w_o, axis=1)
+                else:
+                    y_a = mm(m8[:, :w_out_pad]) + corr_a
+                    y_l = mm(m8[:, w_out_pad : 2 * w_out_pad]) + corr_l
+                    y_r = mm(m8[:, 2 * w_out_pad :]) + corr_r
+                y = (
+                    y_a
+                    - y_l
+                    + ((y_l.astype(jnp.uint32) * lw_out >> 8) & wmask
+                       ).astype(jnp.int32)
+                    + ((y_r.astype(jnp.uint32) * rf >> 8) & wmask
+                       ).astype(jnp.int32)
                 )
+                hrow_s = fp.mul_shift_round24(y, jnp.int32(span_mul_x)) & norm_mask
+                hrows = [hrow_s[l * C : (l + 1) * C] for l in range(n_stack)]
+            elif (premul16 and not linear and not planes
+                  and _h_lane_packed(plan)
+                  and _ABLATE in (None, "fp_noswar", "fp_nomm")):
+                # PREMUL16-compressed fast path (generic.c:616-634 storage):
+                # ONE u32 multiply forms TWO channels' v*a products in
+                # independent 16-bit halves (v*a <= 65025 < 2**16, no
+                # carry-over), replacing two per-channel extract+multiply
+                # streams; and the (a<<8)|0x80 alpha word's low biased limb
+                # is identically zero (0x80 - 128), so the limb-0 matmul
+                # stacks only the three color planes -- the shared 2-limb
+                # bias correction row already restores the 128*colsum the
+                # constant 0x80 limb truly contributes, exactly.
+                a_u = a_vals.astype(jnp.uint32)
+                pb = (0, 2) if alpha_byte in (1, 3) else (1, 3)
+                sb = next(b for b in range(4)
+                          if b != alpha_byte and b not in pb)
+                rp = (px if pb[0] == 0 else px >> 8) & jnp.uint32(0x00FF00FF)
+                # biased bytes via ONE xor + truncating int8 casts: the cast
+                # keeps the low byte two's-complement, so (x ^ 0x80..80 as
+                # int8 per byte) == byte - 128 with no mask/subtract passes
+                if _ABLATE == "fp_noswar":  # timing-only: skip the products
+                    rp = rp ^ jnp.uint32(0x80808080)
+                    rs = (px >> (8 * sb)) ^ jnp.uint32(0x8080)
+                else:
+                    rp = (rp * a_u) ^ jnp.uint32(0x80808080)
+                    rs = (((px >> (8 * sb)) & jnp.uint32(0xFF)) * a_u
+                          ) ^ jnp.uint32(0x8080)
 
-            def mm(mat):
-                return jnp.dot(biased, mat, preferred_element_type=jnp.int32)
+                def _lb(v):
+                    return v.astype(jnp.int8)
 
-            if _h_lane_packed(plan):
-                # one lane-packed matmul (A | L | R at w_out offsets,
-                # _ragged_h_tables); lane-roll L/R back over [0, w_out).
-                # Lanes >= w_out carry garbage from here on -- harmless,
-                # lanes are independent and the host slices to w_out
-                y3 = mm(m8) + corr_a
+                l0 = {in_layout[pb[0]]: _lb(rp),
+                      in_layout[pb[1]]: _lb(rp >> 16),
+                      in_layout[sb]: _lb(rs)}
+                l1 = {in_layout[pb[0]]: _lb(rp >> 8),
+                      in_layout[pb[1]]: _lb(rp >> 24),
+                      in_layout[sb]: _lb(rs >> 8),
+                      3: _lb(a_vals ^ 128)}
+
+                def mm(v):
+                    return jnp.dot(v, m8, preferred_element_type=jnp.int32)
+
+                y1m = mm(jnp.concatenate([l1[l] for l in range(4)], axis=0))
+                y0m = mm(jnp.concatenate([l0[l] for l in range(3)], axis=0))
+                y3 = jnp.concatenate(
+                    [(y1m[: 3 * C] << 8) + y0m, y1m[3 * C :] << 8], axis=0
+                ) + corr_a
                 w_o = plan.width_out
-                y_a = y3
                 y_l = jnp.roll(y3, -w_o, axis=1)
                 y_r = jnp.roll(y3, -2 * w_o, axis=1)
+                y = (
+                    y3
+                    - y_l
+                    + ((y_l.astype(jnp.uint32) * lw_out >> 8) & wmask
+                       ).astype(jnp.int32)
+                    + ((y_r.astype(jnp.uint32) * rf >> 8) & wmask
+                       ).astype(jnp.int32)
+                )
+                hrow_s = fp.mul_shift_round24(y, jnp.int32(span_mul_x)) & norm_mask
+                hrows = [hrow_s[l * C : (l + 1) * C] for l in range(4)]
             else:
-                y_a = mm(m8[:, :w_out_pad]) + corr_a
-                y_l = mm(m8[:, w_out_pad : 2 * w_out_pad]) + corr_l
-                y_r = mm(m8[:, 2 * w_out_pad :]) + corr_r
-            y = (
-                y_a
-                - y_l
-                + ((y_l.astype(jnp.uint32) * lw_out >> 8) & wmask
-                   ).astype(jnp.int32)
-                + ((y_r.astype(jnp.uint32) * rf >> 8) & wmask
-                   ).astype(jnp.int32)
-            )
-            hrow_s = fp.mul_shift_round24(y, jnp.int32(span_mul_x)) & norm_mask
-            hrows = [hrow_s[l * C : (l + 1) * C] for l in range(n_stack)]
-        elif (premul16 and not linear and not planes
-              and _h_lane_packed(plan) and _ABLATE is None):
-            # PREMUL16-compressed fast path (generic.c:616-634 storage):
-            # ONE u32 multiply forms TWO channels' v*a products in
-            # independent 16-bit halves (v*a <= 65025 < 2**16, no
-            # carry-over), replacing two per-channel extract+multiply
-            # streams; and the (a<<8)|0x80 alpha word's low biased limb
-            # is identically zero (0x80 - 128), so the limb-0 matmul
-            # stacks only the three color planes -- the shared 2-limb
-            # bias correction row already restores the 128*colsum the
-            # constant 0x80 limb truly contributes, exactly.
-            a_u = a_vals.astype(jnp.uint32)
-            pb = (0, 2) if alpha_byte in (1, 3) else (1, 3)
-            sb = next(b for b in range(4)
-                      if b != alpha_byte and b not in pb)
-            rp = (px if pb[0] == 0 else px >> 8) & jnp.uint32(0x00FF00FF)
-            # biased bytes via ONE xor + truncating int8 casts: the cast
-            # keeps the low byte two's-complement, so (x ^ 0x80..80 as
-            # int8 per byte) == byte - 128 with no mask/subtract passes
-            rp = (rp * a_u) ^ jnp.uint32(0x80808080)
-            rs = (((px >> (8 * sb)) & jnp.uint32(0xFF)) * a_u
-                  ) ^ jnp.uint32(0x8080)
-
-            def _lb(v):
-                return v.astype(jnp.int8)
-
-            l0 = {in_layout[pb[0]]: _lb(rp),
-                  in_layout[pb[1]]: _lb(rp >> 16),
-                  in_layout[sb]: _lb(rs)}
-            l1 = {in_layout[pb[0]]: _lb(rp >> 8),
-                  in_layout[pb[1]]: _lb(rp >> 24),
-                  in_layout[sb]: _lb(rs >> 8),
-                  3: _lb(a_vals ^ 128)}
-
-            def mm(v):
-                return jnp.dot(v, m8, preferred_element_type=jnp.int32)
-
-            y1m = mm(jnp.concatenate([l1[l] for l in range(4)], axis=0))
-            y0m = mm(jnp.concatenate([l0[l] for l in range(3)], axis=0))
-            y3 = jnp.concatenate(
-                [(y1m[: 3 * C] << 8) + y0m, y1m[3 * C :] << 8], axis=0
-            ) + corr_a
-            w_o = plan.width_out
-            y_l = jnp.roll(y3, -w_o, axis=1)
-            y_r = jnp.roll(y3, -2 * w_o, axis=1)
-            y = (
-                y3
-                - y_l
-                + ((y_l.astype(jnp.uint32) * lw_out >> 8) & wmask
-                   ).astype(jnp.int32)
-                + ((y_r.astype(jnp.uint32) * rf >> 8) & wmask
-                   ).astype(jnp.int32)
-            )
-            hrow_s = fp.mul_shift_round24(y, jnp.int32(span_mul_x)) & norm_mask
-            hrows = [hrow_s[l * C : (l + 1) * C] for l in range(4)]
-        else:
-            if _ABLATE == "nounpack":
-                chs = [px.astype(jnp.int32) & 0xFF for _ in range(4)]
-            else:
-                chs = [
-                    _unpack_plane(px, a_vals, inv_vals, l, in_layout,
-                                  premul16, in_premul, linear, tbl,
-                                  planes=planes)
-                    for l in range(n_stack)
-                ]
-            if _ABLATE == "nohmm":
-                hrows = [ch[:, :w_out_pad] & norm_mask for ch in chs]
-            else:
-                # linear alpha fits fewer limbs than the linearized colors
-                a_nl = (2 if premul16 else 1) if linear else nl8
-                if skip_a or a_nl == nl8:
-                    groups = [(jnp.concatenate(chs, axis=0), nl8,
-                               corr_a, corr_r)]
+                if _ABLATE == "nounpack":
+                    chs = [px.astype(jnp.int32) & 0xFF for _ in range(4)]
                 else:
-                    groups = [
-                        (jnp.concatenate(chs[:3], axis=0), nl8,
-                         corr_a, corr_r),
-                        (chs[3], a_nl, hf_ref[6:7, :w_out_pad],
-                         hf_ref[7:8, :w_out_pad]),
+                    chs = [
+                        _unpack_plane(px, a_vals, inv_vals, l, in_layout,
+                                      premul16, in_premul, linear, tbl,
+                                      planes=planes)
+                        for l in range(n_stack)
                     ]
-                ys = []
-                for g, nl, ca, cr in groups:
-                    if _h_lane_packed(plan):
-                        # one lane-packed matmul per limb (A | L | R at
-                        # w_out offsets); the left weight applies
-                        # post-gather like the raw path -- exact because
-                        # block L is a one-hot (see _h_lane_packed).
-                        # ca is this group's PACKED correction row
-                        if linear and not premul16 and nl == nl8:
-                            y3 = pg._span_mm_u7(g, m8, 7)
-                        else:
-                            y3 = pg._span_mm_i8b(g, m8, ca, nl)
-                        w_o = plan.width_out
-                        y_l = jnp.roll(y3, -w_o, axis=1)
-                        y_r = jnp.roll(y3, -2 * w_o, axis=1)
-                        y = (
-                            y3
-                            - y_l
-                            + ((y_l.astype(jnp.uint32) * lw_out >> 8)
-                               & wmask).astype(jnp.int32)
-                            + ((y_r.astype(jnp.uint32) * rf >> 8)
-                               & wmask).astype(jnp.int32)
-                        )
+                if _ABLATE == "nohmm":
+                    hrows = [ch[:, :w_out_pad] & norm_mask for ch in chs]
+                else:
+                    # linear alpha fits fewer limbs than the linearized colors
+                    a_nl = (2 if premul16 else 1) if linear else nl8
+                    if skip_a or a_nl == nl8:
+                        groups = [(jnp.concatenate(chs, axis=0), nl8,
+                                   corr_a, corr_r)]
                     else:
-                        adj = fp.weight256(g, lw, wmask_i)
-                        mr = (m8[:, w_out_pad : 2 * w_out_pad]
-                              if raw else m8[:, w_out_pad:])
-                        if linear and not premul16 and nl == nl8:
-                            # P8L colors <= 2047: unbiased split limbs
-                            y_a = pg._span_mm_u7(adj, m8[:, :w_out_pad], 7)
-                            y_r = pg._span_mm_u7(g, mr, 7)
-                        else:
-                            y_a = pg._span_mm_i8b(
-                                adj, m8[:, :w_out_pad], ca, nl
+                        groups = [
+                            (jnp.concatenate(chs[:3], axis=0), nl8,
+                             corr_a, corr_r),
+                            (chs[3], a_nl, hf_ref[6:7, :w_out_pad],
+                             hf_ref[7:8, :w_out_pad]),
+                        ]
+                    ys = []
+                    for g, nl, ca, cr in groups:
+                        if _h_lane_packed(plan):
+                            # one lane-packed matmul per limb (A | L | R at
+                            # w_out offsets); the left weight applies
+                            # post-gather like the raw path -- exact because
+                            # block L is a one-hot (see _h_lane_packed).
+                            # ca is this group's PACKED correction row
+                            if linear and not premul16 and nl == nl8:
+                                y3 = pg._span_mm_u7(g, m8, 7)
+                            else:
+                                y3 = pg._span_mm_i8b(g, m8, ca, nl)
+                            w_o = plan.width_out
+                            y_l = jnp.roll(y3, -w_o, axis=1)
+                            y_r = jnp.roll(y3, -2 * w_o, axis=1)
+                            y = (
+                                y3
+                                - y_l
+                                + ((y_l.astype(jnp.uint32) * lw_out >> 8)
+                                   & wmask).astype(jnp.int32)
+                                + ((y_r.astype(jnp.uint32) * rf >> 8)
+                                   & wmask).astype(jnp.int32)
                             )
-                            y_r = pg._span_mm_i8b(g, mr, cr, nl)
-                        y = y_a + (
-                            (y_r.astype(jnp.uint32) * rf >> 8) & wmask
-                        ).astype(jnp.int32)
-                    ys.append(
-                        fp.mul_shift_round24(y, jnp.int32(span_mul_x))
+                        else:
+                            adj = fp.weight256(g, lw, wmask_i)
+                            mr = (m8[:, w_out_pad : 2 * w_out_pad]
+                                  if raw else m8[:, w_out_pad:])
+                            if linear and not premul16 and nl == nl8:
+                                # P8L colors <= 2047: unbiased split limbs
+                                y_a = pg._span_mm_u7(adj, m8[:, :w_out_pad], 7)
+                                y_r = pg._span_mm_u7(g, mr, 7)
+                            else:
+                                y_a = pg._span_mm_i8b(
+                                    adj, m8[:, :w_out_pad], ca, nl
+                                )
+                                y_r = pg._span_mm_i8b(g, mr, cr, nl)
+                            y = y_a + (
+                                (y_r.astype(jnp.uint32) * rf >> 8) & wmask
+                            ).astype(jnp.int32)
+                        ys.append(
+                            fp.mul_shift_round24(y, jnp.int32(span_mul_x))
+                            & norm_mask
+                        )
+                    hrows = [ys[0][l * C : (l + 1) * C] for l in range(3)]
+                    if not skip_a:
+                        hrows.append(
+                            ys[-1][0:C] if len(ys) > 1
+                            else ys[0][3 * C : 4 * C]
+                        )
+            for ch_lane in range(n_stack):
+                hrow = hrows[ch_lane]
+                hu = hrow.astype(jnp.uint32)
+                if _ABLATE == "noclass":
+                    part_a = jnp.sum(hrow, axis=0, keepdims=True)
+                else:
+                    part_a = jnp.sum(
+                        ((hu * wv_a >> 8) & wmask).astype(jnp.int32),
+                        axis=0, keepdims=True,
+                    )
+                row_a = img * 8 + ch_lane * 2 + jax.lax.rem(idx_a, 2)
+
+                @pl.when(s_ref[c, 5] == 1)
+                def _init_a():
+                    acc_ref[pl.ds(row_a, 1), :] = part_a
+
+                @pl.when(s_ref[c, 5] == 0)
+                def _acc_a():
+                    acc_ref[pl.ds(row_a, 1), :] = (
+                        acc_ref[pl.ds(row_a, 1), :] + part_a
+                    )
+
+                @pl.when(s_ref[c, 6] == 1)
+                def _emit_a():
+                    acc = acc_ref[pl.ds(row_a, 1), :]
+                    o_ref[img, ch_lane, pl.ds(idx_a, 1)] = (
+                        fp.mul_shift_round24(acc, jnp.int32(span_mul_y))
                         & norm_mask
                     )
-                hrows = [ys[0][l * C : (l + 1) * C] for l in range(3)]
-                if not skip_a:
-                    hrows.append(
-                        ys[-1][0:C] if len(ys) > 1
-                        else ys[0][3 * C : 4 * C]
+
+                if _ABLATE == "noclass":
+                    part_b = part_a
+                else:
+                    part_b = jnp.sum(
+                        ((hu * wv_b >> 8) & wmask).astype(jnp.int32),
+                        axis=0, keepdims=True,
                     )
-        for ch_lane in range(n_stack):
-            hrow = hrows[ch_lane]
-            hu = hrow.astype(jnp.uint32)
-            if _ABLATE == "noclass":
-                part_a = jnp.sum(hrow, axis=0, keepdims=True)
-            else:
-                part_a = jnp.sum(
-                    ((hu * wv_a >> 8) & wmask).astype(jnp.int32),
-                    axis=0, keepdims=True,
-                )
-            row_a = ch_lane * 2 + jax.lax.rem(idx_a, 2)
+                row_b = img * 8 + ch_lane * 2 + jax.lax.rem(idx_b, 2)
 
-            @pl.when(s_ref[c, 5] == 1)
-            def _init_a():
-                acc_ref[pl.ds(row_a, 1), :] = part_a
+                @pl.when(s_ref[c, 7] == 1)
+                def _init_b():
+                    acc_ref[pl.ds(row_b, 1), :] = part_b
 
-            @pl.when(s_ref[c, 5] == 0)
-            def _acc_a():
-                acc_ref[pl.ds(row_a, 1), :] = (
-                    acc_ref[pl.ds(row_a, 1), :] + part_a
-                )
 
-            @pl.when(s_ref[c, 6] == 1)
-            def _emit_a():
-                acc = acc_ref[pl.ds(row_a, 1), :]
-                o_ref[0, ch_lane, pl.ds(idx_a, 1)] = (
-                    fp.mul_shift_round24(acc, jnp.int32(span_mul_y))
-                    & norm_mask
-                )
-
-            if _ABLATE == "noclass":
-                part_b = part_a
-            else:
-                part_b = jnp.sum(
-                    ((hu * wv_b >> 8) & wmask).astype(jnp.int32),
-                    axis=0, keepdims=True,
-                )
-            row_b = ch_lane * 2 + jax.lax.rem(idx_b, 2)
-
-            @pl.when(s_ref[c, 7] == 1)
-            def _init_b():
-                acc_ref[pl.ds(row_b, 1), :] = part_b
+        for img in range(ni):
+            one(x_ref[img], img)
 
     return kernel
 
@@ -1277,9 +1286,22 @@ def _built_chunked(plan: ScalePlan, batch: int, planes: bool = False):
             scal[c, 10] = -2
 
     h_pad = n_chunks * C
-    kernel = _make_chunk_kernel(plan, C, w_pad, w_out_pad, planes=planes)
-    grid = (batch, n_chunks)
-    scratch = [pltpu.VMEM((8, w_out_pad), jnp.int32)]
+    # Two images per grid step for the PREMUL16-compressed class: its
+    # ablation shows no single stage above ~8% of runtime (the kernel is
+    # per-step pipeline-bound at the span-capped C), so halve the step
+    # count instead -- each step DMAs two images' chunks and unrolls the
+    # pipeline over both, with per-image accumulator rows (img*8 offset).
+    ni = 2 if (
+        not planes
+        and plan.internal_alpha == AlphaType.PREMUL16
+        and plan.gamma == GammaType.SRGB_COMPRESSED
+        and _h_lane_packed(plan)
+        and batch % 2 == 0
+    ) else 1
+    kernel = _make_chunk_kernel(plan, C, w_pad, w_out_pad, planes=planes,
+                                ni=ni)
+    grid = (batch // ni, n_chunks)
+    scratch = [pltpu.VMEM((8 * ni, w_out_pad), jnp.int32)]
 
     if planes:
         px_spec = pl.BlockSpec(
@@ -1288,7 +1310,7 @@ def _built_chunked(plan: ScalePlan, batch: int, planes: bool = False):
         )
     else:
         px_spec = pl.BlockSpec(
-            (1, C, w_pad), lambda b, c, *_: (b, c, 0),
+            (ni, C, w_pad), lambda b, c, *_: (b, c, 0),
             memory_space=pltpu.VMEM,
         )
     grid_spec = pltpu.PrefetchScalarGridSpec(
@@ -1308,7 +1330,7 @@ def _built_chunked(plan: ScalePlan, batch: int, planes: bool = False):
             ),
         ],
         out_specs=pl.BlockSpec(
-            (1, 4, h_out, w_out_pad), lambda b, c, *_: (b, 0, 0, 0),
+            (ni, 4, h_out, w_out_pad), lambda b, c, *_: (b, 0, 0, 0),
             memory_space=pltpu.VMEM,
         ),
         scratch_shapes=scratch,

@@ -21,14 +21,15 @@ compute the shared packed-SWAR lerp, and emit all levels:
   matrices of all levels (column j of level l has ones at offsets
   [j*2**n, (j+1)*2**n)); the sum >> n with the per-lane static bias
   correction is the exact generic.c ladder in one MXU pass.
-* V lerp + ladder: pure sublane reshapes, NO matmul (the
-  _v_uniform_ladder_stage identity): with d >= 2 both rows of sample i
-  live inside its own d-row group, so a leading-axis reshape exposes
-  the lerp pair, and the ladder sums 2**n consecutive sample rows
-  (scale_outrow_bilinear_Nh, generic.c:1841-1916).  Replacing the
-  original per-level V count matmuls -- the kernel's largest matmul
-  class, ~176M MACs/image -- with reshapes took config 5 from 246k to
-  over 300k pyramids/s.
+* V lerp: all rows against their one-sublane roll (lerp256 f=128 as
+  the 3-op floor average), then ONE K-chunked biased int8 count matmul
+  per level: a cm-output-row chunk of the ladder touches only a
+  cm*2**n*d-row window of the lerped rows, the windows of every chunk
+  share the same local count matrix (uniform stride), and the dropped
+  rows are zero in the chunk's columns -- bit-identical, ~3x fewer V
+  MACs than the full (h_out, h) matmul.  (A reshape-only V -- strided
+  sublane selects -- measured WORSE than the matmul, 0.74 ms of the
+  1.24 ms total: probe_pyramid_ablate, recorded negative result.)
 
 Bit-exactness: each level's output equals pallas_bilinear / numpy_ref /
 the C oracle byte for byte (tests/test_pallas_pyramid.py); the ladder
@@ -59,6 +60,9 @@ from .pallas_bilinear import _avg_floor_packed, _lad_uniform
 _VMEM_BUDGET = 12 * 2**20
 
 _ABLATE = None  # timing-only stage knob (benchmarks/probe_pyramid_ablate)
+_V_CM = 32      # V ladder chunk height: the chunk window kw ~ 2*cm*2**nv,
+# so total V MACs scale ~linearly with cm, against MXU M-tile waste
+# below cm ~ 32 (probe_pyramid_ablate cm sweep)
 
 
 def _lad128(ax):
@@ -158,20 +162,61 @@ def _chunk_slices(mat: np.ndarray):
     return chunks
 
 
+def _v_tables(p: ScalePlan, lad, h: int, cm: int = None):
+    if cm is None:
+        cm = _V_CM
+    """K-chunked V ladder tables: (mv, bases, cm, kw).
+
+    Output-row chunk j of size cm reads lerped rows
+    [o0 + (j*cm << nv)*d, ...): with uniform stride every chunk's LOCAL
+    count pattern is identical, so ONE (cm, kw) int8 matrix serves all
+    chunks at 8-aligned static base offsets ``bases`` -- bit-identical
+    to the full (h_out, h) matmul because rows outside a chunk's window
+    are zero in its columns.  Falls back to a single full-height chunk
+    when alignment or divisibility rules it out."""
+    d, _, o0 = lad
+    nv = p.y.halvings
+    h_out = p.height_out
+    if h_out % cm or (cm << nv) * d % 8 or cm >= h_out:
+        cm = h_out  # single chunk covering every row
+    rel0 = o0 % 8
+    kw = _round_up8(rel0 + ((cm << nv) - 1) * d + 2)
+    bases = tuple(
+        o0 - rel0 + ((j * cm) << nv) * d for j in range(h_out // cm)
+    )
+    if bases[-1] + kw > h:
+        cm = h_out
+        kw = _round_up8(rel0 + ((cm << nv) - 1) * d + 2)
+        bases = (o0 - rel0,)
+    # the rounded window may overhang the image; every needed index is
+    # < h - base (d >= 2 and the applicable slice-end gate), so clamp
+    kw = min(kw, h - bases[-1])
+    mv = np.zeros((cm, kw), dtype=np.int8)
+    for i in range(cm):
+        for k in range(1 << nv):
+            mv[i, rel0 + ((i << nv) + k) * d] = 1
+    return mv, bases, cm, kw
+
+
+def _round_up8(n: int) -> int:
+    return -(-n // 8) * 8
+
+
 def _h_tables(plans, w: int):
     """Base-ladder H tables.
 
     Every _lad128 level of one source shares d = 2 / f = 128 and (in
     practice) the same offset array (dim_bilin = dim_in / 2), so the
     kernel compacts the lerped samples ONCE per distinct offset array
-    (one-hot base matmul, column-chunked on its hull) and runs each
-    level's 2**n ladder as a small (sb, w_l) count matmul on the base --
-    the n = 0 level is a plain lane slice of it.  Returns
-    (bases, lvl_tbl): bases = [(mbase, chunks, sb_pad)], lvl_tbl[l] =
-    (base_idx, g_or_None, corr, shift).
+    (one-hot base matmul, column-chunked on its hull) and runs ALL of a
+    base's level ladders as ONE fused (sb, sum w_l) count matmul -- the
+    n = 0 level is a plain lane slice of the base.  Returns
+    (bases, lvl_tbl, comb_mats, comb_of_base): bases = [(mbase, chunks,
+    sb_pad)], lvl_tbl[l] = (base_idx, comb_col_off_or_None, corr,
+    shift), comb_mats[comb_of_base[bi]] = the fused ladder matrix.
     """
     key_to_idx: dict = {}
-    bases, lvl_tbl = [], []
+    bases, lvl_tbl, parts = [], [], []
     for p in plans:
         off = np.asarray(p.x.offsets)
         key = off.tobytes()
@@ -192,7 +237,22 @@ def _h_tables(plans, w: int):
         for j in range(wl):
             g[j << nh : (j + 1) << nh, j] = 1
         lvl_tbl.append((bi, g, 128 << nh, nh))
-    return bases, lvl_tbl
+        parts.append((bi, len(lvl_tbl) - 1, g))
+    # every base's ladder matrices fuse into ONE wider matmul operand
+    # (column blocks are 128-padded, so the per-level slices are clean
+    # lane cuts); lvl_tbl's g entry becomes the column offset
+    comb_mats, comb_of_base = [], {}
+    for bi, li, g in parts:
+        if bi not in comb_of_base:
+            comb_of_base[bi] = len(comb_mats)
+            comb_mats.append([])
+        blocks = comb_mats[comb_of_base[bi]]
+        off_c = sum(b.shape[1] for b in blocks)
+        blocks.append(g)
+        bi_, _, corr, nh = lvl_tbl[li]
+        lvl_tbl[li] = (bi_, off_c, corr, nh)
+    comb_mats = [np.concatenate(b, axis=1) for b in comb_mats]
+    return bases, lvl_tbl, comb_mats, comb_of_base
 
 
 @functools.cache
@@ -209,16 +269,16 @@ def _built(plans: tuple, batch: int, planes: bool = False):
                   and p0.meta_in.alpha == AlphaType.UNASSOCIATED)
     alpha_byte = in_layout.index(3)
 
-    bases, lvl_tbl = _h_tables(plans, w)
-    v_lads = [_lad128(p.y) for p in plans]
+    bases, lvl_tbl, comb_mats, comb_of_base = _h_tables(plans, w)
+    v_tbls = [_v_tables(p, _lad128(p.y), h) for p in plans]
     wlps = [_pad128(p.width_out) for p in plans]
-    gl_mats = [g for _, g, _, _ in lvl_tbl if g is not None]
 
     def kernel(x_ref, *rest):
-        nb, ng = len(bases), len(gl_mats)
+        nb, ng = len(bases), len(comb_mats)
         mb_refs = rest[:nb]
         g_refs = rest[nb : nb + ng]
-        o_refs = rest[nb + ng :]
+        mv_refs = rest[nb + ng : nb + ng + len(plans)]
+        o_refs = rest[nb + ng + len(plans) :]
         x = x_ref[0]  # (h, w) u32, or (3, h, w) u8 with planes
         if planes:
             # leading-axis collapse (free) -> the limb stack directly;
@@ -286,65 +346,66 @@ def _built(plans: tuple, batch: int, planes: bool = False):
                 rb = jnp.concatenate(parts, axis=1)
             rbases.append(rb)
         # hoisted biased int8 view of each base (values in [-128, 127],
-        # the cast is exact); computed once, shared by every ladder level
-        rb8s = [rb.astype(jnp.int8) for rb in rbases]
-        gi = 0
-        for li, p in enumerate(plans):
-            wlp, nv = wlps[li], p.y.halvings
-            bi, g, corr, nh = lvl_tbl[li]
-            if g is None:  # n = 0 level: the base IS the H output
-                hl = rbases[bi][:, :wlp] + 128
-            elif _ABLATE in ("nolad", "nofilter"):
-                gi += 1
-                hl = rbases[bi][:, :wlp] + 128
-            else:
-                rl = jnp.dot(
-                    rb8s[bi], g_refs[gi][...],
+        # the cast is exact) and the ONE fused ladder matmul per base
+        # serving every ladder level at a column offset
+        rb8s = {bi: rbases[bi].astype(jnp.int8) for bi in comb_of_base}
+        rlcs = {}
+        if _ABLATE not in ("nolad", "nofilter"):
+            for bi, ci in comb_of_base.items():
+                rlcs[bi] = jnp.dot(
+                    rb8s[bi], g_refs[ci][...],
                     preferred_element_type=jnp.int32,
                 )
-                gi += 1
-                hl = (rl + corr) >> nh
-            # Pair-packed V: the level's channels pack into TWO
-            # 16-bit-lane streams keyed by OUTPUT byte (out bytes k and
-            # k+2 share stream k), so the V lerp + ladder run on half
-            # the data with both channels per op -- values are bytes,
-            # the floor average stays <= 255 per lane, and the ladder
-            # sum of 2**nv lanes <= 255 << nv < 2**16 never carries.
-            # The final pack is then one shift-or of the two streams.
-            e = []
-            for k in range(min(2, n_ch)):
-                lo = hl[perm[k] * h : (perm[k] + 1) * h]
-                if k + 2 < n_ch:
-                    hi = hl[perm[k + 2] * h : (perm[k + 2] + 1) * h]
-                    e.append(lo | (hi << 16))
-                else:
-                    e.append(lo)
-            # V lerp + ladder as pure sublane reshapes (the
-            # _v_uniform_ladder_stage identity; d >= 2 keeps both lerp
-            # rows of sample i inside its own d-row group): lerp256 with
-            # f = 128 is the floor average per 16-bit lane, the ladder a
-            # leading-axis reshape-sum >> nv (generic.c:1841-1916)
-            d_y, _, o0y = v_lads[li]
-            ns = p.height_out << nv
-            outs2 = []
-            for st in e:
-                if _ABLATE in ("nov", "nofilter"):
-                    outs2.append(st[: p.height_out])
-                    continue
-                g3 = st[o0y : o0y + ns * d_y].reshape(ns, d_y, wlp)
-                p_, q_ = g3[:, 0, :], g3[:, 1, :]
-                lerped = (p_ & q_) + (((p_ ^ q_) >> 1) & 0x007F007F)
-                if nv:
-                    ssum = jnp.sum(
-                        lerped.reshape(p.height_out, 1 << nv, wlp), axis=1
-                    )
-                    outs2.append((ssum >> nv) & 0x00FF00FF)
-                else:
-                    outs2.append(lerped)
-            packed = outs2[0]
-            if len(outs2) > 1:
-                packed = packed | (outs2[1] << 8)
-            o_refs[li][0] = packed.astype(jnp.uint32)[:, : p.width_out]
+        for li, p in enumerate(plans):
+            wlp, nv = wlps[li], p.y.halvings
+            bi, off_c, corr, nh = lvl_tbl[li]
+            if off_c is None:  # n = 0 level: the base IS the H output
+                hl = rbases[bi][:, :wlp] + 128
+            elif _ABLATE in ("nolad", "nofilter"):
+                hl = rbases[bi][:, :wlp] + 128
+            else:
+                hl = (rlcs[bi][:, off_c : off_c + wlp] + corr) >> nh
+            # V lerp directly on the channel-stacked hl (lerp256 f=128
+            # == ((p-q)>>1)+q, generic.c:1290; rows whose lerp partner
+            # crosses a channel boundary are odd and never read -- the
+            # V count matmul consumes sample rows only), then one
+            # K-chunked biased int8 count matmul per chunk over the
+            # per-channel i8 slices lane-concatenated in OUTPUT byte
+            # order (i8 concat costs 1/4 of the old i32 hv concat)
+            if _ABLATE in ("nov", "nofilter"):
+                o = jnp.concatenate(
+                    [hl[perm[ob] * h : perm[ob] * h + p.height_out]
+                     for ob in range(n_ch)], axis=1,
+                )
+            elif _ABLATE == "novlerp":  # timing-only: V matmul, no lerp
+                v8 = (hl ^ 128).astype(jnp.int8)
+            if _ABLATE not in ("nov", "nofilter"):
+                if _ABLATE != "novlerp":
+                    q = jnp.roll(hl, -1, axis=0)
+                    v8 = ((((hl - q) >> 1) + q) ^ 128).astype(jnp.int8)
+                mvl = mv_refs[li][...]
+                _, v_bases, cm_v, kw_v = v_tbls[li]
+                # every chunk shares mvl, so ALL chunks ride ONE matmul
+                # with their windows lane-concatenated (i8 copies);
+                # 14 small dots per image measured launch-bound
+                sw = jnp.concatenate(
+                    [v8[perm[ob] * h + b0 : perm[ob] * h + b0 + kw_v]
+                     for b0 in v_bases for ob in range(n_ch)], axis=1,
+                )  # (kw, n_chunks*n_ch*wlp) i8
+                y = jnp.dot(mvl, sw, preferred_element_type=jnp.int32)
+                blk = n_ch * wlp
+                o = (jnp.concatenate(
+                    [y[:, j * blk : (j + 1) * blk]
+                     for j in range(len(v_bases))], axis=0)
+                    if len(v_bases) > 1 else y)
+                o = (o + (128 << nv)) >> nv  # (h_out, n_ch*wlp) bytes
+            packed = jnp.zeros((o.shape[0], wlp), dtype=jnp.uint32)
+            for ob in range(n_ch):
+                packed = packed | (
+                    o[:, ob * wlp : (ob + 1) * wlp].astype(jnp.uint32)
+                    << jnp.uint32(8 * ob)
+                )
+            o_refs[li][0] = packed[:, : p.width_out]
 
     x_spec = (
         pl.BlockSpec((1, 3, h, w), lambda b: (b, 0, 0, 0))
@@ -354,7 +415,8 @@ def _built(plans: tuple, batch: int, planes: bool = False):
     in_specs = (
         [x_spec]
         + [pl.BlockSpec(mb.shape, lambda b: (0, 0)) for mb, _, _ in bases]
-        + [pl.BlockSpec(g.shape, lambda b: (0, 0)) for g in gl_mats]
+        + [pl.BlockSpec(g.shape, lambda b: (0, 0)) for g in comb_mats]
+        + [pl.BlockSpec(vt[0].shape, lambda b: (0, 0)) for vt in v_tbls]
     )
     out_specs = [
         pl.BlockSpec((1, p.height_out, p.width_out), lambda b: (b, 0, 0))
@@ -373,7 +435,8 @@ def _built(plans: tuple, batch: int, planes: bool = False):
 
     # keep numpy here: _built is cached, and materializing jnp constants
     # inside a caller's trace would leak tracers into later traces
-    consts_np = [mb for mb, _, _ in bases] + gl_mats
+    consts_np = ([mb for mb, _, _ in bases] + comb_mats
+                 + [vt[0] for vt in v_tbls])
     unassoc_out = p0.meta_out.alpha == AlphaType.UNASSOCIATED
 
     def fn(imgs):
