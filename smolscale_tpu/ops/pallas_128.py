@@ -96,10 +96,16 @@ def _make_kernel(plan: ScalePlan, geo):
     def kernel(rs_ref, cs_ref, x_any, mh_ref, hfac_ref, mv_ref, vfac_ref,
                o_ref, xwin, sem):
         cs = pl.multiple_of(cs_ref[pl.program_id(2)], 128)
-        px = pg._window_dma(
-            rs_ref, cs_ref, x_any, xwin, sem, win_r, win_c,
-            pl.program_id(0), pl.program_id(1), pl.program_id(2),
-        )
+        if pg._ABLATE == "nodma":  # timing-only: compute on stale VMEM
+            # (probe_r5_i: nodma 0.529 ms vs full 0.429 -- removing the
+            # window DMA does NOT speed the kernel up, so the
+            # double-buffered fetch is already hidden behind compute)
+            px = xwin[0]
+        else:
+            px = pg._window_dma(
+                rs_ref, cs_ref, x_any, xwin, sem, win_r, win_c,
+                pl.program_id(0), pl.program_id(1), pl.program_id(2),
+            )
         mh = mh_ref[0]
         mv = mv_ref[0]
 

@@ -1512,10 +1512,16 @@ def _make_kernel(plan: ScalePlan, geo, planes=False, skip_alpha=False,
         gr = pl.program_id(1)
         gc = pl.program_id(2)
         cs = pl.multiple_of(cs_ref[gc], 128)
-        px = _window_dma(
-            rs_ref, cs_ref, x_any, xwin, sem, win_r, win_c, b, gr, gc,
-            planes=planes,
-        )
+        if _ABLATE == "nodma":  # timing-only: compute on stale VMEM
+            # (probe_r5_i on the 128bpp twin: nodma ran SLOWER than full,
+            # so the hand-rolled double buffering already hides the
+            # window DMA behind compute; kept for future overlap checks)
+            px = xwin[0]
+        else:
+            px = _window_dma(
+                rs_ref, cs_ref, x_any, xwin, sem, win_r, win_c, b, gr, gc,
+                planes=planes,
+            )
         mh = mh_ref[0]
         mv = mv_ref[0]
 

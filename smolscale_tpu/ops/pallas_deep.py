@@ -56,7 +56,9 @@ from ..ops import fixedpoint as fp
 from ..plan import FilterType, ScalePlan
 from . import pallas_bilinear as pg  # _span_mm_i8, _round_up
 
-_ABLATE = None  # timing-only knob: "nohmm" | "noclass" | "nounpack";
+_ABLATE = None  # timing-only knob: "nohmm" | "noclass" | "nounpack" |
+# "novred" (skip the chunk-centric V weighted reduce) | "nofilter"
+# (unpack+H+V all skipped: the DMA/store floor);
 # "general" forces the row-centric kernel where chunk-centric would run
 
 
@@ -1050,7 +1052,7 @@ def _make_chunk_kernel(plan: ScalePlan, C: int, w_pad: int, w_out_pad: int,
                 hrows = [hrow_s[l * C : (l + 1) * C] for l in range(n_stack)]
             elif (premul16 and not linear and not planes
                   and _h_lane_packed(plan)
-                  and _ABLATE in (None, "fp_noswar", "fp_nomm")):
+                  and _ABLATE in (None, "fp_noswar", "fp_nomm", "novred")):
                 # PREMUL16-compressed fast path (generic.c:616-634 storage):
                 # ONE u32 multiply forms TWO channels' v*a products in
                 # independent 16-bit halves (v*a <= 65025 < 2**16, no
@@ -1109,7 +1111,7 @@ def _make_chunk_kernel(plan: ScalePlan, C: int, w_pad: int, w_out_pad: int,
                 hrow_s = fp.mul_shift_round24(y, jnp.int32(span_mul_x)) & norm_mask
                 hrows = [hrow_s[l * C : (l + 1) * C] for l in range(4)]
             else:
-                if _ABLATE == "nounpack":
+                if _ABLATE in ("nounpack", "nofilter"):
                     chs = [px.astype(jnp.int32) & 0xFF for _ in range(4)]
                 else:
                     chs = [
@@ -1118,7 +1120,7 @@ def _make_chunk_kernel(plan: ScalePlan, C: int, w_pad: int, w_out_pad: int,
                                       planes=planes)
                         for l in range(n_stack)
                     ]
-                if _ABLATE == "nohmm":
+                if _ABLATE in ("nohmm", "nofilter"):
                     hrows = [ch[:, :w_out_pad] & norm_mask for ch in chs]
                 else:
                     # linear alpha fits fewer limbs than the linearized colors
@@ -1185,7 +1187,9 @@ def _make_chunk_kernel(plan: ScalePlan, C: int, w_pad: int, w_out_pad: int,
             for ch_lane in range(n_stack):
                 hrow = hrows[ch_lane]
                 hu = hrow.astype(jnp.uint32)
-                if _ABLATE == "noclass":
+                if _ABLATE in ("novred", "nofilter"):
+                    part_a = hrow[:1, :]  # timing-only: skip the V reduce
+                elif _ABLATE == "noclass":
                     part_a = jnp.sum(hrow, axis=0, keepdims=True)
                 else:
                     part_a = jnp.sum(
@@ -1212,7 +1216,7 @@ def _make_chunk_kernel(plan: ScalePlan, C: int, w_pad: int, w_out_pad: int,
                         & norm_mask
                     )
 
-                if _ABLATE == "noclass":
+                if _ABLATE in ("noclass", "novred", "nofilter"):
                     part_b = part_a
                 else:
                     part_b = jnp.sum(

@@ -359,13 +359,20 @@ def _built(plans: tuple, batch: int, planes: bool = False):
         for li, p in enumerate(plans):
             wlp, nv = wlps[li], p.y.halvings
             bi, off_c, corr, nh = lvl_tbl[li]
+            # hb = hl - 128, the BIASED ladder output, produced for free:
+            # corr == 128 << nh, so (rlc + corr) >> nh - 128 == rlc >> nh
+            # (adding a multiple of 2**nh commutes with the floor shift),
+            # and the n = 0 level's hl = rbase + 128 bias cancels.  The V
+            # lerp and the int8 cast below both want the biased form, so
+            # the per-level ^128/+128 VPU passes disappear.
             if off_c is None:  # n = 0 level: the base IS the H output
-                hl = rbases[bi][:, :wlp] + 128
+                hb = rbases[bi][:, :wlp]
             elif _ABLATE in ("nolad", "nofilter"):
-                hl = rbases[bi][:, :wlp] + 128
+                hb = rbases[bi][:, :wlp]
             else:
-                hl = (rlcs[bi][:, off_c : off_c + wlp] + corr) >> nh
-            # V lerp directly on the channel-stacked hl (lerp256 f=128
+                assert corr == 128 << nh
+                hb = rlcs[bi][:, off_c : off_c + wlp] >> nh
+            # V lerp directly on the channel-stacked hb (lerp256 f=128
             # == ((p-q)>>1)+q, generic.c:1290; rows whose lerp partner
             # crosses a channel boundary are odd and never read -- the
             # V count matmul consumes sample rows only), then one
@@ -374,15 +381,23 @@ def _built(plans: tuple, batch: int, planes: bool = False):
             # order (i8 concat costs 1/4 of the old i32 hv concat)
             if _ABLATE in ("nov", "nofilter"):
                 o = jnp.concatenate(
-                    [hl[perm[ob] * h : perm[ob] * h + p.height_out]
+                    [hb[perm[ob] * h : perm[ob] * h + p.height_out] + 128
                      for ob in range(n_ch)], axis=1,
                 )
             elif _ABLATE == "novlerp":  # timing-only: V matmul, no lerp
-                v8 = (hl ^ 128).astype(jnp.int8)
+                v8 = hb.astype(jnp.int8)
             if _ABLATE not in ("nov", "nofilter"):
                 if _ABLATE != "novlerp":
-                    q = jnp.roll(hl, -1, axis=0)
-                    v8 = ((((hl - q) >> 1) + q) ^ 128).astype(jnp.int8)
+                    # V lerp on the biased planes: ((p-q)>>1)+q ==
+                    # floor((p+q)/2) for any ints (generic.c:1290 f=128),
+                    # and the identity holds unchanged after the common
+                    # -128 bias, so v8 is directly the biased int8 matmul
+                    # operand.  (A u8-lane form would move 4x less VPU
+                    # data but sub-32-bit elementwise ops crash the
+                    # Mosaic remote compile -- probe_r5_g/_i, recorded
+                    # negative result.)
+                    qb = jnp.roll(hb, -1, axis=0)
+                    v8 = (((hb - qb) >> 1) + qb).astype(jnp.int8)
                 mvl = mv_refs[li][...]
                 _, v_bases, cm_v, kw_v = v_tbls[li]
                 # every chunk shares mvl, so ALL chunks ride ONE matmul
