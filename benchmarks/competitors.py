@@ -69,13 +69,26 @@ int stb_resize_rgba(const unsigned char *in, int w, int h,
 """
 
 
+# pin of the header this harness compiles (advisor round 4: the checkout
+# is untrusted content; refuse to build anything but the audited bytes)
+_STB_SHA256 = "6a0e75adbabb48df9031c2e39ccd97437bb226fe31e7d4a01c7bf70a18d32ec6"
+
+
 def _build_stb():
     """Compile the reference's vendored stb_image_resize.h in place (like
     tests/oracle.py builds the oracle) into build/libstb_resize.so."""
+    import hashlib
+
     BUILD_DIR.mkdir(exist_ok=True)
     so = BUILD_DIR / "libstb_resize.so"
     src = BUILD_DIR / "stb_shim.c"
     hdr = REF_DIR / "stb_image_resize.h"
+    got = hashlib.sha256(hdr.read_bytes()).hexdigest()
+    if got != _STB_SHA256:
+        raise RuntimeError(
+            f"stb_image_resize.h hash {got} != pinned {_STB_SHA256}; "
+            "refusing to compile an unaudited header"
+        )
     if not so.exists() or hdr.stat().st_mtime > so.stat().st_mtime:
         src.write_text(_STB_SHIM)
         subprocess.run(

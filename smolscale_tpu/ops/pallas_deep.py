@@ -1089,11 +1089,18 @@ def _make_chunk_kernel(plan: ScalePlan, C: int, w_pad: int, w_out_pad: int,
                       in_layout[sb]: _lb(rs >> 8),
                       3: _lb(a_vals ^ 128)}
 
-                def mm(v):
-                    return jnp.dot(v, m8, preferred_element_type=jnp.int32)
-
-                y1m = mm(jnp.concatenate([l1[l] for l in range(4)], axis=0))
-                y0m = mm(jnp.concatenate([l0[l] for l in range(3)], axis=0))
+                # ONE dot for both limbs: the 4 hi-limb planes and 3
+                # lo-limb planes (alpha's lo limb is the constant 0x80,
+                # restored by the correction row) stack along M, so the
+                # (w_pad, 128) operand streams once instead of twice
+                ym = jnp.dot(
+                    jnp.concatenate(
+                        [l1[l] for l in range(4)] + [l0[l] for l in range(3)],
+                        axis=0,
+                    ),
+                    m8, preferred_element_type=jnp.int32,
+                )
+                y1m, y0m = ym[: 4 * C], ym[4 * C :]
                 y3 = jnp.concatenate(
                     [(y1m[: 3 * C] << 8) + y0m, y1m[3 * C :] << 8], axis=0
                 ) + corr_a
