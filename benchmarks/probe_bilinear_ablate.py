@@ -21,6 +21,10 @@ from smolscale_tpu.utils.timing import chain_timer
 
 
 def run(mode, wi=4096, hi=4096, wo=1371, ho=1371, ti=8, to=8, B=4):
+    label = mode
+    if "@vcm=" in mode:  # e.g. full-planes@vcm=32: dense-V chunk height
+        mode, cm = mode.split("@vcm=")
+        pallas_bilinear._V_CM = int(cm)
     plan = ScalePlan(wi, hi, wo, ho, ti, to, False)
     if mode.endswith("-planes"):
         # ablate INSIDE the shipping channel-major planes dispatch path
@@ -41,7 +45,7 @@ def run(mode, wi=4096, hi=4096, wo=1371, ho=1371, ti=8, to=8, B=4):
             lambda v: xla.scale_fn(plan, v)[0, 0, 0, 0].astype(_jnp.uint32),
             x, n_long=10)
         per = res.per
-        print(f"{mode:14s}: {per*1e3:.2f} ms/batch  "
+        print(f"{label:14s}: {per*1e3:.2f} ms/batch  "
               f"{B*wi*hi/1e6/per:.0f} Mpix/s  ({res.confidence})",
               flush=True)
         pallas_bilinear._ABLATE = None
@@ -77,7 +81,7 @@ def run(mode, wi=4096, hi=4096, wo=1371, ho=1371, ti=8, to=8, B=4):
         )[0, 0, 0, 0]
         res = chain_timer(inner, x, n_long=10)
         per = res.per
-        print(f"{mode:10s}: {per*1e3:.2f} ms/batch  "
+        print(f"{label:10s}: {per*1e3:.2f} ms/batch  "
               f"{B*wi*hi/1e6/per:.0f} Mpix/s  ({res.confidence})", flush=True)
         pallas_bilinear._ABLATE = None
         pallas_bilinear._built.cache_clear()
@@ -89,7 +93,7 @@ def run(mode, wi=4096, hi=4096, wo=1371, ho=1371, ti=8, to=8, B=4):
         lambda v: pallas_bilinear.scale_fn(plan, v)[0, 0, 0, 0], x, n_long=10
     )
     per = res.per
-    print(f"{mode:10s}: {per*1e3:.2f} ms/batch  {B*wi*hi/1e6/per:.0f} Mpix/s"
+    print(f"{label:10s}: {per*1e3:.2f} ms/batch  {B*wi*hi/1e6/per:.0f} Mpix/s"
           f"  ({res.confidence})", flush=True)
     pallas_bilinear._ABLATE = None
     pallas_bilinear._built.cache_clear()
@@ -102,8 +106,13 @@ if __name__ == "__main__":
         modes = args[0].split(",")
         args = args[1:]
     dims = [int(a) for a in args]
+    cm0 = pallas_bilinear._V_CM
     for mode in modes:
         try:
             run(mode, *dims)
         except Exception as e:
             print(mode, "FAILED", repr(e)[:200], flush=True)
+        finally:
+            pallas_bilinear._V_CM = cm0
+            pallas_bilinear._built.cache_clear()
+            pallas_bilinear._built_planes.cache_clear()

@@ -891,10 +891,17 @@ def _geometry_for_t(plan: ScalePlan, t: int, jc_out_max: int = 256,
                     mv[g, row, o] = f
                     mv[g, row, o + 1] = 256 - f
     # K-chunk the dense V matmul (see _v_chunk_slices): dense weighted
-    # gathers only -- the int8/box forms keep their own span machinery
+    # gathers only -- the int8/box forms keep their own span machinery.
+    # Chunk height by class (probe_r5_k vcm sweep, v5e): DOWNSCALES take
+    # cm=16 (3b 48.2 -> 51.2 in-Gpix/s +-0%; tighter hulls beat the extra
+    # dispatches), upscales keep cm=64 (config 2: 21.5 G at 64 vs 18.9 at
+    # 16 -- the small dots go dispatch-bound).  An explicit _V_CM probe
+    # override (!= 64) wins over the class rule.
     v_chunks = None
     if mv.dtype == np.float32:
-        vc = _v_chunk_slices(mv, win_r)
+        cm_cls = 16 if plan.height_out < plan.height_in else None
+        vc = _v_chunk_slices(mv, win_r,
+                             cm=cm_cls if _V_CM == 64 else None)
         if vc is not None:
             mv, k0s, cm_v, kw_v = vc
             v_chunks = (k0s, cm_v, kw_v)
