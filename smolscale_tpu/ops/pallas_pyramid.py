@@ -281,15 +281,20 @@ def _built(plans: tuple, batch: int, planes: bool = False):
         o_refs = rest[nb + ng + len(plans) :]
         x = x_ref[0]  # (h, w) u32, or (3, h, w) u8 with planes
         if planes:
-            # leading-axis collapse (free) -> the limb stack directly;
-            # the floor average is closed over u8 (never exceeds max)
-            xc = x.reshape(n_ch * h, w)
+            # leading-axis collapse (free) -> the limb stack directly.
+            # The lerp runs in i32 with the -128 bias pre-folded: u8
+            # elementwise arithmetic is NOT lowerable ("Only vector<i16>
+            # and vector<i32> are supported" -- the u8 floor-average form
+            # crashed the 5b mixed-fleet recert on-chip), and
+            # ((p-q)>>1)+q == floor((p+q)/2) holds unchanged after a
+            # common bias (generic.c:1290 f=128).
+            xb = x.reshape(n_ch * h, w).astype(jnp.int32) - 128
             if _ABLATE in ("nolerp", "nofilter"):
-                s8 = xc
+                sb = xb
             else:
-                q = jnp.roll(xc, -1, axis=1)
-                s8 = (xc & q) + ((xc ^ q) >> 1)
-            limbs = (s8 ^ jnp.uint8(0x80)).astype(jnp.int8)  # (3h, w)
+                qb = jnp.roll(xb, -1, axis=1)
+                sb = ((xb - qb) >> 1) + qb
+            limbs = sb.astype(jnp.int8)  # (3h, w) biased
         else:
             if unassoc_in and _ABLATE is None:
                 # premul_u_to_p8 (generic.c:238-244) as SWAR 16-bit
