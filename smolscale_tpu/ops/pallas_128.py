@@ -62,16 +62,22 @@ _GEO128: dict = {}  # timing-only probe knob (benchmarks/probe_128_ablate)
 def _geo(plan: ScalePlan):
     # 2-limb gathers double the geometry's matmul estimate; deep-box spans
     # inflate windows, so let the geometry search shrink tiles as needed.
-    kw = dict(jc_out_max=128, budget_mb=6, t_max=32, uniform_ok=True)
+    kw = dict(jc_out_max=128, budget_mb=6, t_max=32, uniform_ok=True,
+              v_chunk_ok=False)
     if (
         plan.internal_alpha == AlphaType.PREMUL16
         and plan.x.filter.is_bilinear
         and plan.y.filter.is_bilinear
+        and plan.x.filter.n_halvings >= 1
+        and plan.y.filter.n_halvings >= 1
     ):
         # probe_128_ablate (config 7): at jc_out=256 the ladder span
         # matrix splits into two half-window column chunks
         # (_col_chunk_spans), halving the H matmul MACs -- 0.556 ->
-        # 0.474 ms bit-exact; jc_out=128 windows are one chunk (no win)
+        # 0.474 ms bit-exact; jc_out=128 windows are one chunk (no win).
+        # Ladder (>=1h) plans only: the probe covered that class, and a
+        # 0h dense PREMUL16 upscale hits a geometry V-matrix/window row
+        # mismatch at this budget (trace-time shape error).
         kw.update(jc_out_max=256, budget_mb=12)
     kw.update(_GEO128)
     return pg._geometry(plan, **kw)

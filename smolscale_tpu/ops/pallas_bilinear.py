@@ -296,7 +296,7 @@ def _geo_kw(plan: ScalePlan) -> dict:
 @functools.cache
 def _geometry(plan: ScalePlan, jc_out_max: int = 256, budget_mb: int = 12,
               t_max: int = 64, uniform_ok: bool = False,
-              win_rows: int = 512):
+              win_rows: int = 512, v_chunk_ok: bool = True):
     """Largest-tile geometry that fits the VMEM budget, or None.
 
     Tries the requested column-tile width and a narrower 128-lane variant:
@@ -332,7 +332,8 @@ def _geometry(plan: ScalePlan, jc_out_max: int = 256, budget_mb: int = 12,
         if h_out not in cands:
             cands.append(h_out)
         for tc in cands:
-            geo = _geometry_for_t(plan, tc, jm, budget_mb, uniform_ok)
+            geo = _geometry_for_t(plan, tc, jm, budget_mb, uniform_ok,
+                                  v_chunk_ok)
             if geo is not None:
                 return geo
         return None
@@ -364,7 +365,8 @@ def _geometry(plan: ScalePlan, jc_out_max: int = 256, budget_mb: int = 12,
 
 @functools.cache
 def _geometry_for_t(plan: ScalePlan, t: int, jc_out_max: int = 256,
-                    budget_mb: int = 12, uniform_ok: bool = False):
+                    budget_mb: int = 12, uniform_ok: bool = False,
+                    v_chunk_ok: bool = True):
     """Static tile geometry + tables for a given row-group size, or None
     if the VMEM budget doesn't work out.
 
@@ -897,8 +899,13 @@ def _geometry_for_t(plan: ScalePlan, t: int, jc_out_max: int = 256,
     # dispatches), upscales keep cm=64 (config 2: 21.5 G at 64 vs 18.9 at
     # 16 -- the small dots go dispatch-bound).  An explicit _V_CM probe
     # override (!= 64) wins over the class rule.
+    # Only the S64 bilinear kernel consumes geo["v_chunks"]; callers whose
+    # dense-V stage applies mv whole (pallas_128 / pallas_srgb gather_mm
+    # transpose) pass v_chunk_ok=False or they'd receive a hull-windowed
+    # matrix their contraction can't use (caught by the CPU exactness
+    # tests when the cm=16 downscale rule started firing at t >= 32).
     v_chunks = None
-    if mv.dtype == np.float32:
+    if mv.dtype == np.float32 and v_chunk_ok:
         cm_cls = 16 if plan.height_out < plan.height_in else None
         vc = _v_chunk_slices(mv, win_r,
                              cm=cm_cls if _V_CM == 64 else None)

@@ -82,7 +82,7 @@ def _geo(plan: ScalePlan):
     # limit at larger budgets (compile-verified on chip).
     if _dense_ladder(plan.x) and _dense_ladder(plan.y):
         g = pg._geometry(plan, jc_out_max=128, budget_mb=6, t_max=32,
-                         uniform_ok=True)
+                         uniform_ok=True, v_chunk_ok=False)
         if g is not None:
             return g
     from ..backends.xla import _box_uniform_applicable
@@ -95,11 +95,11 @@ def _geo(plan: ScalePlan):
         # matrix, reshape-reduce V), so the larger row group is safe;
         # measured 1.272 -> 1.158 ms on config 6 (2048^2->256^2 sRGB, v5e)
         g = pg._geometry(plan, jc_out_max=128, budget_mb=6, t_max=32,
-                         uniform_ok=True)
+                         uniform_ok=True, v_chunk_ok=False)
         if g is not None and g["h_uniform"] and g["v_uniform"]:
             return g
     return pg._geometry(plan, jc_out_max=128, budget_mb=4, t_max=16,
-                        uniform_ok=True)
+                        uniform_ok=True, v_chunk_ok=False)
 
 
 def _lut_tables():
