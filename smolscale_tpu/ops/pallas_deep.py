@@ -768,7 +768,7 @@ def _ragged_h_tables(plan: ScalePlan, w_pad: int, w_out_pad: int):
         # block-A/R corrections at that limb count
         ba = pg._span_bias_factor(2 if premul16 else 1)
         hf[6, :w_out_pad] = _corr(m3[:, :w_out_pad], ba)
-        hf[7, :w_out_pad] = _corr(m3[:, r_blk : r_blk + w_out_pad], ba)
+        hf[7, :w_out_pad] = _corr(m3[:, r_off : r_off + w_out_pad], ba)
     return m3, hf, raw
 
 

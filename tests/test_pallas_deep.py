@@ -60,6 +60,13 @@ def test_pallas_deep_exact(wi, hi, wo, ho, ti, to):
         (1842, 1538, 10, 15, 0, 0),  # span y1 exactly on a chunk boundary
                                      # (512 = 8*C): regression for the
                                      # dropped w2-row + emit (hw fuzz)
+        (3516, 745, 54, 6, 9, 8),    # UNPACKED linear H blocks (3*w_out >
+                                     # 128 so _h_lane_packed is off):
+                                     # regression for the alpha-plane
+                                     # block-R correction row using the
+                                     # wrong offset name (hw fuzz seed
+                                     # 20260908 [06], NameError r_blk)
+        (2816, 480, 48, 4, 4, 4),    # unpacked linear, PREMUL16 flavor
     ],
 )
 def test_pallas_deep_srgb_exact(wi, hi, wo, ho, ti, to):
